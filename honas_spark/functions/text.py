@@ -1,0 +1,164 @@
+"""Per-row transforms — all Spark built-ins (JVM-side, whole-stage
+codegen); no Python in any of these paths.
+
+Reproduces the reference's key-derivation pipeline (P1-P3 in SURVEY.md §2.2)
+over the code-corpus analog, plus the text-analysis operators a
+training-data pipeline needs (language-ID heuristic, quality scoring, token
+counting, fingerprinting)."""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# --------------------------------------------------------------------------
+# P1 canonicalize (honas_state.c:286-294): lowercase + strip one trailing
+# separator.  Hostnames strip '.'; the path analog strips '/'.
+# --------------------------------------------------------------------------
+
+
+def canonicalize(col: Column, sep: str = "/") -> Column:
+    return F.lower(F.regexp_replace(col, f"[{sep}]$", ""))
+
+
+# --------------------------------------------------------------------------
+# P2/P3 key explosion (honas_state.c:296-453): for a canonical name with
+# labels l0<sep>l1<sep>...<sep>ln emit
+#   - the full name
+#   - every label except the last ("non-TLD labels")
+#   - the last two labels joined ("SLD.TLD")
+#   - entity@variant of the full name and of each non-TLD label (P3)
+# PTR-mode rows (Quirk Q3, honas_state.c:359) store only the full name
+# (+ its entity variant) — no labels, no SLD.
+# --------------------------------------------------------------------------
+
+
+def key_array(
+    name: Column,
+    entity: Optional[Column] = None,
+    sep: str = "/",
+    ptr_mode: Optional[Column] = None,
+) -> Column:
+    cname = canonicalize(name, sep)
+    labels = F.split(cname, f"[{sep}]")
+    n = F.size(labels)
+    non_tld = F.slice(labels, 1, n - 1)
+    sld = F.array_join(F.slice(labels, -2, 2), sep)
+    full_keys = F.concat(
+        F.array(cname),
+        non_tld,
+        F.when(n >= 2, F.array(sld)).otherwise(F.array()),
+    )
+    ptr_keys = F.array(cname)
+    if entity is not None:
+        ent_of = lambda c: F.concat_ws("@", entity, c)  # noqa: E731
+        full_keys = F.concat(
+            full_keys,
+            F.array(ent_of(cname)),
+            F.transform(non_tld, ent_of),
+        )
+        ptr_keys = F.concat(ptr_keys, F.array(ent_of(cname)))
+    keys = full_keys
+    if ptr_mode is not None:
+        keys = F.when(ptr_mode, ptr_keys).otherwise(full_keys)
+    return F.array_distinct(keys)
+
+
+def explode_keys(
+    df: DataFrame,
+    name_col: str,
+    entity_col: Optional[str] = None,
+    sep: str = "/",
+    ptr_col: Optional[str] = None,
+    out_col: str = "key",
+) -> DataFrame:
+    arr = key_array(
+        F.col(name_col),
+        F.col(entity_col) if entity_col else None,
+        sep,
+        F.col(ptr_col) if ptr_col else None,
+    )
+    return df.withColumn(out_col, F.explode(arr))
+
+
+# --------------------------------------------------------------------------
+# Text analysis for training-data pipelines (documents table).
+# All pure built-in expressions.
+# --------------------------------------------------------------------------
+
+_STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "by", "at", "from",
+]
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization with empty-token removal."""
+    return F.filter(F.split(col, r"\s+"), lambda t: t != "")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_piece_count(col: Column) -> Column:
+    """Token-count proxy: split on word/number/punct boundaries (a
+    BPE-style pre-tokenizer regex), counting the non-empty pieces."""
+    return F.size(
+        F.filter(
+            F.split(col, r"(?=[^a-zA-Z0-9])|(?<=[^a-zA-Z0-9])"),
+            lambda t: (t != "") & (t != " "),
+        )
+    )
+
+
+def stopword_count(col: Column) -> Column:
+    toks = tokens(F.lower(col))
+    return F.size(
+        F.filter(toks, lambda t: t.isin(_STOPWORDS))
+    )
+
+
+def punct_count(col: Column) -> Column:
+    return F.length(col) - F.length(F.regexp_replace(col, r"[^\w\s]", ""))
+
+
+def quality_features(df: DataFrame, text_col: str) -> DataFrame:
+    """Integer/exact quality-scoring features (length, tokens, unique
+    tokens, stopwords, punctuation) — the deterministic core of a quality
+    classifier; thresholds compose on top as plain filters."""
+    c = F.col(text_col)
+    toks = tokens(c)
+    return (
+        df.withColumn("n_chars_q", F.length(c))
+        .withColumn("n_tokens", F.size(toks))
+        .withColumn("n_unique_tokens", F.size(F.array_distinct(toks)))
+        .withColumn("n_stopwords", stopword_count(c))
+        .withColumn("n_punct", punct_count(c))
+    )
+
+
+def language_guess(col: Column) -> Column:
+    """Heuristic language ID: score = count of language-marker stopwords;
+    argmax over a tiny marker table.  A deterministic n-gram/stopword
+    heuristic — replace with a real model outside the sandbox."""
+    markers = {
+        "en": ["the", "and", "of", "is"],
+        "es": ["el", "la", "los", "que", "y"],
+        "fr": ["le", "la", "les", "et", "est"],
+        "de": ["der", "die", "das", "und", "ist"],
+        "zh": ["de5", "shi4", "he2"],
+    }
+    toks = tokens(F.lower(col))
+    scores = []
+    for lang, words in markers.items():
+        score = F.size(F.filter(toks, lambda t: t.isin(words)))
+        scores.append(F.struct(score.alias("s"), F.lit(lang).alias("l")))
+    return F.array_max(F.array(*scores))["l"]
+
+
+def fingerprint(col: Column) -> Column:
+    """Document fingerprint: MD5 of the whitespace-normalized, lowercased
+    text — the exact-dedup key (rolling-hash analog, deterministic)."""
+    return F.md5(F.trim(F.regexp_replace(F.lower(col), r"\s+", " ")))

@@ -1,0 +1,565 @@
+"""Vectorized numpy kernels — the custom compute core of the engine.
+
+Every kernel here is a pure function over numpy arrays, designed to be
+called from Arrow-batched pandas UDFs (never per-row Python in the hot
+path).  The semantics reproduce the reference (SURFnet/honas) algorithms
+bit-exactly where golden vectors exist; each function cites the reference
+behavior it re-creates (file:line into /root/reference/).  The
+implementations are new, vectorized re-derivations — not translations.
+
+Kernels:
+  * MurmurHash64A                (reference: include/byte_slice.h:276-310)
+  * Bloom bit-offset derivation  (reference: src/bloom.c:40-113) — big-int
+    multiply-reduce sampling of k *distinct* sorted offsets
+  * per-filter hash transform    (reference: src/honas_state.c:231-244)
+  * Bloom set/probe/popcount/approx-count (src/bloom.c:115-146)
+  * HyperLogLog P=14 dense       (reference: src/hyperloglog.c:397-451,
+    917-983) — register-wise MAX merge (Quirk Q1 in SURVEY.md: the
+    reference's packed-byte OR can overestimate; we use the published MAX)
+  * count-min sketch             (north-rule sibling; Cormode-Muthukrishnan)
+  * KLL quantile sketch          (north-rule sibling; Karnin-Lang-Liberty)
+  * combination unranking        (reference: src/combinations.c:35-69)
+  * sizing/diagnostic formulas   (reference: src/advice.c:30-51,
+    src/bloom.c:134-146, src/bin/honas_search.c:42-52)
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import numpy as np
+
+U64 = np.uint64
+_MASK32 = np.uint64(0xFFFFFFFF)
+_MASK64 = 0xFFFFFFFFFFFFFFFF
+
+# ---------------------------------------------------------------------------
+# MurmurHash64A (byte_slice.h:276-310).  Used for the client/filter-selection
+# hash with seed 0xadc83b19 (honas_state.c:46-49).  Scalar Python version —
+# it is only ever applied to *distinct* group keys (a handful per batch),
+# never per row; see `murmur64a_series` for the map-over-uniques wrapper.
+# ---------------------------------------------------------------------------
+
+MURMUR_SEED = 0xADC83B19
+
+
+def murmur64a(data: bytes, seed: int = MURMUR_SEED) -> int:
+    m = 0xC6A4A7935BD1E995
+    r = 47
+    h = (seed ^ (len(data) * m)) & _MASK64
+    n8 = len(data) & ~7
+    for (k,) in struct.iter_unpack("<Q", data[:n8]):
+        k = (k * m) & _MASK64
+        k ^= k >> r
+        k = (k * m) & _MASK64
+        h ^= k
+        h = (h * m) & _MASK64
+    tail = data[n8:]
+    if tail:
+        k = int.from_bytes(tail, "little")
+        h ^= k
+        h = (h * m) & _MASK64
+    h ^= h >> r
+    h = (h * m) & _MASK64
+    h ^= h >> r
+    return h
+
+
+def murmur64a_series(values, seed: int = MURMUR_SEED) -> np.ndarray:
+    """Hash a pandas/np array of strings via a per-unique-value map.
+
+    The honas client hash is only used to pick a filter subset per client
+    (honas_state.c:261-283); clients repeat heavily, so hashing uniques and
+    broadcasting is both faster and keeps Python out of the per-row path.
+    """
+    import pandas as pd
+
+    s = pd.Series(values)
+    uniq = s.unique()
+    lut = {v: murmur64a(str(v).encode("utf-8"), seed) for v in uniq}
+    return s.map(lut).to_numpy(dtype=np.uint64)
+
+
+# ---------------------------------------------------------------------------
+# Hash byte <-> limb conversion.
+# ---------------------------------------------------------------------------
+
+
+def hashes_to_limbs(hashes, hash_len: int = 32) -> np.ndarray:
+    """(N,) sequence of fixed-length byte strings -> (N, hash_len//4) uint32.
+
+    Limbs are little-endian (limb 0 least significant) — the reference
+    treats the hash as a little-endian big integer (byte_slice mul,
+    tests/byte_slice.c:259-305).
+    """
+    if len(hashes) == 0:
+        return np.empty((0, hash_len // 4), dtype=np.uint32)
+    buf = b"".join(hashes)
+    arr = np.frombuffer(buf, dtype="<u4")
+    return arr.reshape(-1, hash_len // 4).copy()
+
+
+def u64_to_limbs(vals: np.ndarray) -> np.ndarray:
+    """(N,) uint64 -> (N, 2) uint32 little-endian limbs."""
+    vals = np.ascontiguousarray(vals, dtype="<u8")
+    return vals.view("<u4").reshape(-1, 2).copy()
+
+
+# ---------------------------------------------------------------------------
+# Per-filter hash transform (honas_state.c:231-244): for filter_index i > 0,
+# multiply each 64-bit lane of the hash by (2i+1), wrapping mod 2^64, so each
+# filter sees decorrelated Bloom offsets.
+# ---------------------------------------------------------------------------
+
+
+def transform_limbs(limbs: np.ndarray, filter_index: int) -> np.ndarray:
+    if filter_index == 0:
+        return limbs
+    n, nl = limbs.shape
+    assert nl % 2 == 0, "64-bit lane transform requires hash length % 8 == 0"
+    lanes = limbs.view("<u8")  # (N, nl//2) uint64 lanes, wraps on multiply
+    mult = U64(2 * filter_index + 1)
+    out = (lanes * mult).view("<u4")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Bloom offset derivation (src/bloom.c:40-113).
+#
+# Treat the hash as a little-endian big integer H.  For j = k .. 1:
+#   overflow = high bits of (H * bs)        [bs = remaining bit space]
+#   H        = low bits of (H * bs)
+#   if bs has t > 0 trailing zero bits: H[lane0] += overflow & (2^t - 1)
+#       (re-adds entropy lost to the gcd; lane0 is uint64 when the hash is a
+#        multiple of 8 bytes, else uint32 — both wrap, reproducing the
+#        reference's two code paths at bloom.c:58-84 / 86-111)
+#   insert overflow into the sorted tail with collision-shift (>= existing
+#        value -> skip over it and increment), bs -= 1
+# yielding k DISTINCT sorted offsets — sampling without replacement.
+# ---------------------------------------------------------------------------
+
+
+def _ffs(v: int) -> int:
+    """1-based index of least significant set bit (ffs/ffsl)."""
+    return (v & -v).bit_length()
+
+
+def bloom_offsets(limbs: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """Derive (N, min(k, m_bits)) int64 distinct sorted bit offsets.
+
+    `limbs` is (N, n_limbs) uint32 little-endian; consumed (copied inside).
+    Matches reference golden vectors (tests/bloom.c:93-137) for 4-byte
+    hashes and the mul64 path (bloom.c:58-84) for 8-byte-multiple hashes.
+    """
+    assert 1 <= m_bits < (1 << 32)
+    limbs = limbs.astype(np.uint32, copy=True)
+    n, nl = limbs.shape
+    mode64 = nl % 2 == 0
+    bs = m_bits
+    num = min(k, m_bits)
+    off = np.zeros((n, num), dtype=np.int64)
+    rows = np.arange(n)
+    for j in range(num, 0, -1):
+        # big-int multiply in place: limbs *= bs, carry out = overflow
+        carry = np.zeros(n, dtype=np.uint64)
+        bsu = U64(bs)
+        for li in range(nl):
+            t = limbs[:, li].astype(np.uint64) * bsu + carry
+            limbs[:, li] = (t & _MASK32).astype(np.uint32)
+            carry = t >> U64(32)
+        overflow = carry  # < bs < 2^32
+        # entropy re-add (bloom.c:63-71 / 91-99)
+        lost = _ffs(bs)
+        if lost > 1:
+            mask = U64(((1 << (lost - 1)) - 1) & _MASK64)
+            add = overflow & mask
+            t0 = limbs[:, 0].astype(np.uint64) + add
+            limbs[:, 0] = (t0 & _MASK32).astype(np.uint32)
+            if mode64:
+                # lane0 is a uint64: carry into limb 1, wrap at 2^64
+                t1 = limbs[:, 1].astype(np.uint64) + (t0 >> U64(32))
+                limbs[:, 1] = (t1 & _MASK32).astype(np.uint32)
+        # sorted-insert with collision shift (bloom.c:73-82 / 101-109)
+        new = overflow.astype(np.int64)
+        pos = np.full(n, j - 1, dtype=np.int64)
+        for _ in range(num - j):
+            nxt_pos = pos + 1
+            can = nxt_pos < num
+            safe = np.minimum(nxt_pos, num - 1)
+            nxt = off[rows, safe]
+            cond = can & (new >= nxt)
+            if not cond.any():
+                break
+            r = rows[cond]
+            off[r, pos[cond]] = nxt[cond]
+            pos[cond] += 1
+            new[cond] += 1
+        off[rows, pos] = new
+        bs -= 1
+    return off
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter ops over a uint8 bitset (bit b lives at byte b>>3, bit b&7 —
+# reference byte_slice_set_bits / byte_slice_all_bits_set).
+# ---------------------------------------------------------------------------
+
+
+def bloom_zero(m_bits: int) -> np.ndarray:
+    assert m_bits % 8 == 0
+    return np.zeros(m_bits // 8, dtype=np.uint8)
+
+
+def bloom_build(filt: np.ndarray, offsets: np.ndarray) -> None:
+    """Set all bits at `offsets` (any shape) in `filt` in place."""
+    bits = offsets.reshape(-1)
+    if bits.size == 0:
+        return
+    m_bits = filt.size * 8
+    if bits.size > 4096:
+        # histogram + packbits: O(m) but fully vectorized — wins for big
+        # batches (the map-side-combine path feeds millions of keys here)
+        hist = np.bincount(bits, minlength=m_bits) > 0
+        np.bitwise_or(filt, np.packbits(hist, bitorder="little"), out=filt)
+    else:
+        np.bitwise_or.at(filt, bits >> 3, (1 << (bits & 7)).astype(np.uint8))
+
+
+def bloom_probe(filt: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """(N, k) offsets -> (N,) bool: all k bits set (bloom.c:122-127)."""
+    byte_idx = offsets >> 3
+    bit_in = (offsets & 7).astype(np.uint8)
+    bits = (filt[byte_idx] >> bit_in) & 1
+    return bits.all(axis=1)
+
+
+def bloom_bits_set(filt: np.ndarray) -> int:
+    return int(np.unpackbits(filt).sum())
+
+
+def bloom_approx_count(m_bits: int, k: int, bits_set: int) -> int:
+    """Items estimate -(m/k)ln(1-X/m); saturates (bloom.c:134-146)."""
+    if bits_set >= m_bits:
+        return 0xFFFFFFFF
+    return int(round(-(m_bits / k) * math.log(1.0 - bits_set / m_bits)))
+
+
+def fill_rate(m_bits: int, bits_set: int) -> float:
+    return bits_set / m_bits
+
+
+def actual_fpr(m_bits: int, k: int, bits_set: int) -> float:
+    """Actual false-positive rate fill^k (honas_search.c:42-52)."""
+    return (bits_set / m_bits) ** k
+
+
+def fpr_theory(k: int, n: int, m: int) -> float:
+    """(1 - e^{-kn/m})^k (advice.c:30-34)."""
+    return (1.0 - math.exp(-k * n / m)) ** k
+
+
+def optimal_k(n: int, m: int) -> int:
+    """ceil(m/n ln 2) (advice.c:37-45)."""
+    return math.ceil(m / n * math.log(2)) if n > 0 else 0
+
+
+def bloom_filter_size(p: float, n: int) -> int:
+    """m = -n ln p / ln^2 2 (advice.c:48-51)."""
+    return int(-(n * math.log(p)) / (math.log(2) ** 2))
+
+
+def required_entropy_ok(m_bits: int, k: int, hash_bits: int = 256) -> bool:
+    """k*ceil(log2 m) must fit the hash (honas_state.c:613-624)."""
+    return k * math.ceil(math.log2(m_bits)) <= hash_bits
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog, P=14, dense (src/hyperloglog.c).  We store registers
+# UNPACKED: one uint8 per register, 16384 bytes.  The reference packs 6-bit
+# registers to save RAM in a long-lived daemon; semantics are identical and
+# 16 KiB per group is nothing for Spark.  Merge is register-wise MAX (the
+# published merge; see SURVEY.md Quirk Q1 re the reference's packed OR).
+# ---------------------------------------------------------------------------
+
+HLL_P = 14
+HLL_REGISTERS = 1 << HLL_P  # 16384
+_HLL_P_MASK = U64(HLL_REGISTERS - 1)
+
+
+def hll_zero() -> np.ndarray:
+    return np.zeros(HLL_REGISTERS, dtype=np.uint8)
+
+
+def hll_add(regs: np.ndarray, hashes: np.ndarray) -> None:
+    """Vectorized hllPatLen + dense add (hyperloglog.c:397-451).
+
+    index = hash & (2^14-1); count = 1 + trailing zeros of the remaining
+    bits (guard bit at position 63 caps the run at 50).
+    """
+    if hashes.size == 0:
+        return
+    h = hashes.astype(np.uint64, copy=False)
+    idx = (h & _HLL_P_MASK).astype(np.int64)
+    w = (h >> U64(HLL_P)) | (U64(1) << U64(63 - HLL_P))
+    low = w & (~w + U64(1))  # isolate lowest set bit; power of two <= 2^49
+    count = (np.log2(low.astype(np.float64)) + 1.5).astype(np.uint8)  # exact
+    np.maximum.at(regs, idx, count)
+
+
+def hll_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return np.maximum(a, b)
+
+
+_HLL_PE = 2.0 ** -np.arange(64)
+
+
+def hll_count(regs: np.ndarray) -> int:
+    """Harmonic-mean estimate with LinearCounting + P=14 bias polynomial
+    (hyperloglog.c:917-983; constants identical)."""
+    m = float(HLL_REGISTERS)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    E = float(_HLL_PE[regs].sum())
+    ez = int((regs == 0).sum())
+    E = (1.0 / E) * alpha * m * m
+    if E < m * 2.5 and ez != 0:
+        E = m * math.log(m / ez)  # LINEARCOUNTING
+    elif E < 72000:
+        bias = (
+            5.9119e-18 * E**4
+            - 1.4253e-12 * E**3
+            + 1.2940e-7 * E**2
+            - 5.2921e-3 * E
+            + 83.3216
+        )
+        E -= E * (bias / 100.0)
+    return int(E)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (north-rule sibling; Cormode & Muthukrishnan 2005).
+# depth x width int64 counters; row j indexes via Kirsch-Mitzenmacher
+# double hashing over a splitmix64-mixed key.  Merge = element-wise add.
+# Guarantee: est >= true; est <= true + eN with prob 1-delta for
+# e = e/width, delta = exp(-depth).
+# ---------------------------------------------------------------------------
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    x = x.astype(np.uint64, copy=True)
+    x += U64(0x9E3779B97F4A7C15)
+    x = (x ^ (x >> U64(30))) * U64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> U64(27))) * U64(0x94D049BB133111EB)
+    return x ^ (x >> U64(31))
+
+
+def cms_zero(depth: int, width: int) -> np.ndarray:
+    return np.zeros((depth, width), dtype=np.int64)
+
+
+def _cms_indexes(keys: np.ndarray, depth: int, width: int) -> np.ndarray:
+    mixed = _splitmix64(keys)
+    h1 = mixed >> U64(32)
+    h2 = (mixed & _MASK32) | U64(1)
+    j = np.arange(depth, dtype=np.uint64)[:, None]
+    return ((h1[None, :] + j * h2[None, :]) % U64(width)).astype(np.int64)
+
+
+def cms_add(counts: np.ndarray, keys: np.ndarray, weights=None) -> None:
+    if keys.size == 0:
+        return
+    depth, width = counts.shape
+    idx = _cms_indexes(keys.astype(np.uint64, copy=False), depth, width)
+    if weights is None:
+        weights = np.ones(keys.size, dtype=np.int64)
+    for j in range(depth):
+        np.add.at(counts[j], idx[j], weights)
+
+
+def cms_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return a + b
+
+
+def cms_query(counts: np.ndarray, keys: np.ndarray) -> np.ndarray:
+    depth, width = counts.shape
+    idx = _cms_indexes(keys.astype(np.uint64, copy=False), depth, width)
+    ests = np.stack([counts[j][idx[j]] for j in range(depth)])
+    return ests.min(axis=0)
+
+
+# ---------------------------------------------------------------------------
+# KLL quantile sketch (Karnin, Lang & Liberty 2016, simplified as in the
+# Apache DataSketches KLL).  Level l holds items of weight 2^l; when a level
+# overflows its capacity k*(2/3)^(H-l) it is sorted and every other item is
+# promoted.  Compaction parity comes from a deterministic LCG carried in the
+# sketch so runs are reproducible.  Merge = concat levels + compact; rank
+# error ~ O(1/k) (merge results are bound-equivalent, not byte-identical —
+# inherent to KLL; the bitset-equality property applies to Bloom/HLL/CMS).
+# ---------------------------------------------------------------------------
+
+_KLL_C = 2.0 / 3.0
+
+
+class KLL:
+    __slots__ = ("k", "n", "seed", "levels")
+
+    def __init__(self, k: int = 200):
+        self.k = k
+        self.n = 0
+        self.seed = 0x2545F491
+        self.levels: list[np.ndarray] = [np.empty(0, dtype=np.float64)]
+
+    def _cap(self, level: int) -> int:
+        height = len(self.levels) - 1
+        return max(2, int(math.ceil(self.k * (_KLL_C ** (height - level)))))
+
+    def add(self, values: np.ndarray) -> None:
+        values = np.asarray(values, dtype=np.float64)
+        values = values[~np.isnan(values)]
+        if values.size == 0:
+            return
+        self.n += values.size
+        self.levels[0] = np.concatenate([self.levels[0], values])
+        self._compress()
+
+    def _total(self) -> int:
+        return sum(lv.size for lv in self.levels)
+
+    def _budget(self) -> int:
+        return sum(self._cap(l) for l in range(len(self.levels)))
+
+    def _compress(self) -> None:
+        while self._total() > self._budget():
+            for l, lv in enumerate(self.levels):
+                if lv.size > self._cap(l):
+                    srt = np.sort(lv)
+                    self.seed = (self.seed * 1103515245 + 12345) & 0x7FFFFFFF
+                    start = (self.seed >> 16) & 1
+                    promoted = srt[start::2]
+                    self.levels[l] = np.empty(0, dtype=np.float64)
+                    if l + 1 >= len(self.levels):
+                        self.levels.append(np.empty(0, dtype=np.float64))
+                    self.levels[l + 1] = np.concatenate(
+                        [self.levels[l + 1], promoted]
+                    )
+                    break
+            else:
+                break
+
+    def merge(self, other: "KLL") -> "KLL":
+        out = KLL(self.k)
+        out.n = self.n + other.n
+        out.seed = (self.seed ^ other.seed) | 1
+        h = max(len(self.levels), len(other.levels))
+        out.levels = []
+        for l in range(h):
+            parts = []
+            if l < len(self.levels):
+                parts.append(self.levels[l])
+            if l < len(other.levels):
+                parts.append(other.levels[l])
+            out.levels.append(
+                np.concatenate(parts) if parts else np.empty(0, np.float64)
+            )
+        out._compress()
+        return out
+
+    def quantile(self, q: float) -> float:
+        if self.n == 0:
+            return float("nan")
+        items, weights = [], []
+        for l, lv in enumerate(self.levels):
+            if lv.size:
+                items.append(lv)
+                weights.append(np.full(lv.size, 1 << l, dtype=np.int64))
+        allv = np.concatenate(items)
+        allw = np.concatenate(weights)
+        order = np.argsort(allv, kind="stable")
+        allv, allw = allv[order], allw[order]
+        cum = np.cumsum(allw)
+        target = q * cum[-1]
+        i = int(np.searchsorted(cum, target, side="left"))
+        return float(allv[min(i, allv.size - 1)])
+
+    # --- serialization: magic u32, k u32, n u64, seed u64, nlevels u32,
+    #     then per level: count u32 + float64 payload -------------------
+    _MAGIC = 0x4B4C4C31  # "KLL1"
+
+    def to_bytes(self) -> bytes:
+        parts = [
+            struct.pack(
+                "<IIQQI", self._MAGIC, self.k, self.n, self.seed, len(self.levels)
+            )
+        ]
+        for lv in self.levels:
+            parts.append(struct.pack("<I", lv.size))
+            parts.append(lv.astype("<f8").tobytes())
+        return b"".join(parts)
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "KLL":
+        magic, k, n, seed, nlev = struct.unpack_from("<IIQQI", data, 0)
+        assert magic == cls._MAGIC, "corrupt KLL payload"
+        obj = cls(k)
+        obj.n, obj.seed = n, seed
+        off = struct.calcsize("<IIQQI")
+        obj.levels = []
+        for _ in range(nlev):
+            (cnt,) = struct.unpack_from("<I", data, off)
+            off += 4
+            obj.levels.append(
+                np.frombuffer(data, dtype="<f8", count=cnt, offset=off).copy()
+            )
+            off += 8 * cnt
+        return obj
+
+
+# ---------------------------------------------------------------------------
+# Combination unranking (src/combinations.c:35-69): lexicographic enumeration
+# of u-subsets of {0..F-1}; a client's filter subset is table[client_hash %
+# C(F,u)] (honas_state.c:280-283).  F,u are tiny -> precompute the table.
+# ---------------------------------------------------------------------------
+
+
+def number_of_combinations(set_size: int, subset_size: int) -> int:
+    return math.comb(set_size, subset_size)
+
+
+def combination_table(set_size: int, subset_size: int) -> np.ndarray:
+    from itertools import combinations
+
+    return np.array(
+        list(combinations(range(set_size), subset_size)), dtype=np.int64
+    ).reshape(math.comb(set_size, subset_size), subset_size)
+
+
+def filter_indexes_for_clients(
+    client_hashes: np.ndarray, num_filters: int, filters_per_user: int
+) -> np.ndarray:
+    """(N,) uint64 client hashes -> (N, u) filter index subsets."""
+    table = combination_table(num_filters, filters_per_user)
+    comb = (client_hashes.astype(np.uint64) % U64(table.shape[0])).astype(
+        np.int64
+    )
+    return table[comb]
+
+
+# ---------------------------------------------------------------------------
+# Coarse client estimate from probe hit count (README.md:273-279): a key hit
+# in h of F filters when each client updates u of them suggests roughly how
+# many distinct clients looked it up.
+# ---------------------------------------------------------------------------
+
+
+def estimate_clients_from_hits(hits: int, num_filters: int, filters_per_user: int) -> float:
+    if hits <= 0:
+        return 0.0
+    if hits >= num_filters:
+        return float("inf")
+    # P(a specific filter untouched by c clients) = (1 - u/F)^c; expected
+    # touched = F(1-(1-u/F)^c); invert for c.
+    frac = hits / num_filters
+    base = 1.0 - filters_per_user / num_filters
+    if base <= 0:
+        return 1.0
+    return math.log(1.0 - frac) / math.log(base)

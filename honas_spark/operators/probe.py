@@ -1,0 +1,95 @@
+"""Search probe — the batch membership-query path.
+
+Reproduces honas-search's probe loop (src/bin/honas_search.c:373-421 +
+src/honas_state.c:456-474): every queried SHA-256 is checked against every
+filter of every sketch row (with the per-filter hash transform); the result
+per (sketch row, key) is a hit count and a per-filter hit bitmask.
+
+Scale shape: the query set is tiny (a search job), the sketch table is the
+big side -> the queries are precomputed on the driver (offsets per filter
+index, derived ONCE per key — not per sketch row) and shipped inside the
+mapInPandas closure (a broadcast).  No join, no shuffle: one pass over the
+sketch table."""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from .. import kernels as K
+from ..spec import SketchSpec
+from ..state import SketchState
+
+
+def probe_sketches(
+    sketch_df: DataFrame,
+    spec: SketchSpec,
+    queries: Sequence[tuple],
+    group_cols: Sequence[str],
+) -> DataFrame:
+    """queries: iterable of (group_id:int, key:str, sha:bytes 32B).
+
+    Returns one row per (sketch row x query):
+      group_cols..., group_id int, key string, hits int, filters_hit long,
+      plus the sketch row's diagnostics needed by result shaping
+      (n_rows, est_clients, est_items, total_bits_set).
+    """
+    group_cols = list(group_cols)
+    qlist = list(queries)
+    gids = np.array([q[0] for q in qlist], dtype=np.int64)
+    keys = [q[1] for q in qlist]
+    shas = [q[2] for q in qlist]
+
+    # derive offsets once per (filter_index, key) on the driver
+    limbs = K.hashes_to_limbs(shas, spec.hash_len)
+    per_filter_offsets = [
+        K.bloom_offsets(K.transform_limbs(limbs, fi), spec.m_bits, spec.k)
+        for fi in range(spec.num_filters)
+    ]
+
+    from .sketch_agg import _group_fields_ddl
+
+    group_ddl = _group_fields_ddl(sketch_df, group_cols)
+    out_schema = (
+        f"{group_ddl}, group_id long, key string, hits long,"
+        " filters_hit long, n_rows long, est_clients long, est_items long,"
+        " total_bits_set long"
+    )
+
+    def probe(batches):
+        for pdf in batches:
+            rows: dict[str, list] = {c: [] for c in group_cols}
+            rows.update(
+                group_id=[], key=[], hits=[], filters_hit=[], n_rows=[],
+                est_clients=[], est_items=[], total_bits_set=[],
+            )
+            for _, row in pdf.iterrows():
+                st = SketchState.from_fields(spec, row)
+                nq = len(qlist)
+                hits = np.zeros(nq, dtype=np.int64)
+                mask = np.zeros(nq, dtype=np.int64)
+                for fi in range(spec.num_filters):
+                    hit = K.bloom_probe(
+                        st.filters[fi], per_filter_offsets[fi]
+                    )
+                    hits += hit
+                    mask |= hit.astype(np.int64) << fi
+                stats = st.stats()
+                for c in group_cols:
+                    rows[c].extend([row[c]] * nq)
+                rows["group_id"].extend(gids.tolist())
+                rows["key"].extend(keys)
+                rows["hits"].extend(hits.tolist())
+                rows["filters_hit"].extend(mask.tolist())
+                rows["n_rows"].extend([stats["n_rows"]] * nq)
+                rows["est_clients"].extend([stats["est_clients"]] * nq)
+                rows["est_items"].extend([stats["est_items"]] * nq)
+                rows["total_bits_set"].extend(
+                    [stats["total_bits_set"]] * nq
+                )
+            yield pd.DataFrame(rows)
+
+    return sketch_df.mapInPandas(probe, schema=out_schema)

@@ -1,0 +1,240 @@
+"""Distributed sketch aggregation — the engine's core operator.
+
+Re-expresses honas's single-process streaming aggregation
+(src/bin/honas_gather.c event loop -> honas_state_register_host_name_lookup)
+as a two-phase Spark aggregation designed for 100 TB inputs:
+
+  Phase 1 (map-side combine, NO shuffle of raw keys):
+      df.mapInPandas(build_partials) — each input partition folds all its
+      rows into one partial SketchState per (window, group) it sees, and
+      emits only those partial rows.  Shuffle volume drops from O(keys) to
+      O(partitions x groups x sketch_bytes).  This also makes key-skew a
+      non-issue: a hot repo's keys never travel, only its OR-able partials.
+      (This is the explicit two-phase partial aggregation the survey calls
+      for — pandas GROUPED_AGG UDAFs cannot spill or tree-merge partials.)
+
+  Phase 2 (tree merge):
+      .groupBy(group_cols).applyInPandas(merge_partials) — reduces the few
+      partial rows per group with the CRDT algebra (bitwise OR / register
+      max / counter add; reference merge src/honas_state.c:568-611).
+      Associativity (property-tested) makes the merge order irrelevant.
+
+An optional `salt_partitions` pre-repartition spreads *input* rows evenly
+before phase 1 when the source partitioning itself is pathological (e.g.
+one parquet file holding one giant repo) — correctness is unaffected
+because the algebra is idempotent/commutative.
+
+Window rotation (honas gather.c:899-920, 1302-1351) is expressed as
+epoch-aligned tumbling windows: `F.window(ts, spec.window)` — identical
+alignment arithmetic (end = begin - begin % period + period).
+Hour->day rollups (scripts/honas_daily_state_combine.py:30-86) become a
+re-aggregation of the sketch table itself via `rollup_sketches`.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from .. import kernels as K
+from ..spec import SketchSpec
+from ..state import SketchState
+
+SKETCH_VALUE_FIELDS = (
+    "filters binary, hll_clients binary, hll_items binary, cms binary,"
+    " kll binary, n_rows long, first_ts timestamp, last_ts timestamp"
+)
+
+STATS_FIELDS = (
+    "total_bits_set long, est_items long, est_clients long,"
+    " est_items_per_filter long, fill_rate double, actual_fpr double"
+)
+
+
+def _group_fields_ddl(df: DataFrame, group_cols: Sequence[str]) -> str:
+    schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    return ", ".join(f"{c} {schema[c]}" for c in group_cols)
+
+
+def with_window(df: DataFrame, ts_col: str, period: str,
+                out_col: str = "window_start") -> DataFrame:
+    """Epoch-aligned tumbling window start column (W1)."""
+    return df.withColumn(out_col, F.window(F.col(ts_col), period)["start"])
+
+
+def sha256_key(df: DataFrame, key_col: str,
+               out_col: str = "key_sha") -> DataFrame:
+    """JVM-side SHA-256 digest of the key (P4, honas_state.c:304) —
+    computed inside whole-stage codegen, never in Python."""
+    return df.withColumn(out_col, F.unhex(F.sha2(F.col(key_col), 256)))
+
+
+def build_sketches(
+    df: DataFrame,
+    spec: SketchSpec,
+    group_cols: Sequence[str],
+    key_sha_col: str = "key_sha",
+    client_col: Optional[str] = None,
+    ts_col: Optional[str] = None,
+    value_col: Optional[str] = None,
+    salt_partitions: Optional[int] = None,
+) -> DataFrame:
+    """Aggregate keyed rows into one sketch row per group.
+
+    df must contain group_cols, a 32-byte binary `key_sha_col`, and
+    optionally a client column (string; murmur-hashed per unique value),
+    an event-time column and a numeric column for the KLL sibling.
+    """
+    group_cols = list(group_cols)
+    group_ddl = _group_fields_ddl(df, group_cols)
+    out_schema = f"{group_ddl}, {SKETCH_VALUE_FIELDS}"
+
+    cols = group_cols + [key_sha_col]
+    if client_col:
+        cols.append(client_col)
+    if ts_col:
+        cols.append(ts_col)
+    if value_col:
+        cols.append(value_col)
+    slim = df.select(*cols)
+    if salt_partitions:
+        # spread pathological input partitioning; idempotent algebra makes
+        # any row placement correct
+        slim = slim.repartition(salt_partitions)
+
+    def build_partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        states: dict[tuple, SketchState] = {}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            for gkey, sub in pdf.groupby(group_cols, sort=False, dropna=False):
+                if not isinstance(gkey, tuple):
+                    gkey = (gkey,)
+                st = states.get(gkey)
+                if st is None:
+                    st = states[gkey] = SketchState(spec)
+                ch = (
+                    K.murmur64a_series(sub[client_col])
+                    if client_col
+                    else None
+                )
+                st.update(
+                    sub[key_sha_col],
+                    client_hashes=ch,
+                    ts=sub[ts_col] if ts_col else None,
+                    values=(
+                        sub[value_col].to_numpy(dtype=np.float64)
+                        if value_col
+                        else None
+                    ),
+                )
+        yield _states_to_pdf(states, group_cols)
+
+    partials = slim.mapInPandas(build_partials, schema=out_schema)
+
+    def merge_partials(pdf: pd.DataFrame) -> pd.DataFrame:
+        merged: Optional[SketchState] = None
+        for _, row in pdf.iterrows():
+            st = SketchState.from_fields(spec, row)
+            merged = st if merged is None else merged.merge(st)
+        gvals = {c: [pdf[c].iloc[0]] for c in group_cols}
+        return _states_row_pdf(gvals, merged)
+
+    return partials.groupBy(*group_cols).applyInPandas(
+        merge_partials, schema=out_schema
+    )
+
+
+def rollup_sketches(
+    sketch_df: DataFrame,
+    spec: SketchSpec,
+    window_col: str,
+    rollup_period: str,
+    group_cols: Sequence[str],
+) -> DataFrame:
+    """W2: re-aggregate an hourly sketch table into coarser windows (e.g.
+    '1 day').  Exact by merge associativity — no recomputation from raw
+    data, which is the point of the mergeable-state algebra."""
+    group_cols = list(group_cols)
+    df = sketch_df.withColumn(
+        window_col, F.window(F.col(window_col), rollup_period)["start"]
+    )
+    group_ddl = _group_fields_ddl(df, [window_col] + group_cols)
+    out_schema = f"{group_ddl}, {SKETCH_VALUE_FIELDS}"
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        merged = None
+        for _, row in pdf.iterrows():
+            st = SketchState.from_fields(spec, row)
+            merged = st if merged is None else merged.merge(st)
+        gvals = {c: [pdf[c].iloc[0]] for c in [window_col] + group_cols}
+        return _states_row_pdf(gvals, merged)
+
+    return df.groupBy(window_col, *group_cols).applyInPandas(
+        merge_group, schema=out_schema
+    )
+
+
+def finalize_stats(
+    sketch_df: DataFrame, spec: SketchSpec, group_cols: Sequence[str]
+) -> DataFrame:
+    """Attach diagnostic stats (D2/D5: fill rate, actual FPR fill^k,
+    HLL estimates, Bloom approx-count) to every sketch row."""
+    group_cols = list(group_cols)
+    group_ddl = _group_fields_ddl(sketch_df, group_cols)
+    out_schema = (
+        f"{group_ddl}, n_rows long, first_ts timestamp, last_ts timestamp,"
+        f" {STATS_FIELDS}"
+    )
+
+    def add_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                st = SketchState.from_fields(spec, row)
+                s = st.stats()
+                out = {c: row[c] for c in group_cols}
+                out.update(
+                    n_rows=s["n_rows"],
+                    first_ts=row["first_ts"],
+                    last_ts=row["last_ts"],
+                    total_bits_set=s["total_bits_set"],
+                    est_items=s["est_items"],
+                    est_clients=s["est_clients"],
+                    est_items_per_filter=int(
+                        np.mean(s["est_items_per_filter"])
+                    ),
+                    fill_rate=float(np.mean(s["fill_rate"])),
+                    actual_fpr=float(np.mean(s["actual_fpr"])),
+                )
+                rows.append(out)
+            yield pd.DataFrame(rows) if rows else pd.DataFrame(
+                columns=[f.split()[0] for f in out_schema.split(",")]
+            )
+
+    return sketch_df.mapInPandas(add_stats, schema=out_schema)
+
+
+def _states_to_pdf(states: dict, group_cols: list) -> pd.DataFrame:
+    cols: dict[str, list] = {c: [] for c in group_cols}
+    vals: dict[str, list] = {
+        f.split()[0].strip(): [] for f in SKETCH_VALUE_FIELDS.split(",")
+    }
+    for gkey, st in states.items():
+        for c, v in zip(group_cols, gkey):
+            cols[c].append(v)
+        for k2, v in st.to_fields().items():
+            vals[k2].append(v)
+    cols.update(vals)
+    return pd.DataFrame(cols)
+
+
+def _states_row_pdf(gvals: dict, state: SketchState) -> pd.DataFrame:
+    out = dict(gvals)
+    for k2, v in state.to_fields().items():
+        out[k2] = [v]
+    return pd.DataFrame(out)
