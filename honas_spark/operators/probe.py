@@ -90,6 +90,7 @@ def probe_sketches(
                 rows["total_bits_set"].extend(
                     [stats["total_bits_set"]] * nq
                 )
-            yield pd.DataFrame(rows)
+            if rows["key"]:
+                yield pd.DataFrame(rows)
 
     return sketch_df.mapInPandas(probe, schema=out_schema)

@@ -132,7 +132,8 @@ def build_sketches(
                         else None
                     ),
                 )
-        yield _states_to_pdf(states, group_cols)
+        if states:  # empty partitions yield nothing (Arrow needs typed cols)
+            yield _states_to_pdf(states, group_cols)
 
     partials = slim.mapInPandas(build_partials, schema=out_schema)
 
@@ -212,9 +213,8 @@ def finalize_stats(
                     actual_fpr=float(np.mean(s["actual_fpr"])),
                 )
                 rows.append(out)
-            yield pd.DataFrame(rows) if rows else pd.DataFrame(
-                columns=[f.split()[0] for f in out_schema.split(",")]
-            )
+            if rows:
+                yield pd.DataFrame(rows)
 
     return sketch_df.mapInPandas(add_stats, schema=out_schema)
 

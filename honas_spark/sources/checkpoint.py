@@ -94,12 +94,13 @@ def commit_window(
 def input_fingerprint(df: DataFrame, sha_col: str = "content_sha256") -> str:
     """Order-insensitive fingerprint of the input slice: count + xor-fold
     of xxhash64 over the per-row sha column (the content-sha256 ingest
-    guard doubles as the lineage anchor)."""
+    guard doubles as the lineage anchor).  XOR never overflows (ANSI-safe)
+    and ignores row order."""
     row = df.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.xxhash64(F.col(sha_col))).alias("s"),
+        F.expr(f"bit_xor(xxhash64({sha_col}))").alias("x"),
     ).collect()[0]
-    return f"n={row['n']},sum={row['s']}"
+    return f"n={row['n']},xor={row['x']}"
 
 
 def build_resumable(

@@ -1,0 +1,84 @@
+"""Error-bound tests (north rule): empirical Bloom FPR within the published
+(1-e^{-kn/m})^k bound; HLL/CMS/KLL within their published envelopes vs
+exact counts on the same slice."""
+
+import math
+
+import numpy as np
+import pandas as pd
+
+from honas_spark import kernels as K
+from honas_spark.spec import SketchSpec
+from honas_spark.state import SketchState
+
+
+def test_empirical_fpr_within_bound():
+    # deliberately tight filter: n=20k keys into m=2^18 bits, k=4
+    spec = SketchSpec(m_bits=1 << 18, k=4, cms_width=1024, kll_k=64)
+    rng = np.random.default_rng(42)
+    n, nq = 20_000, 50_000
+    members = [rng.bytes(32) for _ in range(n)]
+    state = SketchState(spec)
+    state.update(pd.Series(members))
+
+    non_members = [rng.bytes(32) for _ in range(nq)]
+    hits, _ = state.probe(non_members)
+    observed = hits.sum() / nq
+
+    bound = K.fpr_theory(spec.k, n, spec.m_bits)
+    sigma = math.sqrt(bound * (1 - bound) / nq)
+    assert observed <= bound + 3 * sigma, (observed, bound)
+    # and the filter is actually exercised (non-trivial fill)
+    assert state.stats()["fill_rate"][0] > 0.1
+
+
+def test_actual_fpr_formula_tracks_observed():
+    """D2: fill^k (the per-filter diagnostic) must upper-bound observations
+    to within noise at equilibrium."""
+    spec = SketchSpec(m_bits=1 << 16, k=3, cms_width=1024, kll_k=64)
+    rng = np.random.default_rng(7)
+    state = SketchState(spec)
+    state.update(pd.Series([rng.bytes(32) for _ in range(8000)]))
+    s = state.stats()
+    fpr_diag = s["actual_fpr"][0]
+    hits, _ = state.probe([rng.bytes(32) for _ in range(40_000)])
+    observed = hits.sum() / 40_000
+    assert observed <= fpr_diag * 1.3 + 3e-4
+    assert fpr_diag <= 1.0
+
+
+def test_bloom_approx_count_envelope():
+    # tests/bloom.c:288-298 asserts ±10% on the items-from-bits estimate
+    spec = SketchSpec(m_bits=1 << 18, k=4, cms_width=1024, kll_k=64)
+    rng = np.random.default_rng(3)
+    n = 15_000
+    state = SketchState(spec)
+    state.update(pd.Series([rng.bytes(32) for _ in range(n)]))
+    est = state.stats()["est_items_per_filter"][0]
+    assert abs(est - n) / n < 0.10
+
+
+def test_hll_vs_exact_on_slice():
+    spec = SketchSpec(m_bits=1 << 16, k=3, cms_width=1024, kll_k=64)
+    rng = np.random.default_rng(11)
+    vals = rng.integers(0, 30_000, size=80_000)
+    keys = [f"key-{v}".encode() for v in vals]
+    import hashlib
+
+    shas = pd.Series([hashlib.sha256(k).digest() for k in keys])
+    state = SketchState(spec)
+    state.update(shas)
+    exact = len(set(vals.tolist()))
+    est = state.stats()["est_items"]
+    assert abs(est - exact) / exact < 0.05  # sigma ~0.81% at P=14
+
+
+def test_client_estimate_monotone():
+    """D5: more distinct clients -> more filters touched -> higher
+    coarse client estimate."""
+    spec = SketchSpec(
+        m_bits=1 << 14, k=3, num_filters=8, filters_per_user=2,
+        cms_width=256, kll_k=64,
+    )
+    assert K.estimate_clients_from_hits(2, 8, 2) <= K.estimate_clients_from_hits(6, 8, 2)
+    assert K.estimate_clients_from_hits(0, 8, 2) == 0.0

@@ -1,0 +1,169 @@
+"""Pipeline-level Spark tests: ingest guard, checkpoint resume, prefix
+join, text functions, corpus determinism."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from honas_spark.spec import SketchSpec
+from honas_spark.functions import text as T
+from honas_spark.operators import build_sketches, sha256_key, with_window
+from honas_spark.operators.prefix_join import longest_prefix_join
+from honas_spark.sources.corpus import generate_corpus
+from honas_spark.sources import checkpoint as CP
+
+SPEC = SketchSpec(m_bits=1 << 16, k=5, window="1 hour",
+                  cms_width=1024, kll_k=64)
+
+
+def test_ingest_guard_sha256_equality(spark):
+    """Per-row invariant (input_hint): content sha256 computed at the end
+    of the ingest path equals the generation-time column — content
+    survives every transformation un-mutated."""
+    corpus = generate_corpus(spark, 3000, n_hours=4)
+    staged = with_window(corpus, "commit_ts", SPEC.window)
+    staged = staged.repartition(8, "repo")  # force a shuffle in between
+    bad = staged.filter(
+        F.sha2(F.col("content"), 256) != F.col("content_sha256")
+    ).count()
+    assert bad == 0
+    assert staged.count() == 3000
+
+
+def test_corpus_deterministic(spark):
+    a = generate_corpus(spark, 500).orderBy("row_id").collect()
+    b = generate_corpus(spark, 500).orderBy("row_id").collect()
+    assert a == b
+    # duplicate contents exist (dup_fraction) and skew exists
+    df = generate_corpus(spark, 1000)
+    n_distinct = df.select("content").distinct().count()
+    assert n_distinct < 1000
+    hot = df.filter(F.col("repo") == "org0/repo0").count()
+    assert hot >= 250
+
+
+def test_key_array_semantics(spark):
+    df = spark.createDataFrame(
+        [("SRC/Alpha/Bravo.PY/", "py", False), ("one", "c", False),
+         ("a/b/c", "go", True)],
+        "path string, lang string, ptr boolean",
+    )
+    rows = df.select(
+        T.key_array(F.col("path"), F.col("lang"), "/", F.col("ptr")).alias("k")
+    ).collect()
+    # canonicalized: lowercase, trailing sep stripped; labels except last;
+    # SLD analog; entity variants
+    assert set(rows[0]["k"]) == {
+        "src/alpha/bravo.py", "src", "alpha", "alpha/bravo.py",
+        "py@src/alpha/bravo.py", "py@src", "py@alpha",
+    }
+    # single label: no labels, no SLD
+    assert set(rows[1]["k"]) == {"one", "c@one"}
+    # PTR mode: full name + entity variant only
+    assert set(rows[2]["k"]) == {"a/b/c", "go@a/b/c"}
+
+
+def test_longest_prefix_join(spark):
+    """Port of the subnet-activity LPM expectations
+    (tests/subnet_activity.c:53-122): longest registered prefix wins;
+    unmatched stays null."""
+    fact = spark.createDataFrame(
+        [(0, "org0/repo1/x"), (1, "org0/zzz"), (2, "org9/nothing"),
+         (3, "org0/repo1")],
+        "row_id long, key string",
+    )
+    dim = spark.createDataFrame(
+        [("org0/", "OrgZero"), ("org0/repo1", "TeamOne")],
+        "prefix string, entity string",
+    )
+    out = {
+        r["row_id"]: r["matched_entity"]
+        for r in longest_prefix_join(fact, dim, "key").collect()
+    }
+    assert out == {0: "TeamOne", 1: "OrgZero", 2: None, 3: "TeamOne"}
+
+
+def test_quality_features_and_fingerprint(spark):
+    df = spark.createDataFrame(
+        [(1, "The quick  brown fox. The fox!"), (2, "the QUICK brown fox. the fox!  ")],
+        "id long, text string",
+    )
+    q = T.quality_features(df, "text").collect()
+    r = {row["id"]: row for row in q}
+    assert r[1]["n_tokens"] == 6
+    assert r[1]["n_stopwords"] == 2  # 'the' twice (case-sensitive lower later)
+    assert r[1]["n_punct"] == 2
+    # fingerprint: whitespace/case-insensitive duplicate detection
+    fp = df.select("id", T.fingerprint(F.col("text")).alias("fp")).collect()
+    fps = {row["id"]: row["fp"] for row in fp}
+    assert fps[1] == fps[2]
+
+
+def test_checkpoint_resume(spark, tmp_path):
+    root = str(tmp_path / "ckpt")
+    corpus = generate_corpus(spark, 1200, n_hours=3)
+    keyed = sha256_key(
+        with_window(corpus, "commit_ts", SPEC.window), "path"
+    )
+
+    calls = []
+
+    def build_fn(wdf):
+        calls.append(1)
+        return build_sketches(
+            wdf, SPEC, group_cols=["window_start"], client_col="repo",
+            ts_col="commit_ts",
+        )
+
+    t1 = CP.build_resumable(
+        spark, keyed, SPEC, root, "window_start", [], build_fn, run_id="r1"
+    )
+    assert t1.count() == 3
+    assert len(calls) == 3
+    # resume: nothing rebuilt
+    t2 = CP.build_resumable(
+        spark, keyed, SPEC, root, "window_start", [], build_fn, run_id="r2"
+    )
+    assert t2.count() == 3
+    assert len(calls) == 3, "resume must skip committed windows"
+    # drop one window's manifest -> only that one rebuilds
+    victim = sorted(
+        d for d in os.listdir(root) if d.startswith("window=")
+    )[0]
+    os.remove(os.path.join(root, victim, "manifest.json"))
+    t3 = CP.build_resumable(
+        spark, keyed, SPEC, root, "window_start", [], build_fn, run_id="r3"
+    )
+    assert t3.count() == 3
+    assert len(calls) == 4
+    # spec round-trips through the manifest
+    assert CP.read_spec(root) == SPEC
+
+
+def test_flatten_semantics(spark):
+    """D1: sketches whose client estimate is below the threshold clamp
+    hit counts to 0/1."""
+    from honas_spark.search import make_search_job, run_search
+
+    spec = SketchSpec(
+        m_bits=1 << 16, k=5, num_filters=4, filters_per_user=4,
+        flatten_threshold=50, cms_width=1024, kll_k=64,
+    )
+    df = spark.createDataFrame(
+        [("r1", "solo/key/x", "2024-01-01 00:05:00")],
+        "repo string, path string, ts_s string",
+    ).withColumn("commit_ts", F.to_timestamp("ts_s"))
+    keyed = sha256_key(
+        with_window(df, "commit_ts", spec.window), "path"
+    )
+    sk = build_sketches(
+        keyed, spec, group_cols=["window_start"], client_col="repo",
+        ts_col="commit_ts",
+    )
+    job = make_search_job({1: ["solo/key/x"]})
+    key_df, _ = run_search(sk, spec, job, ["window_start"])
+    rows = key_df.collect()
+    assert len(rows) == 1
+    assert rows[0]["flattened"] is True
+    assert rows[0]["hits"] == 1  # clamped from u=4

@@ -1,0 +1,132 @@
+"""Property tests (hypothesis): the merge algebra.
+
+North-rule requirement: EXACT bitset equality under any merge ordering —
+associativity, commutativity, idempotence — plus insert-order invariance.
+(Reference merge: src/honas_state.c:568-611.)"""
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+
+from honas_spark import kernels as K
+from honas_spark.spec import SketchSpec
+from honas_spark.state import SketchState
+
+SPEC = SketchSpec(
+    m_bits=1 << 13, k=3, num_filters=4, filters_per_user=2,
+    cms_depth=2, cms_width=256, kll_k=64,
+)
+
+keys_strategy = st.lists(
+    st.binary(min_size=32, max_size=32), min_size=0, max_size=40
+)
+clients_strategy = st.lists(
+    st.integers(min_value=0, max_value=2**63 - 1), min_size=1, max_size=5
+)
+
+
+def _build(keys, clients):
+    st_ = SketchState(SPEC)
+    if keys:
+        ch = np.array(
+            [clients[i % len(clients)] for i in range(len(keys))],
+            dtype=np.uint64,
+        )
+        st_.update(pd.Series(keys), client_hashes=ch)
+    return st_
+
+
+def _exact_eq(a: SketchState, b: SketchState) -> bool:
+    return (
+        np.array_equal(a.filters, b.filters)
+        and np.array_equal(a.hll_clients, b.hll_clients)
+        and np.array_equal(a.hll_items, b.hll_items)
+        and np.array_equal(a.cms, b.cms)
+        and a.n_rows == b.n_rows
+    )
+
+
+@settings(max_examples=25, deadline=None)
+@given(keys_strategy, keys_strategy, keys_strategy, clients_strategy)
+def test_merge_associative_commutative(k1, k2, k3, clients):
+    a, b, c = _build(k1, clients), _build(k2, clients), _build(k3, clients)
+    left = a.merge(b).merge(c)
+    right = a.merge(b.merge(c))
+    swapped = c.merge(a.merge(b))
+    assert _exact_eq(left, right)
+    assert _exact_eq(left, swapped)
+
+
+@settings(max_examples=25, deadline=None)
+@given(keys_strategy, clients_strategy)
+def test_merge_idempotent_bitsets(keys, clients):
+    a = _build(keys, clients)
+    twice = a.merge(a)
+    # bitsets and registers are idempotent under self-merge
+    assert np.array_equal(twice.filters, a.filters)
+    assert np.array_equal(twice.hll_items, a.hll_items)
+    assert np.array_equal(twice.hll_clients, a.hll_clients)
+    # the additive components double, by design
+    assert twice.n_rows == 2 * a.n_rows
+    assert np.array_equal(twice.cms, 2 * a.cms)
+
+
+@settings(max_examples=25, deadline=None)
+@given(keys_strategy, clients_strategy, st.randoms())
+def test_insert_order_invariance(keys, clients, rnd):
+    a = _build(keys, clients)
+    pairs = [(k, clients[i % len(clients)]) for i, k in enumerate(keys)]
+    rnd.shuffle(pairs)
+    b = SketchState(SPEC)
+    if pairs:
+        b.update(
+            pd.Series([p[0] for p in pairs]),
+            client_hashes=np.array([p[1] for p in pairs], dtype=np.uint64),
+        )
+    assert np.array_equal(a.filters, b.filters)
+    assert np.array_equal(a.hll_items, b.hll_items)
+    assert np.array_equal(a.cms.sum(), b.cms.sum())
+
+
+@settings(max_examples=25, deadline=None)
+@given(keys_strategy, clients_strategy)
+def test_split_anywhere_equals_whole(keys, clients):
+    """Partition the batch at any point; merge of parts == single build.
+    This is exactly what makes the map-side-combine plan correct."""
+    whole = _build(keys, clients)
+    cut = len(keys) // 2
+    pairs = [(k, clients[i % len(clients)]) for i, k in enumerate(keys)]
+    left, right = pairs[:cut], pairs[cut:]
+
+    def build_pairs(pp):
+        s = SketchState(SPEC)
+        if pp:
+            s.update(
+                pd.Series([p[0] for p in pp]),
+                client_hashes=np.array([p[1] for p in pp], dtype=np.uint64),
+            )
+        return s
+
+    merged = build_pairs(left).merge(build_pairs(right))
+    assert _exact_eq(whole, merged)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.binary(min_size=32, max_size=32), min_size=1, max_size=30))
+def test_probe_finds_all_members(keys):
+    s = SketchState(SPEC)
+    s.update(pd.Series(keys))
+    hits, mask = s.probe(keys)
+    # single client (hash 0) -> u filters updated; members hit >= u
+    assert (hits >= SPEC.filters_per_user).all()
+
+
+def test_merge_rejects_spec_mismatch():
+    import pytest
+
+    a = SketchState(SPEC)
+    b = SketchState(SketchSpec(m_bits=1 << 14, k=3, num_filters=4,
+                               filters_per_user=2, cms_depth=2,
+                               cms_width=256, kll_k=64))
+    with pytest.raises(ValueError):
+        a.merge(b)

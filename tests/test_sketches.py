@@ -1,0 +1,121 @@
+"""HLL / CMS / KLL accuracy + merge semantics (pure kernels, no Spark).
+
+Ports the reference's HLL expectations (tests/hyperloglog.c:38-156): exact
+small counts, ±10% accuracy to 250k, merge(A, A∪{x}) counts +1."""
+
+import numpy as np
+
+from honas_spark import kernels as K
+
+
+def _hashes(n, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 1 << 63, size=n, dtype=np.int64).astype(np.uint64)
+
+
+def test_hll_exact_small_counts():
+    for n in (0, 1, 2, 10):
+        regs = K.hll_zero()
+        K.hll_add(regs, _hashes(n))
+        assert K.hll_count(regs) == n  # LinearCounting exact this small
+    regs = K.hll_zero()
+    K.hll_add(regs, _hashes(95))
+    # 95 values can collide in the 14 index bits: LinearCounting ±3
+    assert abs(K.hll_count(regs) - 95) <= 3
+
+
+def test_hll_accuracy_sweep():
+    # tests/hyperloglog.c:136-156 asserts ±10% up to 250k
+    for n in (1000, 5000, 50_000, 250_000):
+        regs = K.hll_zero()
+        K.hll_add(regs, _hashes(n, seed=n))
+        est = K.hll_count(regs)
+        assert abs(est - n) / n < 0.10, (n, est)
+
+
+def test_hll_idempotent_adds():
+    h = _hashes(1000, seed=9)
+    a = K.hll_zero()
+    K.hll_add(a, h)
+    b = a.copy()
+    K.hll_add(b, h)  # re-adding the same values changes nothing
+    assert np.array_equal(a, b)
+
+
+def test_hll_merge_union_plus_one():
+    # tests/hyperloglog.c:101-134: count(merge(A, A∪{x})) == count(A)+1
+    h = _hashes(500, seed=4)
+    a = K.hll_zero()
+    K.hll_add(a, h)
+    b = a.copy()
+    K.hll_add(b, _hashes(1, seed=12345))
+    merged = K.hll_merge(a, b)
+    assert K.hll_count(merged) == K.hll_count(a) + 1
+    assert np.array_equal(K.hll_merge(a, b), K.hll_merge(b, a))
+
+
+def test_cms_bounds():
+    # est >= true always; est <= true + eps*N with eps = e/width
+    rng = np.random.default_rng(2)
+    keys = rng.integers(0, 200, size=20_000).astype(np.uint64)  # skewed keys
+    counts = K.cms_zero(4, 2048)
+    K.cms_add(counts, keys)
+    uniq, true = np.unique(keys, return_counts=True)
+    est = K.cms_query(counts, uniq)
+    assert (est >= true).all()
+    eps = np.e / 2048
+    assert (est <= true + eps * keys.size).all()
+
+
+def test_cms_merge_is_add():
+    k1, k2 = _hashes(5000, 1), _hashes(5000, 2)
+    a = K.cms_zero(4, 1024)
+    b = K.cms_zero(4, 1024)
+    K.cms_add(a, k1)
+    K.cms_add(b, k2)
+    both = K.cms_zero(4, 1024)
+    K.cms_add(both, np.concatenate([k1, k2]))
+    assert np.array_equal(K.cms_merge(a, b), both)
+
+
+def test_kll_rank_error():
+    rng = np.random.default_rng(5)
+    data = rng.normal(size=100_000)
+    sk = K.KLL(200)
+    for chunk in np.array_split(data, 20):
+        sk.add(chunk)
+    srt = np.sort(data)
+    for q in (0.01, 0.25, 0.5, 0.75, 0.99):
+        est = sk.quantile(q)
+        true_rank = np.searchsorted(srt, est) / data.size
+        assert abs(true_rank - q) < 0.025, (q, est, true_rank)
+
+
+def test_kll_merge_preserves_bounds():
+    rng = np.random.default_rng(6)
+    data = rng.uniform(0, 100, size=60_000)
+    parts = np.array_split(data, 6)
+    sks = []
+    for p in parts:
+        s = K.KLL(200)
+        s.add(p)
+        sks.append(s)
+    merged = sks[0]
+    for s in sks[1:]:
+        merged = merged.merge(s)
+    assert merged.n == data.size
+    srt = np.sort(data)
+    for q in (0.1, 0.5, 0.9):
+        est = merged.quantile(q)
+        true_rank = np.searchsorted(srt, est) / data.size
+        assert abs(true_rank - q) < 0.03
+
+
+def test_kll_serialization_roundtrip():
+    s = K.KLL(128)
+    s.add(np.arange(10_000, dtype=np.float64))
+    blob = s.to_bytes()
+    back = K.KLL.from_bytes(blob)
+    assert back.n == s.n
+    assert back.quantile(0.5) == s.quantile(0.5)
+    assert back.to_bytes() == blob
