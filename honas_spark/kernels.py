@@ -217,12 +217,13 @@ def bloom_build(filt: np.ndarray, offsets: np.ndarray) -> None:
     if bits.size == 0:
         return
     m_bits = filt.size * 8
-    if bits.size > 4096:
-        # histogram + packbits: O(m) but fully vectorized — wins for big
-        # batches (the map-side-combine path feeds millions of keys here)
+    if bits.size * 32 > m_bits:
+        # dense batch: histogram + packbits, O(m) fully vectorized
         hist = np.bincount(bits, minlength=m_bits) > 0
         np.bitwise_or(filt, np.packbits(hist, bitorder="little"), out=filt)
     else:
+        # sparse batch: unbuffered scatter-OR, O(bits) — avoids an O(m)
+        # allocation per call when batches are small relative to m
         np.bitwise_or.at(filt, bits >> 3, (1 << (bits & 7)).astype(np.uint8))
 
 

@@ -1,0 +1,239 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All hot paths are Spark built-ins (JVM, whole-stage codegen): shingling via
+split/transform, MinHash via min(xxhash64(shingle, seed_i)) aggregates,
+SimHash via bit-arithmetic aggregates.  No Python UDFs anywhere here.
+
+Scale notes (100 TB):
+  * exact dedup — hash-groupBy on a 16-byte fingerprint: shuffle carries
+    (fingerprint, id) only, never content.
+  * n-gram Jaccard — inverted-index self-join; `max_shingle_freq` drops
+    stop-shingles (document-frequency cap) to keep the join from going
+    quadratic on common n-grams — the standard prefix-filtering move.
+  * MinHash LSH — signatures are fixed-size (num_hashes longs) per doc;
+    banding turns all-pairs into equality buckets, so candidate generation
+    is one groupBy on (band, band_hash).  Only candidates get verified.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..functions.text import fingerprint, tokens
+
+
+def shingles(col, n: int = 3):
+    """Distinct word n-gram shingles of a text column (built-ins only)."""
+    toks = tokens(col)
+    return F.array_distinct(
+        F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.array_join(
+                    F.slice(toks, i + 1, n), " "
+                ),
+            ),
+        ).otherwise(F.array(F.array_join(toks, " ")))
+    )
+
+
+def exact_duplicates(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Exact (normalized) duplicate groups: fingerprint -> count + rep.
+    Output: (fp, n_dups, rep_id) for groups with >= 2 members."""
+    return (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min(id_col).alias("rep_id"),
+        )
+        .filter(F.col("n_dups") >= 2)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    min_num: int = 4,
+    min_den: int = 5,
+    max_shingle_freq: int | None = 1000,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-duplicate pairs with
+    jaccard >= min_num/min_den, in pure integer arithmetic (no float
+    thresholds): |A∩B| * min_den >= |A∪B| * min_num.
+
+    Output: (id_a, id_b, inter, uni)."""
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(shingles(F.col(text_col), n)).alias("sh"),
+    )
+    if max_shingle_freq is not None:
+        # document-frequency cap: stop-shingles explode the self-join
+        sh = (
+            sh.withColumn(
+                "_df", F.count(F.lit(1)).over(Window.partitionBy("sh"))
+            )
+            .filter(F.col("_df") <= max_shingle_freq)
+            .drop("_df")
+        )
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh"))
+               & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("_id").alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("_id").alias("id_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "id_a").join(sb, "id_b")
+        .withColumn("uni", F.col("na") + F.col("nb") - F.col("inter"))
+        .filter(F.col("inter") * min_den >= F.col("uni") * min_num)
+        .select("id_a", "id_b", "inter", "uni")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    n: int = 3,
+) -> DataFrame:
+    """(id, sig array<long>): sig_i = min over shingles of
+    xxhash64(shingle, i) — one shuffle, JVM-side aggregates."""
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(shingles(F.col(text_col), n)).alias("sh"),
+    )
+    aggs = [
+        F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = sh.groupBy("_id").agg(*aggs)
+    return sig.select(
+        F.col("_id").alias(id_col),
+        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"),
+    )
+
+
+def minhash_lsh_candidates(
+    sig_df: DataFrame,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Banded LSH: docs agreeing on all rows of any band become a
+    candidate pair.  Output: (id_a, id_b, n_bands_matched)."""
+    rows_per_band = num_hashes // bands
+    banded = sig_df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.array_join(
+                        F.transform(
+                            F.slice(
+                                F.col("sig"),
+                                b * rows_per_band + 1,
+                                rows_per_band,
+                            ),
+                            lambda x: x.cast("string"),
+                        ),
+                        ",",
+                    )
+                ),
+            )
+        ).alias("band", "bh"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_bands_matched"))
+    )
+
+
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash per document: per bit, sum +-1 over token hashes,
+    take the sign.  Pure bit-arithmetic aggregates (no UDF).
+    Output: (id, simhash long)."""
+    tok = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(tokens(F.col(text_col))).alias("t"),
+    ).withColumn("h", F.xxhash64("t"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1,
+                   F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    agg = tok.groupBy("_id").agg(*aggs)
+    terms = []
+    for b in range(bits):
+        val = (1 << b) if b < 63 else -(1 << 63)  # two's-complement top bit
+        terms.append(
+            F.when(F.col(f"b{b}") > 0, F.lit(val).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    sim = reduce(lambda x, y: x + y, terms)
+    return agg.select(F.col("_id").alias(id_col), sim.alias("simhash"))
+
+
+def simhash_near_pairs(
+    sim_df: DataFrame, id_col: str, max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Candidate pairs by 16-bit band equality (any pair within hamming
+    distance <= bands-1 shares a band), verified with bit_count.
+    Output: (id_a, id_b, hamming)."""
+    width = 64 // bands
+    banded = sim_df.select(
+        F.col(id_col).alias("_id"),
+        F.col("simhash"),
+        F.posexplode(
+            F.array(*[
+                F.shiftrightunsigned(F.col("simhash"), i * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                for i in range(bands)
+            ])
+        ).alias("band", "bh"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

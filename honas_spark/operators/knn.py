@@ -1,0 +1,192 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+  * brute-force cosine top-k — exact baseline.  The dot product runs
+    JVM-side via zip_with/aggregate (whole-stage codegen); the query side
+    is broadcast so the big side never shuffles.
+  * IVF (inverted-file) top-k — the 100 TB path: vectors are bucketed to
+    their nearest of C centroids once (vectorized numpy inside a pandas
+    UDF — one Arrow pass), queries probe only the closest `nprobe`
+    buckets, so the per-query work drops from O(N) to O(N * nprobe / C).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.types import IntegerType
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_sim(a, b):
+    """Cosine similarity of two array<float/double> columns — built-ins
+    only (zip_with + aggregate), runs inside codegen."""
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    return _dot(ad, bd) / (_norm(ad) * _norm(bd))
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the (small) query set against the
+    vector table; rank with a per-query window.  Ties break on neighbor
+    id for determinism.  Output: (query_id, neighbor_id, rank)."""
+    joined = vectors.crossJoin(F.broadcast(queries)).withColumn(
+        "sim", cosine_sim(F.col(vec_col), F.col(query_vec_col))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("sim"), F.col(id_col)
+    )
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col(query_id_col),
+            F.col(id_col).alias("neighbor_id"),
+            F.col("rank"),
+            F.col("sim"),
+        )
+    )
+
+
+def _assign_udf(centroids: np.ndarray):
+    """Vectorized nearest-centroid assignment (one matmul per Arrow
+    batch); centroids are L2-normalized driver-side and broadcast in the
+    closure."""
+    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+
+    @F.pandas_udf(IntegerType())
+    def assign(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy())
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(m @ cn.T, axis=1).astype(np.int32))
+
+    return assign
+
+
+def ivf_index(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    sample_stride: Optional[int] = None,
+) -> tuple[DataFrame, np.ndarray]:
+    """Bucket every vector to its nearest centroid.  Centroids are a
+    deterministic stratified sample of the data (stride over ids) — a
+    single k-means iteration away from real IVF, which is a quality knob,
+    not a plumbing change.  Returns (bucketed df, centroids)."""
+    total = vectors.count()
+    stride = sample_stride or max(total // n_centroids, 1)
+    cents = (
+        vectors.filter((F.col(id_col) % stride) == 0)
+        .orderBy(id_col)
+        .limit(n_centroids)
+        .select(vec_col)
+        .collect()
+    )
+    centroids = np.array([r[0] for r in cents], dtype=np.float64)
+    bucketed = vectors.withColumn(
+        "bucket", _assign_udf(centroids)(F.col(vec_col))
+    )
+    return bucketed, centroids
+
+
+def ivf_topk(
+    bucketed: DataFrame,
+    centroids: np.ndarray,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    k: int = 5,
+    nprobe: int = 4,
+) -> DataFrame:
+    """ANN top-k probing only the nprobe nearest buckets per query.
+    Output: (query_id, neighbor_id, rank, sim)."""
+    spark = bucketed.sparkSession
+    qrows = queries.collect()
+    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    probe_rows = []
+    for r in qrows:
+        qv = np.asarray(r[query_vec_col], dtype=np.float64)
+        qv = qv / max(np.linalg.norm(qv), 1e-12)
+        order = np.argsort(-(cn @ qv))[:nprobe]
+        for b in order:
+            probe_rows.append((r[query_id_col], int(b), list(r[query_vec_col])))
+    probes = spark.createDataFrame(
+        probe_rows, f"{query_id_col} long, bucket int, {query_vec_col} array<double>"
+    )
+    joined = bucketed.join(F.broadcast(probes), "bucket").withColumn(
+        "sim", cosine_sim(F.col(vec_col), F.col(query_vec_col))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("sim"), F.col(id_col)
+    )
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col(query_id_col),
+            F.col(id_col).alias("neighbor_id"),
+            F.col("rank"),
+            F.col("sim"),
+        )
+    )
+
+
+def embedding_near_dup_pairs(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    min_sim: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: bucket by IVF centroid,
+    compare only within buckets (plus nothing across — recall/cost
+    trade-off documented), keep pairs with cosine >= min_sim."""
+    bucketed, _ = ivf_index(vectors, id_col, vec_col, n_centroids)
+    a = bucketed.select(
+        F.col("bucket"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+    )
+    b = bucketed.select(
+        F.col("bucket"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", cosine_sim(F.col("va"), F.col("vb")))
+        .filter(F.col("sim") >= min_sim)
+        .select("id_a", "id_b", "sim")
+    )

@@ -73,6 +73,39 @@ def sha256_key(df: DataFrame, key_col: str,
     return df.withColumn(out_col, F.unhex(F.sha2(F.col(key_col), 256)))
 
 
+def with_client_hash(
+    df: DataFrame,
+    client_col: str,
+    out_col: str = "client_hash",
+    max_distinct: int = 200_000,
+) -> DataFrame:
+    """MurmurHash64A of the client key as a JVM-side broadcast lookup.
+
+    The client hash (filter-subset selector + client-HLL input,
+    honas_state.c:261-283) must be MurmurHash64A for reference parity,
+    which the JVM doesn't have — but client keys (repos/IP blocks) repeat
+    massively, so we hash the DISTINCT values driver-side and broadcast
+    the LUT: the per-row work stays in codegen and the 8-byte hash rides
+    the shuffle instead of the client string.  Falls back to in-UDF
+    hashing (client_col passed through) past `max_distinct`."""
+    distinct = [r[0] for r in df.select(client_col).distinct().collect()]
+    if len(distinct) > max_distinct:
+        return df  # caller keeps client_col; UDF hashes per batch
+    rows = [
+        (
+            v,
+            # store as signed int64 (Spark has no unsigned long); the
+            # kernels reinterpret the bits as uint64
+            np.int64(np.uint64(K.murmur64a(str(v).encode("utf-8")))).item(),
+        )
+        for v in distinct
+    ]
+    lut = df.sparkSession.createDataFrame(
+        rows, f"{client_col} string, {out_col} long"
+    )
+    return df.join(F.broadcast(lut), client_col, "left")
+
+
 def build_sketches(
     df: DataFrame,
     spec: SketchSpec,
@@ -82,56 +115,116 @@ def build_sketches(
     ts_col: Optional[str] = None,
     value_col: Optional[str] = None,
     salt_partitions: Optional[int] = None,
+    mode: str = "map_combine",
+    salt: Optional[int] = None,
+    client_hash_col: Optional[str] = None,
 ) -> DataFrame:
     """Aggregate keyed rows into one sketch row per group.
 
     df must contain group_cols, a 32-byte binary `key_sha_col`, and
     optionally a client column (string; murmur-hashed per unique value),
     an event-time column and a numeric column for the KLL sibling.
+
+    mode picks the physical plan:
+      * "map_combine" (default) — partial sketch per (input partition,
+        group), tiny merge shuffle.  Right when groups are FEW relative
+        to input partitions (the honas shape: a handful of windows x
+        entities over billions of rows).  Partial volume is
+        O(partitions x groups x sketch_bytes), so it degrades when the
+        group count explodes.
+      * "shuffle_keys" — hash-repartition rows by group first, so each
+        group materializes exactly one partial.  Right when groups are
+        MANY and small (per-user/per-file sketches): shuffle carries only
+        (group, key_sha) pairs, and sketch bytes are written once per
+        group instead of once per (partition, group).
+
+    salt (only with "shuffle_keys"): split each group into `salt`
+    sub-partials keyed by hash(key_sha) so a hot group (one repo holding
+    30% of the corpus) fans out over `salt` tasks instead of serializing
+    on one.  Correct by construction — the merge algebra is commutative/
+    idempotent, so salted partials OR back to the exact same bitsets
+    (property-tested in tests/test_properties.py::test_split_anywhere).
     """
     group_cols = list(group_cols)
     group_ddl = _group_fields_ddl(df, group_cols)
     out_schema = f"{group_ddl}, {SKETCH_VALUE_FIELDS}"
 
+    # timestamp stats (P11: first/last request + request count) are plain
+    # min/max/count — they run as a JVM hash aggregate in codegen instead
+    # of shipping a timestamp per row through Arrow, and are stitched back
+    # onto the sketch rows with a broadcast join of G tiny rows
     cols = group_cols + [key_sha_col]
-    if client_col:
+    if client_hash_col:
+        cols.append(client_hash_col)
+    elif client_col:
         cols.append(client_col)
-    if ts_col:
-        cols.append(ts_col)
     if value_col:
         cols.append(value_col)
     slim = df.select(*cols)
-    if salt_partitions:
+    if mode == "shuffle_keys":
+        if salt:
+            slim = slim.withColumn(
+                "_salt", F.pmod(F.xxhash64(F.col(key_sha_col)), F.lit(salt))
+            ).repartition(*group_cols, "_salt").drop("_salt")
+        else:
+            slim = slim.repartition(*group_cols)
+    elif salt_partitions:
         # spread pathological input partitioning; idempotent algebra makes
         # any row placement correct
         slim = slim.repartition(salt_partitions)
 
+    flush_rows = 262_144  # per-group buffer cap: keeps numpy batches
+    # large (vectorization efficiency) while bounding buffered memory
+
     def build_partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # buffer rows per group across Arrow batches and update in large
+        # flushes: per-batch pandas slicing would shrink the numpy
+        # batches 1/|groups| and pay Python overhead |groups| times per
+        # batch, while unbounded buffering would hold a whole shuffle
+        # partition in memory.
         states: dict[tuple, SketchState] = {}
+        bufs: dict[tuple, list[pd.DataFrame]] = {}
+        sizes: dict[tuple, int] = {}
+
+        def flush(gkey: tuple) -> None:
+            subs = bufs.pop(gkey, None)
+            if not subs:
+                return
+            sizes[gkey] = 0
+            sub = subs[0] if len(subs) == 1 else pd.concat(subs)
+            st = states.get(gkey)
+            if st is None:
+                st = states[gkey] = SketchState(spec)
+            if client_hash_col:
+                ch = sub[client_hash_col].to_numpy(
+                    dtype=np.int64
+                ).view(np.uint64)
+            elif client_col:
+                ch = K.murmur64a_series(sub[client_col])
+            else:
+                ch = None
+            st.update(
+                sub[key_sha_col],
+                client_hashes=ch,
+                values=(
+                    sub[value_col].to_numpy(dtype=np.float64)
+                    if value_col
+                    else None
+                ),
+            )
+
         for pdf in batches:
             if pdf.empty:
                 continue
             for gkey, sub in pdf.groupby(group_cols, sort=False, dropna=False):
                 if not isinstance(gkey, tuple):
                     gkey = (gkey,)
-                st = states.get(gkey)
-                if st is None:
-                    st = states[gkey] = SketchState(spec)
-                ch = (
-                    K.murmur64a_series(sub[client_col])
-                    if client_col
-                    else None
-                )
-                st.update(
-                    sub[key_sha_col],
-                    client_hashes=ch,
-                    ts=sub[ts_col] if ts_col else None,
-                    values=(
-                        sub[value_col].to_numpy(dtype=np.float64)
-                        if value_col
-                        else None
-                    ),
-                )
+                bufs.setdefault(gkey, []).append(sub)
+                sizes[gkey] = sizes.get(gkey, 0) + len(sub)
+                if sizes[gkey] >= flush_rows:
+                    flush(gkey)
+        for gkey in list(bufs):
+            flush(gkey)
         if states:  # empty partitions yield nothing (Arrow needs typed cols)
             yield _states_to_pdf(states, group_cols)
 
@@ -145,9 +238,28 @@ def build_sketches(
         gvals = {c: [pdf[c].iloc[0]] for c in group_cols}
         return _states_row_pdf(gvals, merged)
 
-    return partials.groupBy(*group_cols).applyInPandas(
+    result = partials.groupBy(*group_cols).applyInPandas(
         merge_partials, schema=out_schema
     )
+    if ts_col:
+        stats = df.groupBy(*group_cols).agg(
+            F.min(ts_col).alias("_first_ts"),
+            F.max(ts_col).alias("_last_ts"),
+            F.count(F.lit(1)).alias("_n_rows"),
+        )
+        value_names = [
+            f.split()[0].strip() for f in SKETCH_VALUE_FIELDS.split(",")
+        ]
+        result = (
+            result.drop("first_ts", "last_ts", "n_rows")
+            .join(F.broadcast(stats), group_cols, "left")
+            .withColumnsRenamed(
+                {"_first_ts": "first_ts", "_last_ts": "last_ts",
+                 "_n_rows": "n_rows"}
+            )
+            .select(*group_cols, *value_names)
+        )
+    return result
 
 
 def rollup_sketches(

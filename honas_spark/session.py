@@ -46,8 +46,16 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "131072")
+        # smaller splits than the 128m default: local[32] needs >=32
+        # concurrent scan tasks on ~1 GB inputs to use every core
+        .config("spark.sql.files.maxPartitionBytes", "33554432")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        # shuffle spill to tmpfs: this box has one virtual disk shared by
+        # all cores, which serializes shuffle I/O; a real cluster has
+        # NVMe per executor.  RAM-backed local dirs remove the artifact.
+        .config("spark.local.dir", os.environ.get(
+            "SPARK_LOCAL_DIRS", "/dev/shm/spark-local"))
         .config("spark.ui.enabled", "false")
     )
     spark = b.getOrCreate()

@@ -1,0 +1,118 @@
+"""Local stand-in for the driver's correctness gate: run every
+queries() entry on Spark and its oracle_sql() on DuckDB at sf0.01,
+compare row count + column names + order-insensitive values.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+import duckdb
+
+
+def _norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.6g}"
+    if hasattr(v, "isoformat"):
+        return v.isoformat().replace("+00:00", "")
+    return str(v)
+
+
+def _canon(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    out = []
+    for r in rows:
+        vals = list(r)
+        out.append(tuple(_norm_cell(vals[i]) for i in order))
+    return sorted(out)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    sys.path.insert(0, ".")
+    import __spark_entry__ as E
+    from honas_spark.session import get_spark
+
+    spark = get_spark(app="oracle_check", cpus=8)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in [
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    ]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs = E.queries()
+    oracles = E.oracle_sql()
+    n_pass = n_fail = n_rows_only = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            df = fn(spark, sf_dir)
+            scols = df.columns
+            srows = df.collect()
+        except Exception as e:
+            print(f"FAIL {name}: spark error {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        dt = time.time() - t0
+        if name not in oracles:
+            print(f"ROWS {name}: {len(srows)} rows ({dt:.1f}s) [rows-only]")
+            n_rows_only += 1
+            if len(srows) == 0 and name not in ("dedup_exact_groups",):
+                print(f"  WARN {name}: rows-only query returned 0 rows")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error {e}")
+            n_fail += 1
+            continue
+        ok = True
+        if sorted(scols) != sorted(ocols):
+            print(f"FAIL {name}: columns {sorted(scols)} != {sorted(ocols)}")
+            ok = False
+        elif len(srows) != len(orows):
+            print(f"FAIL {name}: rowcount {len(srows)} != {len(orows)}")
+            ok = False
+        else:
+            sc = _canon([[r[c] for c in scols] for r in srows], scols)
+            oc = _canon(orows, ocols)
+            if sc != oc:
+                diffs = [
+                    (a, b) for a, b in zip(sc, oc) if a != b
+                ][:3]
+                print(f"FAIL {name}: value mismatch, first diffs: {diffs}")
+                ok = False
+        if ok:
+            print(f"PASS {name}: {len(srows)} rows ({dt:.1f}s)")
+            n_pass += 1
+        else:
+            n_fail += 1
+    print(
+        f"\n== {n_pass} pass / {n_fail} fail / {n_rows_only} rows-only =="
+    )
+    spark.stop()
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
