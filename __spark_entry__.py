@@ -505,6 +505,97 @@ def _q_search_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pareto_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 top-k/Pareto (scripts/pareto_analysis.py:29-37): rank tokens
+    by frequency and report each token's cumulative coverage of all
+    occurrences, for the head that covers 80%.  Integer arithmetic
+    (cum*100 vs total*80) keeps the oracle float-free."""
+    docs = _docs(spark, sf_dir)
+    counts = (
+        docs.select(F.explode(T.tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), "token")
+    total = counts.agg(F.sum("n")).collect()[0][0]
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .withColumn(
+            "cum_n",
+            F.sum("n").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .filter(
+            (F.col("cum_n") - F.col("n")) * 100 < F.lit(int(total)) * 80
+        )
+        .select("rank", "token", "n", "cum_n")
+        .orderBy("rank")
+    )
+
+
+def _q_bpe_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting with a BPE-style pre-tokenizer regex (character
+    classes only — identical RE2/Java semantics)."""
+    docs = _docs(spark, sf_dir)
+    pat = "[a-zA-Z0-9]+|[^a-zA-Z0-9 ]"
+    return docs.select(
+        "doc_id",
+        F.size(F.expr(f"regexp_extract_all(text, '{pat}', 0)")).alias(
+            "n_pieces"
+        ),
+    ).orderBy("doc_id")
+
+
+def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs among vec_id < 300 with
+    cosine >= 0.3 — exact all-pairs (the IVF-bucketed scale variant is
+    exercised in tests with recall assertions)."""
+    emb = _emb(spark, sf_dir).filter(F.col("vec_id") < 300)
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
+    )
+    from honas_spark.operators.knn import cosine_sim
+
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", cosine_sim(F.col("va"), F.col("vb")))
+        .filter(F.col("sim") >= 0.3)
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _q_sizing_advice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3: dry-run sizing advice from per-lang HLL uniques estimates
+    (rows-only: derives from the HLL estimate)."""
+    from honas_spark.info import sizing_advice
+
+    docs = _docs(spark, sf_dir)
+    keyed = sha256_key(docs.select("lang", "text"), "text")
+    sk = build_sketches(keyed, _MEMBER_SPEC, group_cols=["lang"])
+    stats = finalize_stats(sk, _MEMBER_SPEC, ["lang"]).collect()
+    rows = []
+    for r in stats:
+        for adv in sizing_advice(r["est_items"]):
+            rows.append(
+                (
+                    r["lang"],
+                    float(adv["target_fpr"]),
+                    adv["n_uniques"],
+                    adv["m_bits"],
+                    adv["k"],
+                )
+            )
+    return spark.createDataFrame(
+        sorted(rows),
+        "lang string, target_fpr double, n_uniques long, m_bits long, k long",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bloom_membership": _q_bloom_membership,
@@ -533,6 +624,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers": _q_top_customers,
         "daily_rollup_counters": _q_daily_rollup_counters,
         "search_e2e": _q_search_e2e,
+        "pareto_coverage": _q_pareto_coverage,
+        "bpe_pieces": _q_bpe_pieces,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "sizing_advice": _q_sizing_advice,
     }
 
 
@@ -728,6 +823,41 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_custkey, c_name
             ORDER BY revenue DESC, c_custkey
             LIMIT 10
+        """,
+        "pareto_coverage": """
+            WITH counts AS (
+                SELECT t.token, count(*) AS n
+                FROM documents,
+                     unnest(string_split(text, ' ')) AS t(token)
+                WHERE t.token <> ''
+                GROUP BY t.token
+            ),
+            ranked AS (
+                SELECT token, n,
+                       row_number() OVER (ORDER BY n DESC, token) AS rank,
+                       sum(n) OVER (ORDER BY n DESC, token
+                                    ROWS UNBOUNDED PRECEDING) AS cum_n,
+                       sum(n) OVER () AS total
+                FROM counts
+            )
+            SELECT rank, token, n, cum_n
+            FROM ranked
+            WHERE (cum_n - n) * 100 < total * 80
+            ORDER BY rank
+        """,
+        "bpe_pieces": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '[a-zA-Z0-9]+|[^a-zA-Z0-9 ]')) AS n_pieces
+            FROM documents ORDER BY doc_id
+        """,
+        "embedding_near_dup": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE a.vec_id < 300 AND b.vec_id < 300
+              AND list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]) >= 0.3
+            ORDER BY id_a, id_b
         """,
         "daily_rollup_counters": """
             SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,

@@ -24,9 +24,30 @@ def longest_prefix_join(
     entity_col: str = "entity",
     row_id_col: str = "row_id",
     out_col: str = "matched_entity",
+    max_case_entries: int = 5000,
 ) -> DataFrame:
     """fact[key_col] matched against dim[(prefix, entity)]; longest prefix
-    wins; unmatched rows keep null.  `dim` must be small (broadcast)."""
+    wins; unmatched rows keep null.  `dim` must be small (broadcast).
+
+    Fast path: when the dim fits in `max_case_entries` it is folded into
+    a single substring-equality CASE chain (longest prefix first) — a
+    pure projection, ZERO shuffle of the fact table, fully codegen'd.
+    The reference's per-length hash probes (subnet_activity.c:441-507)
+    are exactly this shape.  Larger dims fall back to explode +
+    broadcast join + max_by, which shuffles only (row_id, entity)."""
+    n_dim = dim.count()
+    if n_dim <= max_case_entries:
+        entries = sorted(
+            [(r[prefix_col], r[entity_col]) for r in dim.collect()],
+            key=lambda x: -len(x[0]),
+        )
+        expr = F.lit(None).cast("string")
+        for prefix, entity in reversed(entries):
+            expr = F.when(
+                F.substring(F.col(key_col), 1, len(prefix)) == prefix,
+                F.lit(entity),
+            ).otherwise(expr)
+        return fact.withColumn(out_col, expr)
     lengths = sorted(
         {r[0] for r in dim.select(F.length(prefix_col)).distinct().collect()}
     )

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import math
 from typing import Sequence
 
 from pyspark.sql import DataFrame, functions as F
@@ -92,6 +93,19 @@ def run_search(
         )
     )
 
+    # D5: coarse per-key client estimate from the hit count (a key seen
+    # by more distinct clients lands in more of the F filters;
+    # README.md:273-279) — invert E[touched] = F(1-(1-u/F)^c)
+    F_, u_ = spec.num_filters, spec.filters_per_user
+    base = 1.0 - u_ / F_
+    est_clients_for_hits = F.when(F.col("hits") <= 0, F.lit(0.0)).otherwise(
+        F.when(F.col("hits") >= F_, F.lit(float("inf"))).otherwise(
+            F.log(1.0 - F.col("hits") / F_) / math.log(base)
+            if base > 0
+            else F.lit(1.0)
+        )
+    )
+
     key_df = (
         probed.filter(F.col("hits") >= F.lit(spec.filters_per_user))
         .select(
@@ -101,6 +115,7 @@ def run_search(
             F.col("hits_out").alias("hits"),
             "filters_hit",
             "flattened",
+            F.round(est_clients_for_hits, 2).alias("est_key_clients"),
             "n_rows",
             "est_clients",
             "est_items",

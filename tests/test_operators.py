@@ -1,0 +1,213 @@
+"""Tests for the training-data-pipeline operators: dedup family, knn,
+multimodal plumbing, and the streaming builder's batch parity."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from honas_spark.operators.dedup import (
+    exact_duplicates,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_pairs,
+    shingles,
+)
+from honas_spark.operators.knn import (
+    brute_force_topk,
+    ivf_index,
+    ivf_topk,
+    cosine_sim,
+)
+from honas_spark.functions.multimodal import (
+    extract_image_features,
+    sample_frames,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),   # near-dup of 0
+        (2, "THE  quick brown fox jumps over the lazy dog"),  # exact (norm) dup of 0
+        (3, "completely different words entirely here now"),
+        (4, "the quick brown fox jumps over the lazy dog"),   # exact dup of 0
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(spark, docs):
+    groups = exact_duplicates(docs, "doc_id", "text").collect()
+    assert len(groups) == 1
+    assert groups[0]["n_dups"] == 3  # 0, 2 (normalized), 4
+    assert groups[0]["rep_id"] == 0
+
+
+def test_ngram_jaccard(spark, docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): (r["inter"], r["uni"])
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=3, min_num=1, min_den=2,
+            max_shingle_freq=None,
+        ).collect()
+    }
+    # identical docs: jaccard 1 on 3-gram shingles
+    assert (0, 4) in pairs and pairs[(0, 4)][0] == pairs[(0, 4)][1]
+    # near-dup (one word differs at the end): high but < 1
+    assert (0, 1) in pairs
+    inter, uni = pairs[(0, 1)]
+    assert inter < uni
+    # unrelated doc never pairs
+    assert not any(3 in p for p in pairs)
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    sig = minhash_signatures(docs, "doc_id", "text", num_hashes=32, n=2)
+    sigs = {r["doc_id"]: r["sig"] for r in sig.collect()}
+    assert sigs[0] == sigs[4]  # identical shingle sets -> identical sigs
+    cands = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(
+            sig, "doc_id", num_hashes=32, bands=8
+        ).collect()
+    }
+    assert (0, 4) in cands
+    assert (0, 1) in cands  # near-dup caught by some band
+    assert (0, 3) not in cands and (1, 3) not in cands
+
+
+def test_simhash_hamming(spark, docs):
+    sim = simhash(docs, "doc_id", "text")
+    vals = {r["doc_id"]: r["simhash"] for r in sim.collect()}
+    assert vals[0] == vals[4]
+    ham01 = bin((vals[0] ^ vals[1]) & ((1 << 64) - 1)).count("1")
+    ham03 = bin((vals[0] ^ vals[3]) & ((1 << 64) - 1)).count("1")
+    assert ham01 < ham03  # near-dup closer than unrelated
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_pairs(sim, "doc_id", max_hamming=16).collect()
+    }
+    assert pairs.get((0, 4)) == 0
+
+
+def test_shingles_short_doc(spark):
+    df = spark.createDataFrame([(1, "one two")], "id long, text string")
+    out = df.select(shingles(F.col("text"), 3).alias("s")).collect()
+    assert out[0]["s"] == ["one two"]  # shorter than n -> whole doc
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(42)
+    base = rng.normal(size=(40, 8))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(40)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_brute_force_topk_matches_numpy(spark, vectors):
+    rng = np.random.default_rng(42)
+    base = rng.normal(size=(40, 8))
+    queries = spark.createDataFrame(
+        [(100, [float(x) for x in base[0]])],
+        "query_id long, query_vec array<double>",
+    )
+    got = [
+        r["neighbor_id"]
+        for r in brute_force_topk(vectors, queries, k=3)
+        .orderBy("rank").collect()
+    ]
+    norms = base / np.linalg.norm(base, axis=1, keepdims=True)
+    sims = norms @ norms[0]
+    expected = np.argsort(-sims)[:3].tolist()
+    assert got == expected
+    assert got[0] == 0  # self is its own nearest
+
+
+def test_ivf_recall_vs_bruteforce(spark, vectors):
+    rng = np.random.default_rng(1)
+    qv = [float(x) for x in rng.normal(size=8)]
+    queries = spark.createDataFrame(
+        [(7, qv)], "query_id long, query_vec array<double>"
+    )
+    exact = {
+        r["neighbor_id"]
+        for r in brute_force_topk(vectors, queries, k=5).collect()
+    }
+    bucketed, cents = ivf_index(vectors, n_centroids=4)
+    ann = {
+        r["neighbor_id"]
+        for r in ivf_topk(bucketed, cents, queries, k=5, nprobe=3).collect()
+    }
+    # probing 3/4 buckets: recall >= 3/5 guaranteed-ish on this tiny set
+    assert len(exact & ann) >= 3
+
+
+def test_cosine_sim_expression(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [0.0, 1.0]), ([1.0, 1.0], [1.0, 1.0])],
+        "a array<double>, b array<double>",
+    )
+    out = [r[0] for r in df.select(cosine_sim(F.col("a"), F.col("b"))).collect()]
+    assert abs(out[0] - 0.0) < 1e-12
+    assert abs(out[1] - 1.0) < 1e-12
+
+
+def test_multimodal_plumbing(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"fake-image-bytes-" * 10)), (2, bytearray(b""))],
+        "doc_id long, payload binary",
+    )
+    feats = extract_image_features(df, "payload", "doc_id").collect()
+    byid = {r["doc_id"]: r for r in feats}
+    assert len(byid[1]["features"]) == 8
+    assert abs(sum(byid[1]["features"]) - 1.0) < 1e-9
+    assert byid[1]["width"] > 0 and byid[1]["channels"] == 3
+    assert byid[2]["doc_id"] == 2  # empty payload doesn't crash
+
+    frames = sample_frames(df, "payload", "doc_id", n_frames=4).collect()
+    f1 = [r for r in frames if r["doc_id"] == 1]
+    assert [r["frame_idx"] for r in f1] == [0, 1, 2, 3]
+    assert all(len(r["frame_bytes"]) > 0 for r in f1)
+
+
+def test_streaming_matches_batch(spark, tmp_path):
+    """The foreachBatch streaming builder must converge to the same
+    sketch table as one batch build (merge-algebra idempotence)."""
+    from honas_spark.spec import SketchSpec
+    from honas_spark.operators import build_sketches, sha256_key, with_window
+    from honas_spark.sources.corpus import generate_corpus
+    from honas_spark.streaming.stream import StreamingSketchBuilder
+
+    spec = SketchSpec(m_bits=1 << 14, k=5, window="1 hour",
+                      cms_width=256, kll_k=64)
+    src_dir = str(tmp_path / "landing")
+    corpus = generate_corpus(spark, 800, n_hours=2)
+    keyed = sha256_key(
+        with_window(corpus, "commit_ts", spec.window), "path"
+    ).select("window_start", "key_sha", "repo", "commit_ts")
+    keyed.write.mode("overwrite").parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema(keyed.schema).parquet(src_dir)
+    )
+    builder = StreamingSketchBuilder(
+        spec, str(tmp_path / "store"), group_cols=[],
+        client_col="repo", ts_col="commit_ts",
+    )
+    q = builder.start(stream, checkpoint_dir=str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    got = builder.read_store(spark)
+    batch = build_sketches(
+        keyed, spec, group_cols=["window_start"], client_col="repo",
+        ts_col="commit_ts",
+    )
+    g = {str(r["window_start"]): r for r in got.collect()}
+    b = {str(r["window_start"]): r for r in batch.collect()}
+    assert g.keys() == b.keys()
+    for k in b:
+        assert g[k]["filters"] == b[k]["filters"]
+        assert g[k]["hll_items"] == b[k]["hll_items"]
+        assert g[k]["n_rows"] == b[k]["n_rows"]
