@@ -1,0 +1,226 @@
+"""Command-line interface — the honas binaries re-expressed.
+
+    python -m honas_spark gather  --input DIR --output CKPT [--config F]
+    python -m honas_spark search  --state CKPT|FILE.hs --job JOB.json
+    python -m honas_spark info    --state CKPT|FILE.hs [--plotmode CSV]
+    python -m honas_spark combine --output OUT.hs IN1.hs IN2.hs ...
+    python -m honas_spark export-hs --state CKPT --output DIR
+
+gather  = honas-gather (src/bin/honas_gather.c): ingest the corpus table,
+          build windowed sketches, checkpoint resumably.
+search  = honas-search (src/bin/honas_search.c): run a JSON search job
+          against a sketch table or a .hs file, print the result JSON.
+info    = honas-info (src/bin/honas_info.c): header/diagnostic dump,
+          optional CSV (--plotmode).
+combine = honas-combine (src/bin/honas_combine.c): left-fold merge of
+          .hs state files (order-irrelevant by associativity).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _spark():
+    from .session import get_spark
+
+    spark = get_spark(app="honas_spark_cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def _load_spec(args):
+    from .spec import SketchSpec
+    from .sources.config import load_gather_config
+
+    if args.config:
+        spec = load_gather_config(args.config)
+        if args.window:
+            from dataclasses import replace
+
+            spec = replace(spec, window=args.window)
+        return spec
+    return SketchSpec(
+        m_bits=args.m_bits, k=args.k, num_filters=args.filters,
+        filters_per_user=args.filters_per_user,
+        window=args.window or "1 hour",
+    )
+
+
+def cmd_gather(args) -> int:
+    from .functions.text import explode_keys
+    from .operators import build_sketches, sha256_key, with_window
+    from .sources import checkpoint as CP
+
+    spec = _load_spec(args)
+    spark = _spark()
+    df = spark.read.parquet(args.input)
+    keyed = explode_keys(
+        df, args.name_col, entity_col=args.entity_col or None, sep=args.sep
+    )
+    keyed = sha256_key(keyed, "key")
+    keyed = with_window(keyed, args.ts_col, spec.window)
+    group_cols = [c for c in [args.entity_col] if c]
+
+    def build_fn(wdf):
+        return build_sketches(
+            wdf, spec, group_cols=["window_start"] + group_cols,
+            client_col=args.client_col or None, ts_col=args.ts_col,
+            mode=args.mode, salt=args.salt,
+        )
+
+    table = CP.build_resumable(
+        spark, keyed, spec, args.output, "window_start", group_cols,
+        build_fn, run_id=args.run_id,
+    )
+    print(f"gathered {table.count()} sketch rows -> {args.output}")
+    return 0
+
+
+def _load_sketch_table(args, spark):
+    from .sources import checkpoint as CP
+
+    if args.state.endswith(".hs"):
+        from .sources.hsfile import import_hs_state
+        from .operators.sketch_agg import _states_row_pdf
+
+        spec, st, h = import_hs_state(args.state)
+        pdf = _states_row_pdf({"window_start": [st.first_ts]}, st)
+        return spec, spark.createDataFrame(pdf), ["window_start"]
+    spec = CP.read_spec(args.state)
+    df = CP.read_checkpoint(spark, args.state)
+    group_cols = [
+        c for c in df.columns
+        if c in ("window_start", "entity", "lang", "org", "repo")
+    ]
+    return spec, df, group_cols
+
+
+def cmd_search(args) -> int:
+    from .search import run_search, search_result_json
+
+    spark = _spark()
+    spec, table, group_cols = _load_sketch_table(args, spark)
+    with open(args.job) as f:
+        job = json.load(f)
+    key_df, group_df = run_search(table, spec, job, group_cols)
+    out = search_result_json(key_df, group_df, group_cols)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(out)
+    else:
+        print(out)
+    return 0
+
+
+def cmd_info(args) -> int:
+    from .info import info_rows, write_plotmode_csv
+
+    spark = _spark()
+    spec, table, group_cols = _load_sketch_table(args, spark)
+    if args.plotmode:
+        write_plotmode_csv(table, spec, group_cols, args.plotmode)
+        print(f"wrote {args.plotmode}")
+    else:
+        info_rows(table, spec, group_cols).show(100, truncate=False)
+    return 0
+
+
+def cmd_combine(args) -> int:
+    from .sources.hsfile import export_hs_state, import_hs_state
+
+    spec, merged, h0 = import_hs_state(args.inputs[0])
+    for path in args.inputs[1:]:
+        spec_i, st, _ = import_hs_state(path)
+        merged = merged.merge(st)
+    export_hs_state(
+        merged, args.output, h0["period_begin"], h0["period_end"]
+    )
+    print(f"combined {len(args.inputs)} states -> {args.output}")
+    return 0
+
+
+def cmd_export_hs(args) -> int:
+    from .sources import checkpoint as CP
+    from .sources.hsfile import export_hs_state
+    from .state import SketchState
+    import os
+
+    spark = _spark()
+    spec = CP.read_spec(args.state)
+    df = CP.read_checkpoint(spark, args.state)
+    os.makedirs(args.output, exist_ok=True)
+    value_fields = {
+        "filters", "hll_clients", "hll_items", "cms", "kll",
+        "n_rows", "first_ts", "last_ts",
+    }
+    group_cols = [c for c in df.columns if c not in value_fields]
+    n = 0
+    for row in df.collect():
+        st = SketchState.from_fields(spec, row.asDict())
+        ws = row["window_start"] if "window_start" in df.columns else None
+        name = "_".join(
+            str(row[c]).replace(" ", "T").replace(":", "-").replace("/", "-")
+            for c in group_cols
+        ) or f"state{n}"
+        export_hs_state(
+            st, os.path.join(args.output, f"{name}.hs"),
+            int(ws.timestamp()) if ws else 0, 0,
+        )
+        n += 1
+    print(f"exported {n} .hs states -> {args.output}")
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="honas_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("gather")
+    g.add_argument("--input", required=True)
+    g.add_argument("--output", required=True)
+    g.add_argument("--config")
+    g.add_argument("--window")
+    g.add_argument("--m-bits", type=int, default=1 << 20)
+    g.add_argument("--k", type=int, default=10)
+    g.add_argument("--filters", type=int, default=1)
+    g.add_argument("--filters-per-user", type=int, default=1)
+    g.add_argument("--name-col", default="path")
+    g.add_argument("--entity-col", default="")
+    g.add_argument("--client-col", default="")
+    g.add_argument("--ts-col", default="commit_ts")
+    g.add_argument("--sep", default="/")
+    g.add_argument("--mode", default="map_combine")
+    g.add_argument("--salt", type=int, default=None)
+    g.add_argument("--run-id", default="cli")
+    g.set_defaults(fn=cmd_gather)
+
+    s = sub.add_parser("search")
+    s.add_argument("--state", required=True)
+    s.add_argument("--job", required=True)
+    s.add_argument("--out")
+    s.set_defaults(fn=cmd_search)
+
+    i = sub.add_parser("info")
+    i.add_argument("--state", required=True)
+    i.add_argument("--plotmode")
+    i.set_defaults(fn=cmd_info)
+
+    c = sub.add_parser("combine")
+    c.add_argument("--output", required=True)
+    c.add_argument("inputs", nargs="+")
+    c.set_defaults(fn=cmd_combine)
+
+    e = sub.add_parser("export-hs")
+    e.add_argument("--state", required=True)
+    e.add_argument("--output", required=True)
+    e.set_defaults(fn=cmd_export_hs)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,6 @@
+from .inspect import (
+    assert_columns_pruned,
+    assert_max_shuffles,
+    formatted_plan,
+    plan_summary,
+)

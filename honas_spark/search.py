@@ -98,8 +98,10 @@ def run_search(
     # README.md:273-279) — invert E[touched] = F(1-(1-u/F)^c)
     F_, u_ = spec.num_filters, spec.filters_per_user
     base = 1.0 - u_ / F_
+    # hits == F means "all filters touched" — the inversion diverges, so
+    # emit null ("at least everyone", keeps the JSON standard-parseable)
     est_clients_for_hits = F.when(F.col("hits") <= 0, F.lit(0.0)).otherwise(
-        F.when(F.col("hits") >= F_, F.lit(float("inf"))).otherwise(
+        F.when(F.col("hits") >= F_, F.lit(None).cast("double")).otherwise(
             F.log(1.0 - F.col("hits") / F_) / math.log(base)
             if base > 0
             else F.lit(1.0)

@@ -1,0 +1,107 @@
+"""honas .hs state-file interop tests.
+
+`tests/data/reference_golden.hs` was produced by a harness COMPILED FROM
+THE REFERENCE SOURCES (honas_state.c + bloom.c + hyperloglog.c ... at
+/root/reference) that created a state with F=4, m=65536, k=3, u=2,
+registered three hostnames from client 10.0.0.1 at t=1700000100..102 and
+persisted it.  The reference binary's own probe results on that file:
+
+    www.example.com/example.com/www/api.test.org/deep.sub.domain.net/
+    sub -> hits=2;  never-inserted.example -> hits=0
+    est_clients=22 (Quirk Q6 aliasing), est_hostnames=13, n_req=3
+    filter_bits_set = [0, 39, 0, 39]
+
+The reference binary was also verified (during development) to load our
+EXPORTED file and produce identical output."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from honas_spark import kernels as K
+from honas_spark.spec import SketchSpec
+from honas_spark.state import SketchState
+from honas_spark.sources.hsfile import (
+    export_hs_state,
+    import_hs_state,
+    read_hs_header,
+)
+
+GOLDEN = "tests/data/reference_golden.hs"
+MEMBERS = [
+    "www.example.com", "example.com", "www", "api.test.org",
+    "deep.sub.domain.net", "sub",
+]
+NON_MEMBER = "never-inserted.example"
+
+
+def _sha(s: str) -> bytes:
+    return hashlib.sha256(s.encode()).digest()
+
+
+def test_import_reproduces_reference_probe_results():
+    spec, st, h = import_hs_state(GOLDEN)
+    assert spec.num_filters == 4 and spec.m_bits == 65536 and spec.k == 3
+    assert h["filter_bits_set"] == [0, 39, 0, 39]
+    assert [K.bloom_bits_set(f) for f in st.filters] == [0, 39, 0, 39]
+    hits, _ = st.probe([_sha(k) for k in MEMBERS + [NON_MEMBER]])
+    assert hits.tolist() == [2] * len(MEMBERS) + [0]
+    # header stats reproduce exactly — including the Quirk Q6 client
+    # estimate (22 from one client: the HLL aliases filter 3's tail)
+    assert K.hll_count(st.hll_clients) == h["estimated_number_of_clients"] == 22
+    assert K.hll_count(st.hll_items) == h["estimated_number_of_host_names"] == 13
+    assert st.n_rows == 3
+    assert int(st.first_ts.timestamp()) == 1700000100
+    assert int(st.last_ts.timestamp()) == 1700000102
+
+
+def test_engine_rebuild_is_bit_exact_vs_reference():
+    """Build the SAME state from scratch with our engine (same client,
+    same names, honas label semantics) — every filter bitset and the
+    hostname HLL must equal the reference-produced file bit for bit."""
+    spec, ref, _ = import_hs_state(GOLDEN)
+    client_hash = K.murmur64a(bytes([0x0A, 0, 0, 1]))  # 10.0.0.1 wire bytes
+
+    def honas_keys(name):
+        labels = name.split(".")
+        return list(dict.fromkeys(
+            [name] + labels[:-1] + [".".join(labels[-2:])]
+        ))
+
+    names = ["www.example.com", "api.test.org", "deep.sub.domain.net"]
+    keys = [k for n in names for k in honas_keys(n)]
+    mine = SketchState(spec)
+    mine.update(
+        pd.Series([_sha(k) for k in keys]),
+        client_hashes=np.full(len(keys), client_hash, dtype=np.uint64),
+    )
+    for i in range(spec.num_filters):
+        assert np.array_equal(mine.filters[i], ref.filters[i]), f"filter {i}"
+    assert np.array_equal(mine.hll_items, ref.hll_items)
+
+
+def test_export_roundtrip(tmp_path):
+    spec, st, h = import_hs_state(GOLDEN)
+    out = str(tmp_path / "exported.hs")
+    export_hs_state(st, out, h["period_begin"], h["period_end"])
+    spec2, st2, h2 = import_hs_state(out)
+    assert spec2 == spec
+    for a, b in zip(st.filters, st2.filters):
+        assert np.array_equal(a, b)
+    assert np.array_equal(st.hll_clients, st2.hll_clients)
+    assert np.array_equal(st.hll_items, st2.hll_items)
+    assert st2.n_rows == st.n_rows
+    assert h2["filter_bits_set"] == h["filter_bits_set"]
+    # layout fields the reference validates on load (honas_state.c:179-210)
+    assert h2["first_filter_offset"] == 4096
+    assert h2["client_hll_size"] == 12289
+
+
+def test_header_validation():
+    with open(GOLDEN, "rb") as f:
+        data = bytearray(f.read())
+    data[0] = 0x58  # corrupt magic
+    with pytest.raises(ValueError, match="magic"):
+        read_hs_header(bytes(data))

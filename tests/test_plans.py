@@ -1,0 +1,73 @@
+"""Plan-shape regression tests: pruning, pushdown, broadcast, shuffle
+counts — the properties that decide whether a query survives a 100x
+scale-up.  Uses the plans.inspect helpers so regressions fail loudly."""
+
+from pyspark.sql import functions as F
+
+from honas_spark.plans import (
+    assert_columns_pruned,
+    assert_max_shuffles,
+    plan_summary,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_textstats_prunes_and_single_pass(spark):
+    import __spark_entry__ as E
+
+    df = E.queries()["textstats"](spark, SF)
+    assert_columns_pruned(df, {"doc_id", "text"})
+    # project + sort only: no aggregation shuffle
+    assert_max_shuffles(df, 1)
+
+
+def test_pricing_summary_pushdown(spark):
+    import __spark_entry__ as E
+
+    df = E.queries()["pricing_summary"](spark, SF)
+    s = plan_summary(df)
+    assert any("l_shipdate" in f for f in s["pushed_filters"])
+    assert s["wholestage_codegen"]
+    assert_max_shuffles(df, 2)  # group-by + order-by
+
+
+def test_knn_broadcasts_queries(spark):
+    import __spark_entry__ as E
+
+    df = E.queries()["knn_bruteforce"](spark, SF)
+    s = plan_summary(df)
+    assert s["n_broadcasts"] >= 1, "query side must broadcast"
+    assert any("vec_id" in f for f in s["pushed_filters"])
+
+
+def test_prefix_join_case_path_has_no_join_shuffle(spark):
+    from honas_spark.operators.prefix_join import longest_prefix_join
+
+    fact = spark.range(100).withColumn(
+        "key", F.concat(F.lit("org"), (F.col("id") % 3).cast("string"))
+    ).withColumnRenamed("id", "row_id")
+    dim = spark.createDataFrame(
+        [("org0", "A"), ("org1", "B")], "prefix string, entity string"
+    )
+    out = longest_prefix_join(fact, dim, "key")
+    assert_max_shuffles(out, 0)  # CASE fast path: pure projection
+
+
+def test_sketch_build_shuffles_once(spark):
+    """shuffle_keys mode: exactly one exchange of slim key rows before
+    the partial build, one tiny exchange of partials; ts-stats agg adds
+    its own aggregate exchange + broadcast join back."""
+    from honas_spark.spec import SketchSpec
+    from honas_spark.operators import build_sketches, sha256_key
+
+    spec = SketchSpec(m_bits=1 << 14, k=5, cms_width=256, kll_k=64)
+    df = spark.range(1000).select(
+        F.lit(1).alias("g"),
+        F.concat(F.lit("k"), F.col("id").cast("string")).alias("key"),
+    )
+    sk = build_sketches(
+        sha256_key(df, "key"), spec, ["g"], mode="shuffle_keys"
+    )
+    s = plan_summary(sk)
+    assert s["n_exchanges"] <= 2, s
