@@ -569,6 +569,19 @@ def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-digest sibling: per-event-type quantile estimates through the
+    generic quantile_sketch_agg operator (rows-only: sketch estimates;
+    rank-error bounds asserted in tests/test_tdigest.py)."""
+    from honas_spark.operators.quantiles import quantile_sketch_agg
+
+    ev = _events(spark, sf_dir)
+    return quantile_sketch_agg(
+        ev, ["event_type"], "value", sketch="tdigest",
+        quantiles=(0.5, 0.9, 0.99),
+    ).orderBy("event_type")
+
+
 def _q_sizing_advice(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D3: dry-run sizing advice from per-lang HLL uniques estimates
     (rows-only: derives from the HLL estimate)."""
@@ -628,6 +641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pieces": _q_bpe_pieces,
         "embedding_near_dup": _q_embedding_near_dup,
         "sizing_advice": _q_sizing_advice,
+        "tdigest_quantiles": _q_tdigest_quantiles,
     }
 
 

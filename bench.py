@@ -377,11 +377,21 @@ number.  Evidence for the >=0.8 criterion: the engine-attributable
 scaling efficiency (relative to platform) meets it; the absolute
 single-box numbers are reported unvarnished above.
 
+Measurement noise: this box is a virtualized single socket; repeated
+runs vary +-30% with neighboring load (the ceiling itself moved between
+2.7M and 3.6M keys/s at 8 procs across runs).  Treat pairs, not single
+cells, and rerun `python bench.py --scaling` for fresh numbers.
+Also observed: at local[32] the 32 Python workers + 32 JVM task threads
+oversubscribe the 32 vCPUs under a bandwidth-bound kernel, so the
+mapInPandas kernel number can REGRESS vs local[8] while 32 independent
+processes still gain — an artifact a real multi-host cluster does not
+have (executors are provisioned, not oversubscribed).
+
 Reference anchor: honas sustains >30,000 hostname lookups/sec on one
 core (README.md:880-884).  Our probe path runs ~20k lookups/sec against
 4-filter sketches including Spark job overhead (see
 `probe_lookups_per_sec` in BENCH_r*.json) and the end-to-end build path
-sustains ~100k files/sec (~750k key-inserts/sec) at local[32].
+sustains ~80-100k files/sec (~600-750k key-inserts/sec) at local[8..32].
 """
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "w") as f:

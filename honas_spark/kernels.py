@@ -533,6 +533,106 @@ class KLL:
 
 
 # ---------------------------------------------------------------------------
+# t-digest (north-rule sibling; Dunning & Ertl 2019).  Centroid-based
+# quantile sketch with a k1 scale function: centroid sizes are bounded so
+# the tails stay precise.  Merge = concat centroids + recompress — the
+# same zero/update/merge/finalize protocol as the other sketches.
+# Deterministic: compression processes centroids in value order.
+# ---------------------------------------------------------------------------
+
+
+class TDigest:
+    __slots__ = ("delta", "means", "weights", "n")
+
+    def __init__(self, delta: int = 100):
+        self.delta = delta
+        self.means = np.empty(0, dtype=np.float64)
+        self.weights = np.empty(0, dtype=np.int64)
+        self.n = 0
+
+    def add(self, values: np.ndarray) -> None:
+        values = np.asarray(values, dtype=np.float64)
+        values = values[~np.isnan(values)]
+        if values.size == 0:
+            return
+        self.n += values.size
+        self.means = np.concatenate([self.means, values])
+        self.weights = np.concatenate(
+            [self.weights, np.ones(values.size, dtype=np.int64)]
+        )
+        if self.means.size > 8 * self.delta:
+            self._compress()
+
+    def _compress(self) -> None:
+        if self.means.size == 0:
+            return
+        order = np.argsort(self.means, kind="stable")
+        means, weights = self.means[order], self.weights[order]
+        total = weights.sum()
+        # k1 scale: q -> (delta/2pi) asin(2q-1); centroid may absorb the
+        # next point while k(q_right) - k(q_left) <= 1
+        out_m, out_w = [], []
+        cm, cw = means[0], int(weights[0])
+        acc = 0  # weight strictly left of current centroid
+        for i in range(1, means.size):
+            q0 = acc / total
+            q1 = (acc + cw + weights[i]) / total
+            k0 = math.asin(2 * q0 - 1)
+            k1 = math.asin(2 * min(q1, 1.0) - 1)
+            if (k1 - k0) * self.delta / (2 * math.pi) <= 1.0:
+                cm = (cm * cw + means[i] * weights[i]) / (cw + weights[i])
+                cw += int(weights[i])
+            else:
+                out_m.append(cm)
+                out_w.append(cw)
+                acc += cw
+                cm, cw = means[i], int(weights[i])
+        out_m.append(cm)
+        out_w.append(cw)
+        self.means = np.array(out_m, dtype=np.float64)
+        self.weights = np.array(out_w, dtype=np.int64)
+
+    def merge(self, other: "TDigest") -> "TDigest":
+        out = TDigest(self.delta)
+        out.n = self.n + other.n
+        out.means = np.concatenate([self.means, other.means])
+        out.weights = np.concatenate([self.weights, other.weights])
+        out._compress()
+        return out
+
+    def quantile(self, q: float) -> float:
+        if self.n == 0:
+            return float("nan")
+        self._compress()
+        cum = np.cumsum(self.weights) - self.weights / 2.0
+        target = q * self.weights.sum()
+        return float(np.interp(target, cum, self.means))
+
+    _MAGIC = 0x54444731  # "TDG1"
+
+    def to_bytes(self) -> bytes:
+        head = struct.pack(
+            "<IIQI", self._MAGIC, self.delta, self.n, self.means.size
+        )
+        return (
+            head
+            + self.means.astype("<f8").tobytes()
+            + self.weights.astype("<i8").tobytes()
+        )
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "TDigest":
+        magic, delta, n, size = struct.unpack_from("<IIQI", data, 0)
+        assert magic == cls._MAGIC, "corrupt TDigest payload"
+        obj = cls(delta)
+        obj.n = n
+        off = struct.calcsize("<IIQI")
+        obj.means = np.frombuffer(data, "<f8", size, off).copy()
+        obj.weights = np.frombuffer(data, "<i8", size, off + 8 * size).copy()
+        return obj
+
+
+# ---------------------------------------------------------------------------
 # Combination unranking (src/combinations.c:35-69): lexicographic enumeration
 # of u-subsets of {0..F-1}; a client's filter subset is table[client_hash %
 # C(F,u)] (honas_state.c:280-283).  F,u are tiny -> precompute the table.
