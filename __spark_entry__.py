@@ -337,10 +337,10 @@ def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidate pairs (shingle->minhash->band->bucket-join);
     deterministic but xxhash64-based -> rows-only oracle."""
     docs = _docs(spark, sf_dir)
-    sig = minhash_signatures(docs, "doc_id", "text", num_hashes=32, n=1)
-    return minhash_lsh_candidates(sig, "doc_id", num_hashes=32, bands=8).orderBy(
-        "id_a", "id_b"
-    )
+    sig = minhash_signatures(docs, "doc_id", "text", num_hashes=32, n=2)
+    return minhash_lsh_candidates(
+        sig, "doc_id", num_hashes=32, bands=8, max_bucket_size=100
+    ).orderBy("id_a", "id_b")
 
 
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

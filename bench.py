@@ -27,7 +27,7 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-CORPUS_ROWS = int(os.environ.get("BENCH_CORPUS_ROWS", "200000"))
+CORPUS_ROWS = int(os.environ.get("BENCH_CORPUS_ROWS", "500000"))
 # scaling evidence needs the job CPU-bound at both parallelism levels:
 # per-stage latency (~4 s) must be noise, so the corpus is larger here
 SCALING_ROWS = int(os.environ.get("BENCH_SCALING_ROWS", "1000000"))

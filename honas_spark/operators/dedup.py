@@ -131,9 +131,15 @@ def minhash_lsh_candidates(
     id_col: str,
     num_hashes: int = 64,
     bands: int = 16,
+    max_bucket_size: int | None = 200,
 ) -> DataFrame:
     """Banded LSH: docs agreeing on all rows of any band become a
-    candidate pair.  Output: (id_a, id_b, n_bands_matched)."""
+    candidate pair.  Output: (id_a, id_b, n_bands_matched).
+
+    max_bucket_size drops degenerate buckets before the self-join: a
+    band value shared by thousands of documents signals a near-universal
+    shingle pattern, not near-duplication, and would turn the join
+    quadratic — the standard LSH hot-bucket cap at corpus scale."""
     rows_per_band = num_hashes // bands
     banded = sig_df.select(
         F.col(id_col).alias("_id"),
@@ -156,6 +162,15 @@ def minhash_lsh_candidates(
             )
         ).alias("band", "bh"),
     )
+    if max_bucket_size is not None:
+        banded = (
+            banded.withColumn(
+                "_bsz",
+                F.count(F.lit(1)).over(Window.partitionBy("band", "bh")),
+            )
+            .filter(F.col("_bsz") <= max_bucket_size)
+            .drop("_bsz")
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     return (

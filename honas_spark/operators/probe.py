@@ -66,7 +66,7 @@ def probe_sketches(
                 group_id=[], key=[], hits=[], filters_hit=[], n_rows=[],
                 est_clients=[], est_items=[], total_bits_set=[],
             )
-            for _, row in pdf.iterrows():
+            for row in pdf.to_dict('records'):
                 st = SketchState.from_fields(spec, row)
                 nq = len(qlist)
                 hits = np.zeros(nq, dtype=np.int64)

@@ -232,7 +232,7 @@ def build_sketches(
 
     def merge_partials(pdf: pd.DataFrame) -> pd.DataFrame:
         merged: Optional[SketchState] = None
-        for _, row in pdf.iterrows():
+        for row in pdf.to_dict('records'):
             st = SketchState.from_fields(spec, row)
             merged = st if merged is None else merged.merge(st)
         gvals = {c: [pdf[c].iloc[0]] for c in group_cols}
@@ -281,7 +281,7 @@ def rollup_sketches(
 
     def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
         merged = None
-        for _, row in pdf.iterrows():
+        for row in pdf.to_dict('records'):
             st = SketchState.from_fields(spec, row)
             merged = st if merged is None else merged.merge(st)
         gvals = {c: [pdf[c].iloc[0]] for c in [window_col] + group_cols}
@@ -307,7 +307,7 @@ def finalize_stats(
     def add_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, row in pdf.iterrows():
+            for row in pdf.to_dict('records'):
                 st = SketchState.from_fields(spec, row)
                 s = st.stats()
                 out = {c: row[c] for c in group_cols}
