@@ -84,11 +84,17 @@ def entry(spark: SparkSession) -> DataFrame:
         keyed, spec, group_cols=["window_start", "lang"],
         client_col="repo", ts_col="commit_ts",
     )
-    probe_paths = [
-        "docs/en/doc_0.txt", "docs/en/doc_6.txt", "doc_0.txt",
-        "never/seen/path.zz",
+    # probe real member paths (+ label/entity variants) and a non-member
+    members = [
+        r["path"].lower()
+        for r in corpus.select("path").limit(4).collect()
     ]
-    job = make_search_job({i: [p] for i, p in enumerate(probe_paths)})
+    probes = (
+        members
+        + ["docs", members[0].split("/")[1] if "/" in members[0] else "docs"]
+        + ["never/seen/path.zz"]
+    )
+    job = make_search_job({i: [p] for i, p in enumerate(probes)})
     key_df, _ = run_search(sketches, spec, job, ["window_start", "lang"])
     return key_df.orderBy("window_start", "lang", "group_id")
 
@@ -569,6 +575,47 @@ def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational breadth: 4-way join (lineitem-orders-customer-nation)
+    with broadcast dims + agg — the shape Catalyst must keep broadcast-
+    and pushdown-friendly."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("n_name")
+    )
+
+
+def _q_orders_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL window functions: top-3 orders per priority by value."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), "o_orderkey"
+    )
+    return (
+        orders.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "o_orderpriority", "rnk", "o_orderkey",
+            F.round("o_totalprice", 2).alias("price"),
+        )
+        .orderBy("o_orderpriority", "rnk")
+    )
+
+
 def _q_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t-digest sibling: per-event-type quantile estimates through the
     generic quantile_sketch_agg operator (rows-only: sketch estimates;
@@ -642,6 +689,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": _q_embedding_near_dup,
         "sizing_advice": _q_sizing_advice,
         "tdigest_quantiles": _q_tdigest_quantiles,
+        "revenue_by_nation": _q_revenue_by_nation,
+        "orders_window_rank": _q_orders_window_rank,
     }
 
 
@@ -837,6 +886,29 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_custkey, c_name
             ORDER BY revenue DESC, c_custkey
             LIMIT 10
+        """,
+        "revenue_by_nation": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name ORDER BY n_name
+        """,
+        "orders_window_rank": """
+            SELECT o_orderpriority, rnk, o_orderkey, price FROM (
+                SELECT o_orderpriority, o_orderkey,
+                       round(o_totalprice, 2) AS price,
+                       row_number() OVER (
+                           PARTITION BY o_orderpriority
+                           ORDER BY o_totalprice DESC, o_orderkey
+                       ) AS rnk
+                FROM orders
+            ) WHERE rnk <= 3
+            ORDER BY o_orderpriority, rnk
         """,
         "pareto_coverage": """
             WITH counts AS (
