@@ -118,6 +118,7 @@ def build_sketches(
     mode: str = "map_combine",
     salt: Optional[int] = None,
     client_hash_col: Optional[str] = None,
+    distinct_keys: bool = False,
 ) -> DataFrame:
     """Aggregate keyed rows into one sketch row per group.
 
@@ -144,6 +145,15 @@ def build_sketches(
     on one.  Correct by construction — the merge algebra is commutative/
     idempotent, so salted partials OR back to the exact same bitsets
     (property-tested in tests/test_properties.py::test_split_anywhere).
+
+    distinct_keys: drop duplicate (group, client, key) rows before the
+    build — the Spark-native form of the reference's proposed LRU front
+    cache (README.md:856-878).  Bloom bitsets, both HLLs and the
+    timestamp/n_rows counters are EXACTLY unchanged (set-idempotent
+    inserts; ts stats aggregate the raw df) while shuffle volume and
+    Python-side work shrink by the duplication factor.  Only the CMS
+    shifts meaning from occurrence-frequency to document-frequency (and
+    KLL sees distinct rows) — leave False when those are in use.
     """
     group_cols = list(group_cols)
     group_ddl = _group_fields_ddl(df, group_cols)
@@ -161,6 +171,9 @@ def build_sketches(
     if value_col:
         cols.append(value_col)
     slim = df.select(*cols)
+    if distinct_keys:
+        dd_cols = [c for c in cols if c != value_col]
+        slim = slim.drop_duplicates(dd_cols)
     if mode == "shuffle_keys":
         if salt:
             slim = slim.withColumn(
