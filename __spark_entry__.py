@@ -20,6 +20,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from honas_spark import kernels as K
+from honas_spark.session import ship_package
 from honas_spark.spec import SketchSpec
 from honas_spark.state import SketchState
 from honas_spark.functions import text as T
@@ -49,6 +50,22 @@ _MEMBER_SPEC = SketchSpec(m_bits=1 << 20, k=10, cms_width=16384, kll_k=200)
 _NONMEMBERS = [f"nonmember-{i}" for i in range(5)]
 
 
+_shipped: set = set()
+
+
+def _ensure_shipped(spark: SparkSession) -> None:
+    """The driver owns the SparkSession; our pandas-UDF closures
+    reference honas_spark, so ship the package zip to its executors
+    (idempotent per session)."""
+    key = id(spark.sparkContext)
+    if key not in _shipped:
+        try:
+            ship_package(spark)
+        except Exception:
+            pass  # already added or local sys.path suffices
+        _shipped.add(key)
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -72,6 +89,7 @@ def entry(spark: SparkSession) -> DataFrame:
     job probed against it (gather -> combine -> search in three DataFrame
     expressions)."""
     sf_dir = "/root/testdata/sf0.001"
+    _ensure_shipped(spark)
     spec = SketchSpec(
         m_bits=1 << 18, k=10, num_filters=4, filters_per_user=2,
         window="1 hour",
@@ -657,7 +675,16 @@ def _q_sizing_advice(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    def shipped(fn):
+        def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _ensure_shipped(spark)
+            return fn(spark, sf_dir)
+
+        wrapper.__doc__ = fn.__doc__
+        wrapper.__name__ = fn.__name__
+        return wrapper
+
+    return {k: shipped(v) for k, v in {
         "bloom_membership": _q_bloom_membership,
         "hll_distinct_text": _q_hll_distinct_text,
         "distinct_exact": _q_distinct_exact,
@@ -691,7 +718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tdigest_quantiles": _q_tdigest_quantiles,
         "revenue_by_nation": _q_revenue_by_nation,
         "orders_window_rank": _q_orders_window_rank,
-    }
+    }.items()}
 
 
 def oracle_sql() -> dict[str, str]:
