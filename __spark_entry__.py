@@ -105,7 +105,8 @@ def entry(spark: SparkSession) -> DataFrame:
     # probe real member paths (+ label/entity variants) and a non-member
     members = [
         r["path"].lower()
-        for r in corpus.select("path").limit(4).collect()
+        for r in corpus.select("row_id", "path")
+        .orderBy("row_id").limit(4).collect()
     ]
     probes = (
         members
