@@ -252,8 +252,14 @@ def bloom_probe(filt: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     return bits.all(axis=1)
 
 
+_POPCOUNT8 = np.unpackbits(
+    np.arange(256, dtype=np.uint8)[:, None], axis=1
+).sum(axis=1).astype(np.uint8)
+
+
 def bloom_bits_set(filt: np.ndarray) -> int:
-    return int(np.unpackbits(filt).sum())
+    # byte-LUT popcount: 1/8th the memory traffic of unpackbits
+    return int(_POPCOUNT8[filt].sum(dtype=np.int64))
 
 
 def bloom_approx_count(m_bits: int, k: int, bits_set: int) -> int:

@@ -67,29 +67,38 @@ def probe_sketches(
                 est_clients=[], est_items=[], total_bits_set=[],
             )
             for row in pdf.to_dict('records'):
-                st = SketchState.from_fields(spec, row)
+                # lightweight parse: the probe needs only the filters and
+                # HLLs — skip CMS/KLL deserialization entirely
+                filters = np.frombuffer(
+                    row["filters"], dtype=np.uint8
+                ).reshape(spec.num_filters, spec.filter_bytes)
                 nq = len(qlist)
                 hits = np.zeros(nq, dtype=np.int64)
                 mask = np.zeros(nq, dtype=np.int64)
+                total_bits = 0
                 for fi in range(spec.num_filters):
                     hit = K.bloom_probe(
-                        st.filters[fi], per_filter_offsets[fi]
+                        filters[fi], per_filter_offsets[fi]
                     )
                     hits += hit
                     mask |= hit.astype(np.int64) << fi
-                stats = st.stats()
+                    total_bits += K.bloom_bits_set(filters[fi])
+                est_clients = K.hll_count(
+                    np.frombuffer(row["hll_clients"], dtype=np.uint8)
+                )
+                est_items = K.hll_count(
+                    np.frombuffer(row["hll_items"], dtype=np.uint8)
+                )
                 for c in group_cols:
                     rows[c].extend([row[c]] * nq)
                 rows["group_id"].extend(gids.tolist())
                 rows["key"].extend(keys)
                 rows["hits"].extend(hits.tolist())
                 rows["filters_hit"].extend(mask.tolist())
-                rows["n_rows"].extend([stats["n_rows"]] * nq)
-                rows["est_clients"].extend([stats["est_clients"]] * nq)
-                rows["est_items"].extend([stats["est_items"]] * nq)
-                rows["total_bits_set"].extend(
-                    [stats["total_bits_set"]] * nq
-                )
+                rows["n_rows"].extend([int(row["n_rows"])] * nq)
+                rows["est_clients"].extend([est_clients] * nq)
+                rows["est_items"].extend([est_items] * nq)
+                rows["total_bits_set"].extend([total_bits] * nq)
             if rows["key"]:
                 yield pd.DataFrame(rows)
 

@@ -172,19 +172,30 @@ def export_hs_state(
         K.hll_count(state.hll_clients), K.hll_count(state.hll_items),
     )
     struct.pack_into(f"<{F}I", buf, _HEADER_SIZE, *bits_set)
+    # Quirk Q6: the reference READS the HLLs at (fbytes+pad)*F, aliasing
+    # the last filter's final page(s).  In honas the aliased region is
+    # ONE shared memory range that both bloom-bit writes and the HLL
+    # flush OR into (byte_slice_bitwise_or, honas_state.c:496) — so we
+    # OR every section into the buffer instead of assigning, which
+    # reproduces the reference's on-disk content for fresh states too.
+    arr = np.frombuffer(buf, dtype=np.uint8)
     for i in range(F):
         off = ffo + i * (fbytes + pad)
-        buf[off: off + fbytes] = state.filters[i].tobytes()
-    # Quirk Q6: the reference READS the HLLs at (fbytes+pad)*F, aliasing
-    # the last filter's final page — write them where it will look.
+        np.bitwise_or(
+            arr[off: off + fbytes], state.filters[i],
+            out=arr[off: off + fbytes],
+        )
     client_off = (fbytes + pad) * F
     host_off = client_off + HLL_DENSE_SIZE + pad_hll
-    buf[client_off: client_off + HLL_DENSE_SIZE] = _pack_registers(
-        state.hll_clients
-    )
-    buf[host_off: host_off + HLL_DENSE_SIZE] = _pack_registers(
-        state.hll_items
-    )
+    for off, regs in (
+        (client_off, state.hll_clients),
+        (host_off, state.hll_items),
+    ):
+        packed = np.frombuffer(_pack_registers(regs), dtype=np.uint8)
+        np.bitwise_or(
+            arr[off: off + HLL_DENSE_SIZE], packed,
+            out=arr[off: off + HLL_DENSE_SIZE],
+        )
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         f.write(bytes(buf))
