@@ -635,6 +635,30 @@ def _q_orders_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: per-user sessions split on >30 min gaps (lag +
+    cumulative gap count) — the batch form of session windows."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts")
+    epoch = F.unix_timestamp(F.col("ts"))
+    gap = F.when(
+        epoch - F.lag(epoch).over(w) > 1800, 1
+    ).otherwise(0)
+    sess = ev.withColumn(
+        "session_id", F.sum(gap).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        )
+    )
+    return (
+        sess.groupBy("user_id")
+        .agg(
+            (F.max("session_id") + 1).alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def _q_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t-digest sibling: per-event-type quantile estimates through the
     generic quantile_sketch_agg operator (rows-only: sketch estimates;
@@ -719,6 +743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tdigest_quantiles": _q_tdigest_quantiles,
         "revenue_by_nation": _q_revenue_by_nation,
         "orders_window_rank": _q_orders_window_rank,
+        "sessionize": _q_sessionize,
     }.items()}
 
 
@@ -914,6 +939,25 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_custkey, c_name
             ORDER BY revenue DESC, c_custkey
             LIMIT 10
+        """,
+        "sessionize": """
+            WITH gaps AS (
+                SELECT user_id, ts,
+                       CASE WHEN epoch(ts) - epoch(lag(ts) OVER (
+                                PARTITION BY user_id ORDER BY ts)) > 1800
+                            THEN 1 ELSE 0 END AS gap
+                FROM events
+            ),
+            sess AS (
+                SELECT user_id,
+                       sum(gap) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM gaps
+            )
+            SELECT user_id,
+                   max(session_id) + 1 AS n_sessions,
+                   count(*) AS n_events
+            FROM sess GROUP BY user_id ORDER BY user_id
         """,
         "revenue_by_nation": """
             SELECT n_name,
