@@ -243,16 +243,8 @@ def build_sketches(
 
     partials = slim.mapInPandas(build_partials, schema=out_schema)
 
-    def merge_partials(pdf: pd.DataFrame) -> pd.DataFrame:
-        merged: Optional[SketchState] = None
-        for row in pdf.to_dict('records'):
-            st = SketchState.from_fields(spec, row)
-            merged = st if merged is None else merged.merge(st)
-        gvals = {c: [pdf[c].iloc[0]] for c in group_cols}
-        return _states_row_pdf(gvals, merged)
-
-    result = partials.groupBy(*group_cols).applyInPandas(
-        merge_partials, schema=out_schema
+    result = partials.repartition(*group_cols).mapInPandas(
+        _merge_by_group(spec, group_cols), schema=out_schema
     )
     if ts_col:
         stats = df.groupBy(*group_cols).agg(
@@ -291,17 +283,9 @@ def rollup_sketches(
     )
     group_ddl = _group_fields_ddl(df, [window_col] + group_cols)
     out_schema = f"{group_ddl}, {SKETCH_VALUE_FIELDS}"
-
-    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        merged = None
-        for row in pdf.to_dict('records'):
-            st = SketchState.from_fields(spec, row)
-            merged = st if merged is None else merged.merge(st)
-        gvals = {c: [pdf[c].iloc[0]] for c in [window_col] + group_cols}
-        return _states_row_pdf(gvals, merged)
-
-    return df.groupBy(window_col, *group_cols).applyInPandas(
-        merge_group, schema=out_schema
+    return df.repartition(window_col, *group_cols).mapInPandas(
+        _merge_by_group(spec, [window_col] + group_cols),
+        schema=out_schema,
     )
 
 
@@ -342,6 +326,31 @@ def finalize_stats(
                 yield pd.DataFrame(rows)
 
     return sketch_df.mapInPandas(add_stats, schema=out_schema)
+
+
+def _merge_by_group(spec: SketchSpec, group_cols: list):
+    """Merge-phase kernel: one Python invocation per PARTITION (not per
+    group — applyInPandas pays its overhead per group, which hurts at
+    hundreds of tiny windows); hash partitioning guarantees each group
+    arrives whole, pandas groupby splits it locally."""
+
+    def merge_all(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        states: dict[tuple, SketchState] = {}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            for gkey, sub in pdf.groupby(group_cols, sort=False, dropna=False):
+                if not isinstance(gkey, tuple):
+                    gkey = (gkey,)
+                merged = states.get(gkey)
+                for row in sub.to_dict("records"):
+                    st = SketchState.from_fields(spec, row)
+                    merged = st if merged is None else merged.merge(st)
+                states[gkey] = merged
+        if states:
+            yield _states_to_pdf(states, group_cols)
+
+    return merge_all
 
 
 def _states_to_pdf(states: dict, group_cols: list) -> pd.DataFrame:
