@@ -40,6 +40,7 @@ from honas_spark.operators.dedup import (
     simhash,
 )
 from honas_spark.operators.knn import brute_force_topk, ivf_index, ivf_topk
+from honas_spark.operators.probe import cms_probe
 from honas_spark.operators.prefix_join import longest_prefix_join
 from honas_spark.search import make_search_job, run_search
 from honas_spark.sources.corpus import documents_as_corpus
@@ -183,15 +184,18 @@ def _q_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.withColumn("g", F.lit(1)), "token"
     )
     sk = build_sketches(keyed, _MEMBER_SPEC, group_cols=["g"])
-    row = sk.collect()[0]
-    state = SketchState.from_fields(_MEMBER_SPEC, row.asDict())
-    vocab = [r["token"] for r in toks.distinct().collect()]
-    shas = [hashlib.sha256(t.encode()).digest() for t in vocab]
-    limbs = K.hashes_to_limbs(shas, 32)
-    h64 = limbs[:, :2].copy().view("<u8").reshape(-1)
-    ests = K.cms_query(state.cms, h64)
-    pdf = sorted(zip(vocab, ests.tolist()), key=lambda x: (-x[1], x[0]))[:20]
-    return spark.createDataFrame(pdf, "token string, est long")
+    # one bounded row collected (the sketch itself); the vocabulary never
+    # reaches the driver — candidates are generated distributedly and the
+    # CMS is probed inside a mapInPandas with the sketch broadcast.
+    cms_bytes = sk.select("cms").collect()[0][0]
+    cands = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.desc("n_exact"), "token")
+        .limit(64)
+    )
+    probed = cms_probe(cands, cms_bytes, _MEMBER_SPEC)
+    return probed.orderBy(F.desc("est"), "token").limit(20)
 
 
 def _q_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -436,13 +440,28 @@ def _q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary column -> mapInPandas feature extract
     (deterministic fake decode; real codecs swap in behind the same
-    schema) -> rows-only."""
+    schema).  The payload is ASCII-sanitized text so utf-8 bytes ==
+    codepoints, which makes the byte-histogram exactly recomputable in
+    the DuckDB oracle.  Scalar integer columns only (the driver's
+    canonicalizer can't hash arrays; float ratios would round-drift):
+    the normalized features are converted back to integer bucket counts
+    via round(f_i * n_bytes)."""
     docs = _docs(spark, sf_dir).select(
-        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+        "doc_id",
+        F.encode(
+            F.regexp_replace(F.col("text"), r"[^\x20-\x7e]", ""), "utf-8"
+        ).alias("payload"),
     )
-    return extract_image_features(docs, "payload", "doc_id").orderBy(
-        "doc_id"
-    )
+    feats = extract_image_features(docs, "payload", "doc_id")
+    counts = [
+        F.round(
+            F.col("features")[i] * F.greatest(F.col("n_bytes"), F.lit(1))
+        ).cast("long").alias(f"c{i}")
+        for i in range(8)
+    ]
+    return feats.select(
+        "doc_id", "width", "height", "channels", "n_bytes", *counts
+    ).orderBy("doc_id")
 
 
 def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -955,7 +974,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM gaps
             )
             SELECT user_id,
-                   max(session_id) + 1 AS n_sessions,
+                   CAST(max(session_id) + 1 AS BIGINT) AS n_sessions,
                    count(*) AS n_events
             FROM sess GROUP BY user_id ORDER BY user_id
         """,
@@ -998,7 +1017,7 @@ def oracle_sql() -> dict[str, str]:
                        sum(n) OVER () AS total
                 FROM counts
             )
-            SELECT rank, token, n, cum_n
+            SELECT rank, token, n, CAST(cum_n AS BIGINT) AS cum_n
             FROM ranked
             WHERE (cum_n - n) * 100 < total * 80
             ORDER BY rank
@@ -1008,6 +1027,53 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text,
                        '[a-zA-Z0-9]+|[^a-zA-Z0-9 ]')) AS n_pieces
             FROM documents ORDER BY doc_id
+        """,
+        # Recomputes the deterministic fake image decode from codepoints:
+        # the payload is ASCII-sanitized, so utf-8 bytes == ascii() codes.
+        "image_features": """
+            WITH s AS (
+                SELECT doc_id,
+                       regexp_replace(text, '[^\\x20-\\x7e]', '', 'g') AS t
+                FROM documents
+            ), b AS (
+                SELECT s.doc_id, u.i,
+                       ascii(substr(s.t, CAST(u.i AS INT), 1)) AS code
+                FROM s, unnest(range(1, len(s.t) + 1)) AS u(i)
+            ), a AS (
+                SELECT doc_id,
+                       sum(CASE WHEN i <= 4 THEN code ELSE 0 END) AS s4,
+                       sum(CASE WHEN i BETWEEN 5 AND 8
+                                THEN code ELSE 0 END) AS s8,
+                       count(*) AS n,
+                       sum(CASE WHEN code // 32 = 0 THEN 1 ELSE 0 END) AS k0,
+                       sum(CASE WHEN code // 32 = 1 THEN 1 ELSE 0 END) AS k1,
+                       sum(CASE WHEN code // 32 = 2 THEN 1 ELSE 0 END) AS k2,
+                       sum(CASE WHEN code // 32 = 3 THEN 1 ELSE 0 END) AS k3,
+                       sum(CASE WHEN code // 32 = 4 THEN 1 ELSE 0 END) AS k4,
+                       sum(CASE WHEN code // 32 = 5 THEN 1 ELSE 0 END) AS k5,
+                       sum(CASE WHEN code // 32 = 6 THEN 1 ELSE 0 END) AS k6,
+                       sum(CASE WHEN code // 32 = 7 THEN 1 ELSE 0 END) AS k7
+                FROM b GROUP BY doc_id
+            )
+            SELECT s.doc_id,
+                   CAST(CASE WHEN coalesce(a.n, 0) > 0
+                             THEN 16 + a.s4 % 240 ELSE 16 END AS INT)
+                       AS width,
+                   CAST(CASE WHEN coalesce(a.n, 0) >= 8
+                             THEN 16 + a.s8 % 240 ELSE 16 END AS INT)
+                       AS height,
+                   CAST(3 AS INT) AS channels,
+                   CAST(coalesce(a.n, 0) AS BIGINT) AS n_bytes,
+                   CAST(coalesce(a.k0, 0) AS BIGINT) AS c0,
+                   CAST(coalesce(a.k1, 0) AS BIGINT) AS c1,
+                   CAST(coalesce(a.k2, 0) AS BIGINT) AS c2,
+                   CAST(coalesce(a.k3, 0) AS BIGINT) AS c3,
+                   CAST(coalesce(a.k4, 0) AS BIGINT) AS c4,
+                   CAST(coalesce(a.k5, 0) AS BIGINT) AS c5,
+                   CAST(coalesce(a.k6, 0) AS BIGINT) AS c6,
+                   CAST(coalesce(a.k7, 0) AS BIGINT) AS c7
+            FROM s LEFT JOIN a USING (doc_id)
+            ORDER BY doc_id
         """,
         "embedding_near_dup": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b

@@ -83,12 +83,27 @@ def _load_sketch_table(args, spark):
     from .sources import checkpoint as CP
 
     if args.state.endswith(".hs"):
+        import datetime as _dt
+
         from .sources.hsfile import import_hs_state
-        from .operators.sketch_agg import _states_row_pdf
+        from .operators.sketch_agg import (
+            SKETCH_VALUE_FIELDS, _states_row_pdf,
+        )
 
         spec, st, h = import_hs_state(args.state)
-        pdf = _states_row_pdf({"window_start": [st.first_ts]}, st)
-        return spec, spark.createDataFrame(pdf), ["window_start"]
+        # Fresh/empty states have first_request=0 -> first_ts is None;
+        # fall back to the header's period_begin and pass an explicit
+        # schema so createDataFrame never has to infer from a None.
+        ws = st.first_ts
+        if ws is None:
+            ws = _dt.datetime.utcfromtimestamp(
+                int(h.get("period_begin", 0) or 0)
+            )
+        pdf = _states_row_pdf({"window_start": [ws]}, st)
+        schema = f"window_start timestamp, {SKETCH_VALUE_FIELDS}"
+        return spec, spark.createDataFrame(pdf, schema=schema), [
+            "window_start"
+        ]
     spec = CP.read_spec(args.state)
     df = CP.read_checkpoint(spark, args.state)
     group_cols = [
@@ -106,7 +121,9 @@ def cmd_search(args) -> int:
     with open(args.job) as f:
         job = json.load(f)
     key_df, group_df = run_search(table, spec, job, group_cols)
-    out = search_result_json(key_df, group_df, group_cols)
+    out = search_result_json(
+        key_df, group_df, group_cols, sketch_df=table, spec=spec
+    )
     if args.out:
         with open(args.out, "w") as f:
             f.write(out)

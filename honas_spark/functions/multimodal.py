@@ -41,7 +41,7 @@ def extract_image_features(
     batch, no per-row Spark round trips."""
     schema = (
         f"{id_col} long, width int, height int, channels int,"
-        " features array<double>"
+        " n_bytes long, features array<double>"
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -61,7 +61,7 @@ def extract_image_features(
             if pdf.empty:
                 continue
             out = {id_col: [], "width": [], "height": [],
-                   "channels": [], "features": []}
+                   "channels": [], "n_bytes": [], "features": []}
             for rid, raw in zip(pdf[id_col], pdf[bin_col]):
                 if decode is not None:
                     try:
@@ -74,6 +74,7 @@ def extract_image_features(
                 out["width"].append(w)
                 out["height"].append(h)
                 out["channels"].append(c)
+                out["n_bytes"].append(len(raw or b""))
                 out["features"].append(feats.tolist())
             yield pd.DataFrame(out)
 

@@ -103,3 +103,43 @@ def probe_sketches(
                 yield pd.DataFrame(rows)
 
     return sketch_df.mapInPandas(probe, schema=out_schema)
+
+
+def cms_probe(
+    candidates_df: DataFrame,
+    cms_bytes: bytes,
+    spec: SketchSpec,
+    token_col: str = "token",
+    out_col: str = "est",
+) -> DataFrame:
+    """Probe a count-min sketch for every candidate token, distributedly.
+
+    The sketch is ONE bounded row (depth x width counters) shipped inside
+    the closure (an implicit broadcast); the candidate column can be
+    arbitrarily large — each Arrow batch is hashed and queried with the
+    vectorized kernel, nothing is collected to the driver.  This is the
+    scale-correct heavy-hitters pattern: candidate generation stays in
+    the engine, the CMS answers point queries in the map phase."""
+    import hashlib
+
+    depth, width = spec.cms_depth, spec.cms_width
+
+    def probe(batches):
+        cms = np.frombuffer(cms_bytes, dtype="<i8").reshape(depth, width)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            shas = [
+                hashlib.sha256(str(t).encode()).digest()
+                for t in pdf[token_col]
+            ]
+            limbs = K.hashes_to_limbs(shas, 32)
+            h64 = limbs[:, :2].copy().view("<u8").reshape(-1)
+            ests = K.cms_query(cms, h64)
+            yield pd.DataFrame(
+                {token_col: pdf[token_col], out_col: ests.astype("int64")}
+            )
+
+    return candidates_df.select(token_col).mapInPandas(
+        probe, schema=f"{token_col} string, {out_col} long"
+    )

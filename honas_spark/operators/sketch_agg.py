@@ -88,14 +88,25 @@ def with_client_hash(
     the LUT: the per-row work stays in codegen and the 8-byte hash rides
     the shuffle instead of the client string.  Falls back to in-UDF
     hashing (client_col passed through) past `max_distinct`."""
-    distinct = [r[0] for r in df.select(client_col).distinct().collect()]
+    # Bound driver memory: pull at most max_distinct+1 rows — the limit
+    # executes distributedly, so an unbounded client cardinality never
+    # materializes on the driver before the fallback decision.
+    distinct = [
+        r[0]
+        for r in df.select(client_col)
+        .distinct()
+        .limit(max_distinct + 1)
+        .collect()
+    ]
     if len(distinct) > max_distinct:
         return df  # caller keeps client_col; UDF hashes per batch
     rows = [
         (
             v,
             # store as signed int64 (Spark has no unsigned long); the
-            # kernels reinterpret the bits as uint64
+            # kernels reinterpret the bits as uint64.  Hash str(v) so the
+            # LUT path and the in-UDF fallback (which also str()s) agree,
+            # null included.
             np.int64(np.uint64(K.murmur64a(str(v).encode("utf-8")))).item(),
         )
         for v in distinct
@@ -103,7 +114,8 @@ def with_client_hash(
     lut = df.sparkSession.createDataFrame(
         rows, f"{client_col} string, {out_col} long"
     )
-    return df.join(F.broadcast(lut), client_col, "left")
+    joined = df.join(F.broadcast(lut), df[client_col].eqNullSafe(lut[client_col]), "left")
+    return joined.drop(lut[client_col])
 
 
 def build_sketches(
@@ -326,6 +338,55 @@ def finalize_stats(
                 yield pd.DataFrame(rows)
 
     return sketch_df.mapInPandas(add_stats, schema=out_schema)
+
+
+def per_filter_stats(
+    sketch_df: DataFrame, spec: SketchSpec, group_cols: Sequence[str]
+) -> DataFrame:
+    """Per-FILTER diagnostics — one row per (sketch row, filter index).
+
+    Mirrors the reference's search-result "general information" filters
+    array (src/bin/honas_search.c:113-124): for each of the F filters,
+    `number_of_bits_set`, `estimated_number_of_host_names`
+    (bloom_approx_count) and `actual_false_positive_rate` (fill^k).
+    `finalize_stats` averages these across filters; this emits the array
+    the reference actually prints."""
+    group_cols = list(group_cols)
+    group_ddl = _group_fields_ddl(sketch_df, group_cols)
+    out_schema = (
+        f"{group_ddl}, filter_index int, number_of_bits_set long,"
+        " estimated_number_of_host_names long,"
+        " actual_false_positive_rate double"
+    )
+
+    def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {c: [] for c in group_cols}
+            out.update(
+                filter_index=[], number_of_bits_set=[],
+                estimated_number_of_host_names=[],
+                actual_false_positive_rate=[],
+            )
+            for row in pdf.to_dict("records"):
+                filters = np.frombuffer(
+                    row["filters"], dtype=np.uint8
+                ).reshape(spec.num_filters, spec.filter_bytes)
+                for fi in range(spec.num_filters):
+                    b = K.bloom_bits_set(filters[fi])
+                    for c in group_cols:
+                        out[c].append(row[c])
+                    out["filter_index"].append(fi)
+                    out["number_of_bits_set"].append(int(b))
+                    out["estimated_number_of_host_names"].append(
+                        int(K.bloom_approx_count(spec.m_bits, spec.k, b))
+                    )
+                    out["actual_false_positive_rate"].append(
+                        float(K.actual_fpr(spec.m_bits, spec.k, b))
+                    )
+            if out["filter_index"]:
+                yield pd.DataFrame(out)
+
+    return sketch_df.mapInPandas(expand, schema=out_schema)
 
 
 def _merge_by_group(spec: SketchSpec, group_cols: list):

@@ -67,30 +67,47 @@ def run_search(
     queries = parse_search_job(job)
     probed = probe_sketches(sketch_df, spec, queries, group_cols)
 
+    u_lit = F.lit(spec.filters_per_user)
     flattened = F.col("est_clients") < F.lit(spec.flatten_threshold)
+    # Flatten clamp per the reference (honas_search.c:200-201):
+    # hits = hits < filters_per_user ? 0 : 1 — NOT least(hits, 1), which
+    # would report 1 for a key whose raw hits are in [1, u-1].
     probed = probed.withColumn("flattened", flattened).withColumn(
         "hits_out",
-        F.when(flattened, F.least(F.col("hits"), F.lit(1))).otherwise(
-            F.col("hits")
-        ),
+        F.when(
+            flattened,
+            F.when(F.col("hits") < u_lit, F.lit(0)).otherwise(F.lit(1)),
+        ).otherwise(F.col("hits")),
     )
 
-    # group AND over ALL keys (before the per-key threshold filter)
+    # group AND over ALL keys (before the per-key threshold filter).
+    # Reference semantics (honas_search.c:188-217, 303-314):
+    #   * a group is emitted only if at least one key had post-flatten
+    #     hits > 0 (group_has_results)
+    #   * hits_by_all_hostnames = popcount of the AND of per-key masks,
+    #     zeroed unless EVERY key had post-flatten hits > 0
+    #     (group_all_host_names_found), with the same flatten clamp.
     group_df = (
         probed.groupBy(*group_cols, "group_id")
         .agg(
-            F.bit_count(
-                F.bit_and(F.col("filters_hit"))
-            ).alias("hits_by_all_hostnames"),
+            F.bit_count(F.bit_and(F.col("filters_hit"))).alias("and_pop"),
             F.max("flattened").alias("flattened"),
+            F.min((F.col("hits_out") > 0).cast("int")).alias("all_found"),
+            F.max((F.col("hits_out") > 0).cast("int")).alias("has_results"),
         )
         .withColumn(
             "hits_by_all_hostnames",
-            F.when(
-                F.col("flattened"),
-                F.least(F.col("hits_by_all_hostnames"), F.lit(1)),
-            ).otherwise(F.col("hits_by_all_hostnames")),
+            F.when(F.col("all_found") == 0, F.lit(0)).otherwise(
+                F.when(
+                    F.col("flattened"),
+                    F.when(F.col("and_pop") < u_lit, F.lit(0)).otherwise(
+                        F.lit(1)
+                    ),
+                ).otherwise(F.col("and_pop"))
+            ),
         )
+        .filter(F.col("has_results") == 1)
+        .drop("and_pop", "all_found", "has_results")
     )
 
     # D5: coarse per-key client estimate from the hit count (a key seen
@@ -127,15 +144,79 @@ def run_search(
     return key_df, group_df
 
 
+def general_information(
+    sketch_df: DataFrame, spec: SketchSpec, group_cols: Sequence[str]
+) -> list[dict]:
+    """The reference search result's leading "general information" block
+    (src/bin/honas_search.c:88-127): state metadata + per-filter stats.
+
+    One dict per sketch row (state).  The collect is bounded: one row per
+    group (windows x entities), never per input key."""
+    from .operators.sketch_agg import finalize_stats, per_filter_stats
+
+    group_cols = list(group_cols)
+    stats = finalize_stats(sketch_df, spec, group_cols).collect()
+    pf = per_filter_stats(sketch_df, spec, group_cols).collect()
+    by_group: dict[tuple, list] = {}
+    for r in pf:
+        by_group.setdefault(tuple(r[c] for c in group_cols), []).append(
+            (
+                r["filter_index"],
+                {
+                    "number_of_bits_set": r["number_of_bits_set"],
+                    "estimated_number_of_host_names": r[
+                        "estimated_number_of_host_names"
+                    ],
+                    "actual_false_positive_rate": "%.10f"
+                    % r["actual_false_positive_rate"],
+                },
+            )
+        )
+    out = []
+    for r in stats:
+        gkey = tuple(r[c] for c in group_cols)
+        info = {c: r[c] for c in group_cols}
+        info.update(
+            first_request=r["first_ts"],
+            last_request=r["last_ts"],
+            estimated_number_of_clients=r["est_clients"],
+            estimated_number_of_host_names=r["est_items"],
+            number_of_requests=r["n_rows"],
+            number_of_filters=spec.num_filters,
+            number_of_filters_per_user=spec.filters_per_user,
+            number_of_hashes=spec.k,
+            number_of_bits_per_filter=spec.m_bits,
+            flatten_threshold=spec.flatten_threshold,
+            filters=[
+                d for _, d in sorted(by_group.get(gkey, []))
+            ],
+        )
+        out.append(info)
+    return out
+
+
 def search_result_json(
-    key_df: DataFrame, group_df: DataFrame, group_cols: Sequence[str]
+    key_df: DataFrame,
+    group_df: DataFrame,
+    group_cols: Sequence[str],
+    sketch_df: "DataFrame | None" = None,
+    spec: "SketchSpec | None" = None,
 ) -> str:
-    """S5 sink: render the search result as the reference's JSON shape."""
+    """S5 sink: render the search result as the reference's JSON shape.
+    When sketch_df+spec are given, the result leads with the per-state
+    general-information block like the reference (honas_search.c:88-127)."""
     keys = [r.asDict() for r in key_df.collect()]
     groups = [r.asDict() for r in group_df.collect()]
-    for row in keys + groups:
+    result: dict = {}
+    if sketch_df is not None and spec is not None:
+        result["general_information"] = general_information(
+            sketch_df, spec, group_cols
+        )
+    result["hostnames"] = keys
+    result["groups"] = groups
+    for row in keys + groups + result.get("general_information", []):
         for c in list(row):
             v = row[c]
             if hasattr(v, "isoformat"):
                 row[c] = v.isoformat()
-    return json.dumps({"hostnames": keys, "groups": groups}, default=str)
+    return json.dumps(result, default=str)

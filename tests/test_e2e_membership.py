@@ -144,7 +144,8 @@ def test_rollup_equals_pairwise_merge(spark, sketch_table):
 
 def test_group_and_semantics(spark, sketch_table):
     """J3: hits_by_all_hostnames = popcount of AND of filter-hit masks;
-    any missing key zeroes the group."""
+    any missing key zeroes the group; groups where NO key hit at all are
+    omitted from the result entirely (honas_search.c:303-314)."""
     job = make_search_job({
         7: ["src/alpha/bravo/main.py", "src/alpha/util.py"],   # both in A
         8: ["src/alpha/bravo/main.py", "never/inserted/key.zz"],  # one miss
@@ -155,5 +156,9 @@ def test_group_and_semantics(spark, sketch_table):
         for r in group_df.collect()
     }
     assert rows[(7, 0)] > 0
+    # one key missing -> group still emitted (the other key hit) but the
+    # AND is zeroed (group_all_host_names_found=false)
     assert rows[(8, 0)] == 0
-    assert rows[(7, 1)] == 0
+    # window 1 contains neither key -> zero-hit group row is OMITTED
+    assert (7, 1) not in rows
+    assert (8, 1) not in rows
