@@ -112,32 +112,74 @@ def build_resumable(
     group_cols: Sequence[str],
     build_fn,
     run_id: str = "run",
+    verify_fingerprints: bool = True,
 ) -> DataFrame:
     """Build sketches per window, skipping committed windows.
 
-    `build_fn(window_df) -> sketch DataFrame` builds one window's sketch
-    rows.  Returns the full checkpointed sketch table (all windows)."""
+    `build_fn(windows_df) -> sketch DataFrame` builds sketch rows for the
+    windows it is given (it must group by `window_col`, which every caller
+    already does).  Returns the full checkpointed sketch table.
+
+    Scale shape: exactly TWO passes over the raw input regardless of the
+    number of windows — one column-pruned groupBy for the per-window
+    fingerprints, one build over all missing windows together (the old
+    per-window `df.filter(...)` loop re-scanned the raw table O(W)
+    times).  Per-window publication then slices the small CACHED sketch
+    table, never the raw data.
+
+    With `verify_fingerprints`, a committed window whose input slice no
+    longer matches its manifest's fingerprint is rebuilt instead of
+    silently reused."""
     write_spec(root, spec)
     done = list_done_windows(root)
-    windows = [
-        r[0]
-        for r in df.select(window_col).distinct().orderBy(window_col).collect()
+
+    has_sha = "content_sha256" in df.columns
+    aggs = [F.count(F.lit(1)).alias("n")]
+    if has_sha:
+        aggs.append(
+            F.expr("bit_xor(xxhash64(content_sha256))").alias("x")
+        )
+    fp_rows = df.groupBy(window_col).agg(*aggs).collect()
+    fps: dict[str, str] = {}
+    windows = []
+    for r in fp_rows:
+        w = r[window_col]
+        windows.append(w)
+        fps[_window_key(w)] = (
+            f"n={r['n']},xor={r['x']}" if has_sha else f"rows={r['n']}"
+        )
+    windows.sort(key=str)
+
+    stale = {
+        k
+        for k, m in done.items()
+        if verify_fingerprints
+        and k in fps
+        and m.get("input_fingerprint") not in (None, fps[k])
+    }
+    for k in sorted(stale):
+        print(
+            f"checkpoint: window {k} input fingerprint changed "
+            f"({done[k].get('input_fingerprint')} -> {fps[k]}), rebuilding"
+        )
+    todo = [
+        w
+        for w in windows
+        if _window_key(w) not in done or _window_key(w) in stale
     ]
-    for w in windows:
-        key = _window_key(w)
-        if key in done:
-            continue
-        wdf = df.filter(F.col(window_col) == F.lit(w))
-        sketch = build_fn(wdf).cache()
-        n = sketch.count()
-        fp = (
-            input_fingerprint(wdf)
-            if "content_sha256" in wdf.columns
-            else f"rows={wdf.count()}"
-        )
-        commit_window(
-            root, w, sketch, spec, fp, {"sketch_rows": n}, run_id
-        )
+    if todo:
+        missing = df.filter(F.col(window_col).isin(todo))
+        sketch = build_fn(missing).cache()
+        counts = {
+            r[0]: r[1]
+            for r in sketch.groupBy(window_col).count().collect()
+        }
+        for w in todo:
+            wsk = sketch.filter(F.col(window_col) == F.lit(w))
+            commit_window(
+                root, w, wsk, spec, fps[_window_key(w)],
+                {"sketch_rows": int(counts.get(w, 0))}, run_id,
+            )
         sketch.unpersist()
     return read_checkpoint(spark, root)
 

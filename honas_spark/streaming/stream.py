@@ -49,17 +49,75 @@ class StreamingSketchBuilder:
     def _store_path(self) -> str:
         return os.path.join(self.store_dir, "sketches")
 
+    @staticmethod
+    def _window_key(value) -> str:
+        return str(value).replace(" ", "T").replace(":", "-")
+
+    def _recover(self) -> None:
+        """Make the store consistent after a crash mid-publish: a
+        `.old` dir whose final is missing is rolled back; orphan `.old`
+        and stray `.tmp-*` dirs are dropped."""
+        import shutil
+
+        root = self._store_path()
+        if not os.path.isdir(root):
+            return
+        for name in os.listdir(root):
+            path = os.path.join(root, name)
+            if name.endswith(".old"):
+                final = path[: -len(".old")]
+                if not os.path.isdir(final):
+                    os.rename(path, final)  # crash between the 2 renames
+                else:
+                    shutil.rmtree(path)
+            elif ".tmp-" in name:
+                shutil.rmtree(path)
+
+    def _window_dirs(self) -> list[str]:
+        root = self._store_path()
+        if not os.path.isdir(root):
+            return []
+        return sorted(
+            os.path.join(root, n)
+            for n in os.listdir(root)
+            if n.startswith("window=") and not n.endswith(".old")
+            and ".tmp-" not in n
+        )
+
     def read_store(self, spark: SparkSession) -> Optional[DataFrame]:
-        path = self._store_path()
-        try:
-            return spark.read.parquet(path)
-        except Exception:
+        self._recover()
+        dirs = self._window_dirs()
+        if not dirs:
             return None
+        return spark.read.parquet(*dirs)
+
+    def _publish(self, tmp: str, final: str) -> None:
+        """Crash-safe swap: the previous version is renamed aside before
+        the new one lands, so no crash point loses the window (the
+        reference publishes states via O_TMPFILE+linkat,
+        src/honas_state.c:476-543; `_recover` undoes a half-done swap)."""
+        import shutil
+
+        old = final + ".old"
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+        if os.path.isdir(final):
+            os.rename(final, old)
+        os.rename(tmp, final)
+        if os.path.isdir(old):
+            shutil.rmtree(old)
 
     def process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        """Merge one micro-batch into the store.
+
+        The store is partitioned by window (`window=KEY/` dirs) and only
+        windows TOUCHED by this batch are read+merged+rewritten — per-batch
+        cost is O(batch + touched windows' sketch rows), independent of
+        stream length (the old whole-store rewrite was quadratic)."""
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
+        self._recover()
         batch_sketches = build_sketches(
             batch_df,
             self.spec,
@@ -67,28 +125,35 @@ class StreamingSketchBuilder:
             key_sha_col=self.key_sha_col,
             client_col=self.client_col,
             ts_col=self.ts_col,
-        )
-        existing = self.read_store(spark)
-        if existing is not None:
-            merged = rollup_sketches(
-                existing.unionByName(batch_sketches),
-                self.spec,
-                self.window_col,
-                self.spec.window,
-                self.group_cols,
+        ).cache()
+        # bounded collect: one value per window touched by this batch
+        touched = [
+            r[0]
+            for r in batch_sketches.select(self.window_col)
+            .distinct()
+            .collect()
+        ]
+        root = self._store_path()
+        os.makedirs(root, exist_ok=True)
+        for w in touched:
+            final = os.path.join(root, f"window={self._window_key(w)}")
+            batch_slice = batch_sketches.filter(
+                F.col(self.window_col) == F.lit(w)
             )
-        else:
-            merged = batch_sketches
-        tmp = self._store_path() + f".tmp-{epoch_id}"
-        merged.write.mode("overwrite").parquet(tmp)
-        final = self._store_path()
-        # atomic swap (read-modify-write per micro-batch; at 100 TB you'd
-        # partition the store by window and only rewrite touched windows)
-        import shutil
-
-        if os.path.exists(final):
-            shutil.rmtree(final)
-        os.rename(tmp, final)
+            if os.path.isdir(final):
+                merged = rollup_sketches(
+                    spark.read.parquet(final).unionByName(batch_slice),
+                    self.spec,
+                    self.window_col,
+                    self.spec.window,
+                    self.group_cols,
+                )
+            else:
+                merged = batch_slice
+            tmp = final + f".tmp-{epoch_id}"
+            merged.write.mode("overwrite").parquet(tmp)
+            self._publish(tmp, final)
+        batch_sketches.unpersist()
 
     def start(
         self,

@@ -211,3 +211,49 @@ def test_streaming_matches_batch(spark, tmp_path):
         assert g[k]["filters"] == b[k]["filters"]
         assert g[k]["hll_items"] == b[k]["hll_items"]
         assert g[k]["n_rows"] == b[k]["n_rows"]
+
+
+def test_streaming_store_crash_recovery(spark, tmp_path):
+    """The per-window store publish must survive a crash between the two
+    renames: a window left as `.old` (final missing) is rolled back on
+    the next open; stray tmp dirs are dropped."""
+    import os
+    import shutil
+
+    from honas_spark.spec import SketchSpec
+    from honas_spark.operators import sha256_key, with_window
+    from honas_spark.sources.corpus import generate_corpus
+    from honas_spark.streaming.stream import StreamingSketchBuilder
+
+    spec = SketchSpec(m_bits=1 << 14, k=5, window="1 hour",
+                      cms_width=256, kll_k=64)
+    src_dir = str(tmp_path / "landing")
+    corpus = generate_corpus(spark, 400, n_hours=2)
+    keyed = sha256_key(
+        with_window(corpus, "commit_ts", spec.window), "path"
+    ).select("window_start", "key_sha", "repo", "commit_ts")
+    keyed.write.mode("overwrite").parquet(src_dir)
+
+    builder = StreamingSketchBuilder(
+        spec, str(tmp_path / "store"), group_cols=[],
+        client_col="repo", ts_col="commit_ts",
+    )
+    stream = spark.readStream.schema(keyed.schema).parquet(src_dir)
+    q = builder.start(stream, checkpoint_dir=str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    root = builder._store_path()
+    wins = sorted(d for d in os.listdir(root) if d.startswith("window="))
+    assert len(wins) == 2
+    before = builder.read_store(spark).count()
+
+    # simulate a crash between `rename(final, old)` and `rename(tmp, final)`
+    victim = os.path.join(root, wins[0])
+    os.rename(victim, victim + ".old")
+    os.makedirs(victim + ".tmp-99")  # stray half-written tmp
+
+    got = builder.read_store(spark)  # triggers _recover
+    assert got.count() == before
+    assert os.path.isdir(victim)
+    assert not os.path.isdir(victim + ".old")
+    assert not os.path.isdir(victim + ".tmp-99")

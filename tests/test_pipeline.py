@@ -120,13 +120,15 @@ def test_checkpoint_resume(spark, tmp_path):
         spark, keyed, SPEC, root, "window_start", [], build_fn, run_id="r1"
     )
     assert t1.count() == 3
-    assert len(calls) == 3
-    # resume: nothing rebuilt
+    # all missing windows build in ONE pass (one build_fn call), not one
+    # raw-table scan per window
+    assert len(calls) == 1
+    # resume: nothing rebuilt, build_fn never invoked
     t2 = CP.build_resumable(
         spark, keyed, SPEC, root, "window_start", [], build_fn, run_id="r2"
     )
     assert t2.count() == 3
-    assert len(calls) == 3, "resume must skip committed windows"
+    assert len(calls) == 1, "resume must skip committed windows"
     # drop one window's manifest -> only that one rebuilds
     victim = sorted(
         d for d in os.listdir(root) if d.startswith("window=")
@@ -136,9 +138,55 @@ def test_checkpoint_resume(spark, tmp_path):
         spark, keyed, SPEC, root, "window_start", [], build_fn, run_id="r3"
     )
     assert t3.count() == 3
-    assert len(calls) == 4
+    assert len(calls) == 2
     # spec round-trips through the manifest
     assert CP.read_spec(root) == SPEC
+
+
+def test_checkpoint_stale_fingerprint_rebuilds(spark, tmp_path):
+    """A committed window whose input slice changed since commit must be
+    rebuilt (manifest fingerprint mismatch), not silently reused."""
+    import json
+
+    root = str(tmp_path / "ckpt2")
+    corpus = generate_corpus(spark, 800, n_hours=2)
+    keyed = sha256_key(
+        with_window(corpus, "commit_ts", SPEC.window), "path"
+    )
+    calls = []
+
+    def build_fn(wdf):
+        calls.append(1)
+        return build_sketches(
+            wdf, SPEC, group_cols=["window_start"], client_col="repo",
+            ts_col="commit_ts",
+        )
+
+    CP.build_resumable(
+        spark, keyed, SPEC, root, "window_start", [], build_fn, run_id="a"
+    )
+    assert len(calls) == 1
+    # tamper with one manifest's fingerprint -> that window is stale
+    victim = sorted(
+        d for d in os.listdir(root) if d.startswith("window=")
+    )[0]
+    mpath = os.path.join(root, victim, "manifest.json")
+    with open(mpath) as f:
+        m = json.load(f)
+    m["input_fingerprint"] = "n=0,xor=0"
+    with open(mpath, "w") as f:
+        json.dump(m, f)
+    t = CP.build_resumable(
+        spark, keyed, SPEC, root, "window_start", [], build_fn, run_id="b"
+    )
+    assert len(calls) == 2, "stale window must rebuild"
+    assert t.count() == 2
+    # with verification off, stale is ignored
+    CP.build_resumable(
+        spark, keyed, SPEC, root, "window_start", [], build_fn,
+        run_id="c", verify_fingerprints=False,
+    )
+    assert len(calls) == 2
 
 
 def test_distinct_keys_invariance(spark):
