@@ -464,6 +464,73 @@ def _q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+_CIDR_DIM = [
+    ("10.0.0.0/8", "corp"),
+    ("10.64.0.0/10", "corp-west"),
+    ("10.64.32.0/19", "corp-west-dc1"),
+    ("192.168.0.0/16", "lan"),
+    ("192.168.1.0/24", "lan-mgmt"),
+]
+
+
+def _q_cidr_lpm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 + J1 over real CIDR prefixes (src/inet.c, subnet_activity.c:
+    441-507): parse dotted-quad text, longest-prefix-match against a
+    subnet dim via masked-address compare (NOT string prefixes).  The
+    IPs are synthesized deterministically from order keys so the DuckDB
+    oracle can recompute the match arithmetically."""
+    from honas_spark.functions.inet import ip4_aton
+    from honas_spark.operators.prefix_join import cidr_longest_prefix_join
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    k = F.col("o_orderkey")
+    a = (
+        F.when(k % 3 == 0, F.lit(10))
+        .when(k % 3 == 1, F.lit(192))
+        .otherwise((k % 200) + 11)
+    )
+    b = F.when(k % 3 == 1, F.lit(168)).otherwise((k * 13) % 256)
+    c = (k * 17) % 256
+    d = k % 256
+    ips = orders.select(
+        k.alias("row_id"),
+        F.concat_ws(
+            ".",
+            a.cast("string"), b.cast("string"),
+            c.cast("string"), d.cast("string"),
+        ).alias("ip"),
+    )
+    ips = ips.withColumn("ip_num", ip4_aton(F.col("ip")))
+    out = cidr_longest_prefix_join(ips, "ip_num", _CIDR_DIM)
+    return out.select(
+        "row_id",
+        "ip",
+        F.coalesce(F.col("matched_entity"), F.lit("-")).alias("entity"),
+        F.coalesce(F.col("matched_plen"), F.lit(0)).alias("plen"),
+    ).orderBy("row_id")
+
+
+def _q_instrumentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 instrumentation sink (src/instrumentation.c:92-114): per-type
+    processed/accepted counters over the ingest table, computed as ONE
+    conditional aggregation (every counter is a sum(case) on the same
+    scan).  The qtype analog is the document language."""
+    from honas_spark.instrumentation import instrument_run
+
+    corpus = documents_as_corpus(spark, sf_dir)
+    accept = (F.length(F.col("content")) >= 1) & (
+        F.length(F.col("content")) <= 1000
+    )
+    m = instrument_run(corpus, accept=accept, type_col="lang")
+    rows = [
+        (t, v["processed"], v["accepted"], v["processed"] - v["accepted"])
+        for t, v in sorted(m["per_type"].items())
+    ]
+    return spark.createDataFrame(
+        rows, "lang string, processed long, accepted long, skipped long"
+    )
+
+
 def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relational baseline (TPC-H Q1 shape) — scan+agg entirely in
     whole-stage codegen."""
@@ -763,6 +830,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_nation": _q_revenue_by_nation,
         "orders_window_rank": _q_orders_window_rank,
         "sessionize": _q_sessionize,
+        "instrumentation": _q_instrumentation,
+        "cidr_lpm": _q_cidr_lpm,
     }.items()}
 
 
@@ -1027,6 +1096,60 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text,
                        '[a-zA-Z0-9]+|[^a-zA-Z0-9 ]')) AS n_pieces
             FROM documents ORDER BY doc_id
+        """,
+        # Same deterministic IP synthesis + masked-compare LPM, longest
+        # prefix first (24 > 19 > 16 > 10 > 8), all integer arithmetic.
+        "cidr_lpm": """
+            WITH ips AS (
+                SELECT o_orderkey AS row_id,
+                    CASE WHEN o_orderkey % 3 = 0 THEN 10
+                         WHEN o_orderkey % 3 = 1 THEN 192
+                         ELSE (o_orderkey % 200) + 11 END AS a,
+                    CASE WHEN o_orderkey % 3 = 1 THEN 168
+                         ELSE (o_orderkey * 13) % 256 END AS b,
+                    (o_orderkey * 17) % 256 AS c,
+                    o_orderkey % 256 AS d
+                FROM orders
+            ), nums AS (
+                SELECT row_id,
+                       CAST(a AS VARCHAR) || '.' || CAST(b AS VARCHAR)
+                         || '.' || CAST(c AS VARCHAR) || '.'
+                         || CAST(d AS VARCHAR) AS ip,
+                       CAST(a AS BIGINT) * 16777216 + b * 65536 + c * 256 + d AS n
+                FROM ips
+            )
+            SELECT row_id, ip,
+                CASE
+                  WHEN n // 256 = (CAST(192 AS BIGINT)*16777216 + 168*65536 + 256) // 256
+                       THEN 'lan-mgmt'
+                  WHEN n // 8192 = (CAST(10 AS BIGINT)*16777216 + 64*65536 + 32*256) // 8192
+                       THEN 'corp-west-dc1'
+                  WHEN n // 65536 = 192*256 + 168 THEN 'lan'
+                  WHEN n // 4194304 = (CAST(10 AS BIGINT)*16777216 + 64*65536) // 4194304
+                       THEN 'corp-west'
+                  WHEN n // 16777216 = 10 THEN 'corp'
+                  ELSE '-' END AS entity,
+                CASE
+                  WHEN n // 256 = (CAST(192 AS BIGINT)*16777216 + 168*65536 + 256) // 256
+                       THEN 24
+                  WHEN n // 8192 = (CAST(10 AS BIGINT)*16777216 + 64*65536 + 32*256) // 8192
+                       THEN 19
+                  WHEN n // 65536 = 192*256 + 168 THEN 16
+                  WHEN n // 4194304 = (CAST(10 AS BIGINT)*16777216 + 64*65536) // 4194304
+                       THEN 10
+                  WHEN n // 16777216 = 10 THEN 8
+                  ELSE 0 END AS plen
+            FROM nums ORDER BY row_id
+        """,
+        "instrumentation": """
+            SELECT lang,
+                   count(*) AS processed,
+                   CAST(sum(CASE WHEN len(text) BETWEEN 1 AND 1000
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS accepted,
+                   CAST(sum(CASE WHEN len(text) BETWEEN 1 AND 1000
+                                 THEN 0 ELSE 1 END) AS BIGINT) AS skipped
+            FROM documents
+            GROUP BY lang ORDER BY lang
         """,
         # Recomputes the deterministic fake image decode from codepoints:
         # the payload is ASCII-sanitized, so utf-8 bytes == ascii() codes.

@@ -50,12 +50,19 @@ def _load_spec(args):
 
 
 def cmd_gather(args) -> int:
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
     from .functions.text import explode_keys
+    from .instrumentation import dump_line, instrument_run, write_metrics
     from .operators import build_sketches, sha256_key, with_window
     from .sources import checkpoint as CP
 
     spec = _load_spec(args)
     spark = _spark()
+    t0 = time.time()
     df = spark.read.parquet(args.input)
     keyed = explode_keys(
         df, args.name_col, entity_col=args.entity_col or None, sep=args.sep
@@ -75,7 +82,23 @@ def cmd_gather(args) -> int:
         spark, keyed, spec, args.output, "window_start", group_cols,
         build_fn, run_id=args.run_id,
     )
-    print(f"gathered {table.count()} sketch rows -> {args.output}")
+    n_rows = table.count()
+    # S9 instrumentation sink (instrumentation.c:92-114): per-run counters
+    # over the raw input — accepted = within the oversize bound, per-type
+    # = the qtype analog column if present
+    # accepted = inside the hygiene/oversize bounds (F3 analog)
+    name_len = F.length(F.col(args.name_col))
+    accept = (name_len >= 1) & (name_len <= 262_144)
+    type_col = "ptr_mode" if "ptr_mode" in df.columns else None
+    metrics = instrument_run(
+        df, accept=accept, type_col=type_col,
+        wall_sec=time.time() - t0,
+    )
+    metrics["run_id"] = args.run_id
+    metrics["sketch_rows"] = n_rows
+    write_metrics(os.path.join(args.output, "_metrics.json"), metrics)
+    print(dump_line(metrics))
+    print(f"gathered {n_rows} sketch rows -> {args.output}")
     return 0
 
 

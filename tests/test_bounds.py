@@ -82,3 +82,41 @@ def test_client_estimate_monotone():
     )
     assert K.estimate_clients_from_hits(2, 8, 2) <= K.estimate_clients_from_hits(6, 8, 2)
     assert K.estimate_clients_from_hits(0, 8, 2) == 0.0
+
+
+def test_fpr_sweep_actual_vs_theoretical():
+    """Port of the reference's FPR ground-truth sweep
+    (scripts/honas_actual_theoretical_fp.py, ndn_falsepositive_check.py):
+    across a grid of fill rates (n x k configs), the observed
+    false-positive rate of never-inserted keys must (a) stay within the
+    published bound (1-e^{-kn/m})^k plus sampling noise, and (b) track
+    the fill^k 'actual FPR' diagnostic the info sink reports."""
+    rng = np.random.default_rng(1234)
+    nq = 30_000
+    non_members = [rng.bytes(32) for _ in range(nq)]
+    sweep = []
+    for k in (2, 4, 7):
+        for n in (2_000, 8_000, 24_000):
+            spec = SketchSpec(
+                m_bits=1 << 16, k=k, cms_width=256, kll_k=64
+            )
+            state = SketchState(spec)
+            state.update(pd.Series([rng.bytes(32) for _ in range(n)]))
+            s = state.stats()
+            hits, _ = state.probe(non_members)
+            observed = hits.sum() / nq
+            bound = K.fpr_theory(k, n, spec.m_bits)
+            diag = s["actual_fpr"][0]
+            sigma = math.sqrt(max(bound, 1e-12) * (1 - bound) / nq)
+            assert observed <= bound + 4 * sigma + 1e-4, (k, n, observed, bound)
+            # diagnostic (fill^k) approximates the observation within 30%
+            # + noise at every fill level, like the reference's CSV sweep
+            assert observed <= diag * 1.3 + 4 * sigma + 1e-4, (k, n)
+            sweep.append((k, n, s["fill_rate"][0], observed, bound, diag))
+    # the sweep must actually cover a wide fill range
+    fills = [f for _, _, f, _, _, _ in sweep]
+    assert min(fills) < 0.1 and max(fills) > 0.5, fills
+    # FPR grows monotonically with n at fixed k (sanity of the sweep)
+    for k in (2, 4, 7):
+        row = [o for kk, n, f, o, b, d in sweep if kk == k]
+        assert row == sorted(row), (k, row)

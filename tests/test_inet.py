@@ -1,0 +1,150 @@
+"""P9 IP parse/format + CIDR longest-prefix join (reference src/inet.c,
+src/subnet_activity.c:441-507)."""
+
+import ipaddress
+
+from pyspark.sql import functions as F
+
+from honas_spark.functions.inet import (
+    ip4_aton,
+    ip4_mask,
+    ip4_ntoa,
+    ip6_aton,
+    ip6_mask,
+    ip6_ntoa,
+    parse_cidr,
+)
+from honas_spark.operators.prefix_join import cidr_longest_prefix_join
+
+
+def test_ip4_roundtrip_and_validation(spark):
+    rows = [
+        ("0.0.0.0", 0),
+        ("255.255.255.255", 4294967295),
+        ("10.64.32.1", 10 * 16777216 + 64 * 65536 + 32 * 256 + 1),
+        ("192.168.1.77", None),  # filled below
+        ("256.1.1.1", "bad"),
+        ("1.2.3", "bad"),
+        ("a.b.c.d", "bad"),
+        ("1.2.3.4.5", "bad"),
+    ]
+    df = spark.createDataFrame(
+        [(s,) for s, _ in rows], "ip string"
+    ).withColumn("n", ip4_aton(F.col("ip")))
+    got = {r["ip"]: r["n"] for r in df.collect()}
+    for s, expect in rows:
+        if expect == "bad":
+            assert got[s] is None, s
+        else:
+            assert got[s] == int(ipaddress.IPv4Address(s)), s
+    # format round-trips every valid address
+    rt = (
+        df.filter(F.col("n").isNotNull())
+        .withColumn("rt", ip4_ntoa(F.col("n")))
+        .collect()
+    )
+    for r in rt:
+        assert r["rt"] == r["ip"]
+
+
+def test_ip4_mask_matches_ipaddress(spark):
+    addr = int(ipaddress.IPv4Address("10.64.45.200"))
+    df = spark.createDataFrame([(addr,)], "n long")
+    for plen in (0, 1, 8, 10, 19, 24, 31, 32):
+        got = df.select(ip4_mask(F.col("n"), plen).alias("m")).collect()[0][
+            "m"
+        ]
+        expect = int(
+            ipaddress.ip_network((addr, plen), strict=False).network_address
+        )
+        assert got == expect, plen
+
+
+def test_ip6_roundtrip_and_mask(spark):
+    addrs = [
+        "2001:db8::1",
+        "::1",
+        "fe80::a:b:c:d",
+        "ffff:ffff:ffff:ffff:ffff:ffff:ffff:ffff",
+    ]
+    df = spark.createDataFrame(
+        [(a,) for a in addrs] + [("not-an-ip",)], "ip string"
+    ).withColumn("limbs", ip6_aton(F.col("ip")))
+    out = df.withColumn("rt", ip6_ntoa(F.col("limbs"))).collect()
+    got = {r["ip"]: r for r in out}
+    for a in addrs:
+        assert got[a]["rt"] == str(ipaddress.IPv6Address(a))
+    assert got["not-an-ip"]["limbs"]["hi"] is None
+
+    # masking equals ipaddress-computed network addresses at both limb sides
+    for plen in (1, 48, 64, 65, 96, 128):
+        m = (
+            df.filter(F.col("ip") == "fe80::a:b:c:d")
+            .select(ip6_ntoa(ip6_mask(F.col("limbs"), plen)).alias("m"))
+            .collect()[0]["m"]
+        )
+        expect = ipaddress.ip_network(
+            ("fe80::a:b:c:d", plen), strict=False
+        ).network_address
+        assert m == str(expect), plen
+
+
+def test_parse_cidr():
+    assert parse_cidr("10.0.0.0/8") == (4, 10 * 16777216, 8)
+    v, n, p = parse_cidr("2001:db8::/32")
+    assert (v, p) == (6, 32)
+
+
+_DIM = [
+    ("10.0.0.0/8", "corp"),
+    ("10.64.0.0/10", "corp-west"),
+    ("10.64.32.0/19", "corp-west-dc1"),
+    ("192.168.0.0/16", "lan"),
+    ("192.168.1.0/24", "lan-mgmt"),
+]
+
+
+def _expected_lpm(ip: str):
+    best = (None, None)
+    for cidr, ent in _DIM:
+        net = ipaddress.ip_network(cidr)
+        if ipaddress.IPv4Address(ip) in net:
+            if best[1] is None or net.prefixlen > best[1]:
+                best = (ent, net.prefixlen)
+    return best
+
+
+def test_cidr_lpm_fast_path_and_fallback_agree(spark):
+    ips = [
+        "10.1.2.3",        # corp /8
+        "10.64.1.1",       # corp-west /10
+        "10.64.45.9",      # corp-west-dc1 /19
+        "10.127.255.255",  # corp-west /10
+        "192.168.1.77",    # lan-mgmt /24
+        "192.168.2.1",     # lan /16
+        "8.8.8.8",         # no match
+        "11.0.0.1",        # no match
+    ]
+    df = spark.createDataFrame(
+        [(i, ip) for i, ip in enumerate(ips)], "row_id long, ip string"
+    ).withColumn("n", ip4_aton(F.col("ip")))
+
+    fast = cidr_longest_prefix_join(df, "n", _DIM)
+    slow = cidr_longest_prefix_join(df, "n", _DIM, max_case_entries=0)
+    f = {r["ip"]: (r["matched_entity"], r["matched_plen"])
+         for r in fast.collect()}
+    s = {r["ip"]: (r["matched_entity"], r["matched_plen"])
+         for r in slow.collect()}
+    for ip in ips:
+        assert f[ip] == _expected_lpm(ip), ip
+        assert s[ip] == _expected_lpm(ip), ip
+
+
+def test_cidr_lpm_fast_path_is_pure_projection(spark):
+    """The CASE fast path must add no exchange to the plan."""
+    df = spark.createDataFrame(
+        [(1, int(ipaddress.IPv4Address("10.1.2.3")))], "row_id long, n long"
+    )
+    plan = cidr_longest_prefix_join(df, "n", _DIM)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Exchange" not in plan
