@@ -163,14 +163,47 @@ def minhash_lsh_candidates(
         ).alias("band", "bh"),
     )
     if max_bucket_size is not None:
-        banded = (
-            banded.withColumn(
-                "_bsz",
-                F.count(F.lit(1)).over(Window.partitionBy("band", "bh")),
+        # hot-bucket cap WITHOUT a window sort: bucket sizes come from a
+        # groupBy on the same key, and the filtering join re-uses the
+        # (band, bh) exchange (ReusedExchange under AQE) — cheaper than
+        # the sort-based window and bounded-memory at any skew.
+        good = (
+            banded.groupBy("band", "bh")
+            .agg(F.count(F.lit(1)).alias("_bsz"))
+            .filter(
+                (F.col("_bsz") <= max_bucket_size) & (F.col("_bsz") >= 2)
             )
-            .filter(F.col("_bsz") <= max_bucket_size)
-            .drop("_bsz")
+            .select("band", "bh")
         )
+        banded = banded.join(good, ["band", "bh"], "left_semi")
+        # buckets are now <= max_bucket_size: generate pairs INSIDE each
+        # bucket from a collect_list (pure projection) instead of a
+        # bucket self-join — one fewer shuffle of the banded table and no
+        # join explosion.
+        ids = F.array_sort(F.col("ids"))
+        n = F.size(ids)
+        pair_array = F.flatten(
+            F.transform(
+                ids,
+                lambda x, i: F.transform(
+                    F.slice(ids, i + 2, n - i - 1),
+                    lambda y: F.struct(
+                        x.alias("id_a"), y.alias("id_b")
+                    ),
+                ),
+            )
+        )
+        return (
+            banded.groupBy("band", "bh")
+            .agg(F.collect_list("_id").alias("ids"))
+            .select(F.explode(pair_array).alias("p"))
+            .groupBy(
+                F.col("p.id_a").alias("id_a"),
+                F.col("p.id_b").alias("id_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("n_bands_matched"))
+        )
+    # uncapped path (caller vouches for bucket sizes): bucket self-join
     a = banded.alias("a")
     b = banded.alias("b")
     return (

@@ -43,13 +43,6 @@ def probe_sketches(
     keys = [q[1] for q in qlist]
     shas = [q[2] for q in qlist]
 
-    # derive offsets once per (filter_index, key) on the driver
-    limbs = K.hashes_to_limbs(shas, spec.hash_len)
-    per_filter_offsets = [
-        K.bloom_offsets(K.transform_limbs(limbs, fi), spec.m_bits, spec.k)
-        for fi in range(spec.num_filters)
-    ]
-
     from .sketch_agg import _group_fields_ddl
 
     group_ddl = _group_fields_ddl(sketch_df, group_cols)
@@ -60,7 +53,22 @@ def probe_sketches(
     )
 
     def probe(batches):
+        # offsets are derived executor-side (vectorized numpy over all
+        # queries x filters): the closure ships only the 32-byte SHAs
+        # instead of k*F precomputed offsets per key — ~10x less task
+        # payload for large query sets, and the derivation runs in
+        # parallel across sketch partitions instead of serial on the
+        # driver.  Lazily, so empty partitions pay nothing.
+        per_filter_offsets = None
         for pdf in batches:
+            if per_filter_offsets is None:
+                limbs = K.hashes_to_limbs(shas, spec.hash_len)
+                per_filter_offsets = [
+                    K.bloom_offsets(
+                        K.transform_limbs(limbs, fi), spec.m_bits, spec.k
+                    )
+                    for fi in range(spec.num_filters)
+                ]
             rows: dict[str, list] = {c: [] for c in group_cols}
             rows.update(
                 group_id=[], key=[], hits=[], filters_hit=[], n_rows=[],

@@ -403,11 +403,11 @@ def _merge_by_group(spec: SketchSpec, group_cols: list):
             for gkey, sub in pdf.groupby(group_cols, sort=False, dropna=False):
                 if not isinstance(gkey, tuple):
                     gkey = (gkey,)
+                # vectorized reduce over the whole sub-frame (one numpy
+                # reduction per component, not one merge per row)
+                st = SketchState.merge_many(spec, sub)
                 merged = states.get(gkey)
-                for row in sub.to_dict("records"):
-                    st = SketchState.from_fields(spec, row)
-                    merged = st if merged is None else merged.merge(st)
-                states[gkey] = merged
+                states[gkey] = st if merged is None else merged.merge(st)
         if states:
             yield _states_to_pdf(states, group_cols)
 

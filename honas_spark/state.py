@@ -116,6 +116,59 @@ class SketchState:
         out.last_ts = _opt_max(self.last_ts, other.last_ts)
         return out
 
+    @classmethod
+    def merge_many(cls, spec: SketchSpec, sub) -> "SketchState":
+        """Reduce MANY serialized partial rows (a pandas sub-frame with
+        the sketch value columns) in one vectorized pass: one
+        bitwise_or.reduce / maximum.reduce / add.reduce over the stacked
+        buffers instead of P sequential deserialize+merge round trips.
+        Bit-identical to folding with merge() (associativity)."""
+        import pandas as pd
+
+        out = cls(spec)
+        out.filters = (
+            np.bitwise_or.reduce(
+                np.stack(
+                    [np.frombuffer(b, np.uint8) for b in sub["filters"]]
+                ),
+                axis=0,
+            )
+            .reshape(spec.num_filters, spec.filter_bytes)
+        )
+        out.hll_clients = np.maximum.reduce(
+            np.stack(
+                [np.frombuffer(b, np.uint8) for b in sub["hll_clients"]]
+            ),
+            axis=0,
+        )
+        out.hll_items = np.maximum.reduce(
+            np.stack(
+                [np.frombuffer(b, np.uint8) for b in sub["hll_items"]]
+            ),
+            axis=0,
+        )
+        out.cms = (
+            np.add.reduce(
+                np.stack(
+                    [np.frombuffer(b, "<i8") for b in sub["cms"]]
+                ),
+                axis=0,
+            )
+            .reshape(spec.cms_depth, spec.cms_width)
+            .astype(np.int64)
+        )
+        kll = None
+        for b in sub["kll"]:
+            nxt = K.KLL.from_bytes(b)
+            kll = nxt if kll is None else kll.merge(nxt)
+        out.kll = kll
+        out.n_rows = int(sub["n_rows"].sum())
+        first = sub["first_ts"].min()
+        last = sub["last_ts"].max()
+        out.first_ts = None if pd.isna(first) else first
+        out.last_ts = None if pd.isna(last) else last
+        return out
+
     # ------------------------------------------------------------------ #
     # probe — honas_state_check_host_name_lookups (honas_state.c:456-474):#
     # each key is checked against EVERY filter (with its per-filter       #

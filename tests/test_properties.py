@@ -130,3 +130,24 @@ def test_merge_rejects_spec_mismatch():
                                cms_width=256, kll_k=64))
     with pytest.raises(ValueError):
         a.merge(b)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(keys_strategy, min_size=1, max_size=6),
+    clients_strategy,
+)
+def test_merge_many_equals_sequential_fold(key_lists, clients):
+    """The vectorized merge_many reduce must be bit-identical to folding
+    the same partials with pairwise merge()."""
+    states = [_build(ks, clients) for ks in key_lists]
+    seq = states[0]
+    for s in states[1:]:
+        seq = seq.merge(s)
+    sub = pd.DataFrame([s.to_fields() for s in states])
+    vec = SketchState.merge_many(SPEC, sub)
+    assert _exact_eq(seq, vec)
+    assert np.array_equal(seq.cms, vec.cms)
+    assert seq.first_ts == vec.first_ts or (
+        seq.first_ts is None and vec.first_ts is None
+    )
