@@ -392,7 +392,9 @@ def _q_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic language ID (deterministic heuristic -> rows-only)."""
+    """Heuristic language ID — deterministic marker-count argmax with a
+    lexicographic-lang tiebreak, so the DuckDB oracle can recompute it
+    exactly (marker sums + greatest + CASE in descending lang order)."""
     docs = _docs(spark, sf_dir)
     return docs.select(
         "doc_id", T.language_guess(F.col("text")).alias("lang_guess")
@@ -508,6 +510,23 @@ def _q_cidr_lpm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("matched_entity"), F.lit("-")).alias("entity"),
         F.coalesce(F.col("matched_plen"), F.lit(0)).alias("plen"),
     ).orderBy("row_id")
+
+
+def _q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash sampling (reproducible corpus cuts):
+    keep ~20% of documents by md5 bucket + exactly 3 docs per lang chosen
+    uniformly-at-hash.  Pure filter / one window — both exactly
+    recomputable in SQL."""
+    from honas_spark.operators.sampling import hash_sample, top_k_by_hash
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    sampled = hash_sample(docs, "text", 20).select(
+        "doc_id", F.lit("rate20").alias("part")
+    )
+    topk = top_k_by_hash(docs, "text", ["lang"], k=3).select(
+        "doc_id", F.lit("top3").alias("part")
+    )
+    return sampled.unionByName(topk).orderBy("part", "doc_id")
 
 
 def _q_instrumentation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -832,6 +851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": _q_sessionize,
         "instrumentation": _q_instrumentation,
         "cidr_lpm": _q_cidr_lpm,
+        "hash_sample": _q_hash_sample,
     }.items()}
 
 
@@ -1096,6 +1116,65 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text,
                        '[a-zA-Z0-9]+|[^a-zA-Z0-9 ]')) AS n_pieces
             FROM documents ORDER BY doc_id
+        """,
+        # md5 buckets are engine-independent: CAST('0x'||hex AS BIGINT)
+        # in DuckDB == conv(hex,16,10) in Spark.
+        "hash_sample": """
+            WITH b AS (
+                SELECT doc_id, lang, text,
+                       CAST(concat('0x', substr(md5(text), 1, 8))
+                            AS BIGINT) % 100 AS bkt,
+                       CAST(concat('0x', substr(md5(text), 1, 8))
+                            AS BIGINT) % 2147483648 AS rk_h
+                FROM documents
+            )
+            SELECT doc_id, 'rate20' AS part FROM b WHERE bkt < 20
+            UNION ALL
+            SELECT doc_id, 'top3' AS part FROM (
+                SELECT doc_id,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY rk_h, text) AS rn
+                FROM b
+            ) WHERE rn <= 3
+            ORDER BY part, doc_id
+        """,
+        # language_guess = argmax over marker-stopword counts; array_max
+        # over (score, lang) structs ties toward the lexicographically
+        # greatest lang, mirrored by the descending-lang CASE below.
+        "langid": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(list_filter(
+                           string_split_regex(lower(text), '\\s+'),
+                           x -> x <> '')) AS t
+                FROM documents
+            ), sc AS (
+                SELECT doc_id,
+                    sum(CASE WHEN t IN ('the','and','of','is')
+                             THEN 1 ELSE 0 END) AS s_en,
+                    sum(CASE WHEN t IN ('el','la','los','que','y')
+                             THEN 1 ELSE 0 END) AS s_es,
+                    sum(CASE WHEN t IN ('le','la','les','et','est')
+                             THEN 1 ELSE 0 END) AS s_fr,
+                    sum(CASE WHEN t IN ('der','die','das','und','ist')
+                             THEN 1 ELSE 0 END) AS s_de,
+                    sum(CASE WHEN t IN ('de5','shi4','he2')
+                             THEN 1 ELSE 0 END) AS s_zh
+                FROM toks GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                CASE
+                  WHEN coalesce(s_zh, 0) = m THEN 'zh'
+                  WHEN coalesce(s_fr, 0) = m THEN 'fr'
+                  WHEN coalesce(s_es, 0) = m THEN 'es'
+                  WHEN coalesce(s_en, 0) = m THEN 'en'
+                  ELSE 'de' END AS lang_guess
+            FROM documents d LEFT JOIN sc USING (doc_id),
+                 LATERAL (SELECT greatest(
+                     coalesce(s_en, 0), coalesce(s_es, 0),
+                     coalesce(s_fr, 0), coalesce(s_de, 0),
+                     coalesce(s_zh, 0)) AS m)
+            ORDER BY d.doc_id
         """,
         # Same deterministic IP synthesis + masked-compare LPM, longest
         # prefix first (24 > 19 > 16 > 10 > 8), all integer arithmetic.
