@@ -420,8 +420,9 @@ def _q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed ANN top-5 (scale path; recall vs brute force asserted
-    in tests -> rows-only)."""
+    """IVF-bucketed ANN top-5 with 2 distributed k-means refinement
+    iterations (scale path; recall vs brute force asserted in tests ->
+    rows-only)."""
     emb = _emb(spark, sf_dir)
     queries = (
         emb.filter(F.col("vec_id") < 3)
@@ -431,7 +432,7 @@ def _q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     cands = emb.filter(F.col("vec_id") >= 3)
-    bucketed, cents = ivf_index(cands, n_centroids=8)
+    bucketed, cents = ivf_index(cands, n_centroids=8, kmeans_iters=2)
     return (
         ivf_topk(bucketed, cents, queries, k=5, nprobe=3)
         .select("query_id", "neighbor_id", "rank")

@@ -91,17 +91,59 @@ def _assign_udf(centroids: np.ndarray):
     return assign
 
 
+def kmeans_refine(
+    vectors: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    n_iters: int = 3,
+) -> np.ndarray:
+    """Distributed Lloyd iterations over the (optionally pre-sampled)
+    vector table: assignment is one matmul per Arrow batch; the new
+    means come from ONE shuffle of (bucket, dim) partial sums per
+    iteration (map-side combined), so per-iter driver traffic is
+    O(C x D) regardless of N.  Deterministic: ties in argmax break to
+    the lowest bucket.  Empty buckets keep their previous centroid."""
+    C, D = centroids.shape
+    for _ in range(n_iters):
+        assigned = vectors.withColumn(
+            "bucket", _assign_udf(centroids)(F.col(vec_col))
+        )
+        rows = (
+            assigned.select(
+                "bucket", F.posexplode(F.col(vec_col)).alias("pos", "val")
+            )
+            .groupBy("bucket", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        sums = np.zeros((C, D), dtype=np.float64)
+        counts = np.zeros(C, dtype=np.int64)
+        for r in rows:
+            sums[r["bucket"], r["pos"]] = r["s"]
+            counts[r["bucket"]] = r["n"]
+        new = centroids.copy()
+        nonempty = counts > 0
+        new[nonempty] = sums[nonempty] / counts[nonempty, None]
+        centroids = new
+    return centroids
+
+
 def ivf_index(
     vectors: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_centroids: int = 16,
     sample_stride: Optional[int] = None,
+    kmeans_iters: int = 0,
+    train_sample_pct: Optional[int] = None,
 ) -> tuple[DataFrame, np.ndarray]:
-    """Bucket every vector to its nearest centroid.  Centroids are a
-    deterministic stratified sample of the data (stride over ids) — a
-    single k-means iteration away from real IVF, which is a quality knob,
-    not a plumbing change.  Returns (bucketed df, centroids)."""
+    """Bucket every vector to its nearest centroid.
+
+    Centroid init is a deterministic stratified sample of the data
+    (stride over ids); `kmeans_iters > 0` refines them with distributed
+    Lloyd iterations (kmeans_refine) — at corpus scale pass
+    `train_sample_pct` to train on a deterministic hash sample while
+    still assigning the FULL table.  Returns (bucketed df, centroids)."""
     total = vectors.count()
     stride = sample_stride or max(total // n_centroids, 1)
     cents = (
@@ -112,6 +154,17 @@ def ivf_index(
         .collect()
     )
     centroids = np.array([r[0] for r in cents], dtype=np.float64)
+    if kmeans_iters > 0:
+        train = vectors
+        if train_sample_pct is not None:
+            from .sampling import hash_sample
+
+            train = hash_sample(
+                vectors.withColumn("_sk", F.col(id_col).cast("string")),
+                "_sk",
+                train_sample_pct,
+            )
+        centroids = kmeans_refine(train, centroids, vec_col, kmeans_iters)
     bucketed = vectors.withColumn(
         "bucket", _assign_udf(centroids)(F.col(vec_col))
     )

@@ -257,3 +257,86 @@ def test_streaming_store_crash_recovery(spark, tmp_path):
     assert os.path.isdir(victim)
     assert not os.path.isdir(victim + ".old")
     assert not os.path.isdir(victim + ".tmp-99")
+
+
+def test_kmeans_refine_improves_or_matches_quantization(spark, vectors):
+    """Distributed Lloyd refinement must not worsen (and normally
+    shrinks) the within-cluster quantization error, and assignment stays
+    deterministic across repartitioning."""
+    import numpy as np
+    from honas_spark.operators.knn import ivf_index, kmeans_refine
+
+    _, init = ivf_index(vectors, n_centroids=4)
+
+    def sse(cents):
+        rows = vectors.collect()
+        m = np.stack([np.asarray(r["embedding"]) for r in rows])
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        cn = cents / np.maximum(
+            np.linalg.norm(cents, axis=1, keepdims=True), 1e-12
+        )
+        assign = np.argmax(mn @ cn.T, axis=1)
+        return float(((m - cents[assign]) ** 2).sum())
+
+    refined = kmeans_refine(vectors, init, n_iters=3)
+    assert sse(refined) <= sse(init) + 1e-9
+    # determinism: same input partitioned differently -> same centroids
+    refined2 = kmeans_refine(vectors.repartition(5), init, n_iters=3)
+    assert np.allclose(refined, refined2)
+    # full pipeline with refinement still returns valid buckets
+    bucketed, cents = ivf_index(
+        vectors, n_centroids=4, kmeans_iters=2, train_sample_pct=90
+    )
+    assert bucketed.filter("bucket < 0 OR bucket >= 4").count() == 0
+
+
+def test_streaming_late_data_merges_into_event_window(spark, tmp_path):
+    """W3: rows arriving AFTER their window was built (late data) must
+    merge into their event-time window on the next run, converging to the
+    same store as a single batch build over everything — the reference
+    stamps with now() and cannot do this (Quirk W3)."""
+    import os
+
+    from honas_spark.spec import SketchSpec
+    from honas_spark.operators import build_sketches, sha256_key, with_window
+    from honas_spark.sources.corpus import generate_corpus
+    from honas_spark.streaming.stream import StreamingSketchBuilder
+
+    spec = SketchSpec(m_bits=1 << 14, k=5, window="1 hour",
+                      cms_width=256, kll_k=64)
+    src_dir = str(tmp_path / "landing")
+    os.makedirs(src_dir)
+    corpus = generate_corpus(spark, 600, n_hours=2)
+    keyed = sha256_key(
+        with_window(corpus, "commit_ts", spec.window), "path"
+    ).select("window_start", "key_sha", "repo", "commit_ts").cache()
+    on_time = keyed.filter(F.hour("window_start") == 1)
+    late = keyed.filter(F.hour("window_start") == 0)  # older window
+
+    builder = StreamingSketchBuilder(
+        spec, str(tmp_path / "store"), group_cols=[],
+        client_col="repo", ts_col="commit_ts",
+    )
+
+    def run_once():
+        stream = spark.readStream.schema(keyed.schema).parquet(src_dir)
+        q = builder.start(stream, checkpoint_dir=str(tmp_path / "ckpt"))
+        q.awaitTermination(120)
+
+    on_time.write.mode("append").parquet(src_dir)
+    run_once()
+    assert builder.read_store(spark).count() == 1  # only hour-1 window
+
+    late.write.mode("append").parquet(src_dir)     # late arrival
+    run_once()
+    got = {str(r["window_start"]): r for r in
+           builder.read_store(spark).collect()}
+    batch = {str(r["window_start"]): r for r in build_sketches(
+        keyed, spec, group_cols=["window_start"], client_col="repo",
+        ts_col="commit_ts",
+    ).collect()}
+    keyed.unpersist()
+    assert got.keys() == batch.keys() and len(got) == 2
+    for k in batch:
+        assert got[k]["filters"] == batch[k]["filters"], k
+        assert got[k]["n_rows"] == batch[k]["n_rows"], k
