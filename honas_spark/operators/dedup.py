@@ -175,7 +175,9 @@ def minhash_lsh_candidates(
             )
             .select("band", "bh")
         )
-        banded = banded.join(good, ["band", "bh"], "left_semi")
+        banded = banded.join(
+            good.hint("shuffle_hash"), ["band", "bh"], "left_semi"
+        )
         # buckets are now <= max_bucket_size: generate pairs INSIDE each
         # bucket from a collect_list (pure projection) instead of a
         # bucket self-join — one fewer shuffle of the banded table and no

@@ -131,6 +131,11 @@ def build_resumable(
     longer matches its manifest's fingerprint is rebuilt instead of
     silently reused."""
     write_spec(root, spec)
+    # sweep half-published tmp dirs from crashed runs (a tmp dir with a
+    # different run_id would otherwise linger forever)
+    for name in os.listdir(root):
+        if ".tmp-" in name:
+            shutil.rmtree(os.path.join(root, name), ignore_errors=True)
     done = list_done_windows(root)
 
     has_sha = "content_sha256" in df.columns

@@ -71,3 +71,24 @@ def test_sketch_build_shuffles_once(spark):
     )
     s = plan_summary(sk)
     assert s["n_exchanges"] <= 2, s
+
+
+def test_minhash_lsh_capped_path_avoids_window_sort(spark):
+    """The hot-bucket cap must come from a groupBy-count semi-join, not a
+    sort-based window; pair generation is a projection over collected
+    buckets (no bucket self-join)."""
+    from honas_spark.operators.dedup import (
+        minhash_lsh_candidates, minhash_signatures,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"some text number {i % 7} repeated here") for i in range(50)],
+        "doc_id long, text string",
+    )
+    sig = minhash_signatures(df, "doc_id", "text", num_hashes=16, n=2)
+    out = minhash_lsh_candidates(
+        sig, "doc_id", num_hashes=16, bands=4, max_bucket_size=20
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
