@@ -513,6 +513,53 @@ def _q_cidr_lpm(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("row_id")
 
 
+def _q_search_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL honas-search result semantics under the exact gate:
+    per-key threshold, group AND (hits_by_all_hostnames), and zero-hit
+    group omission (honas_search.c:188-217, 303-314).  F=1/u=1 at
+    FPR~1e-27 makes every hit count pure membership, so a SQL EXISTS
+    oracle checks the search pipeline itself, not just the filters."""
+    docs = _docs(spark, sf_dir)
+    keyed = sha256_key(docs.select("lang", "text"), "text")
+    sk = build_sketches(keyed, _MEMBER_SPEC, group_cols=["lang"])
+    probes = {
+        f"k{r['doc_id']}": r["text"]
+        for r in docs.filter(F.col("doc_id") < 2)
+        .select("doc_id", "text")
+        .collect()
+    }
+    job = {
+        "groups": [
+            {"id": 1, "hostnames": {
+                k: hashlib.sha256(v.encode()).hexdigest()
+                for k, v in probes.items()
+            }},
+            {"id": 2, "hostnames": {
+                "k0": hashlib.sha256(probes["k0"].encode()).hexdigest(),
+                "n0": hashlib.sha256(b"nonmember-0").hexdigest(),
+            }},
+            {"id": 3, "hostnames": {
+                "n1": hashlib.sha256(b"nonmember-1").hexdigest(),
+            }},
+        ]
+    }
+    key_df, group_df = run_search(sk, _MEMBER_SPEC, job, ["lang"])
+    keys = key_df.select(
+        "lang", "group_id", "key",
+        F.col("hits").cast("long").alias("hits"),
+        F.lit("key").alias("part"),
+    )
+    groups = group_df.select(
+        "lang", "group_id",
+        F.lit("(group)").alias("key"),
+        F.col("hits_by_all_hostnames").cast("long").alias("hits"),
+        F.lit("group").alias("part"),
+    )
+    return keys.unionByName(groups).orderBy(
+        "part", "lang", "group_id", "key"
+    )
+
+
 def _q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic content-hash sampling (reproducible corpus cuts):
     keep ~20% of documents by md5 bucket + exactly 3 docs per lang chosen
@@ -913,6 +960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "instrumentation": _q_instrumentation,
         "cidr_lpm": _q_cidr_lpm,
         "hash_sample": _q_hash_sample,
+        "search_semantics": _q_search_semantics,
     }.items()}
 
 
@@ -1206,6 +1254,37 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text,
                        '[a-zA-Z0-9]+|[^a-zA-Z0-9 ]')) AS n_pieces
             FROM documents ORDER BY doc_id
+        """,
+        # run_search semantics as EXISTS-membership: key rows pass the
+        # u=1 threshold iff member; a group row appears iff ANY key hit
+        # (zero-hit omission) with hits_by_all = min(membership) (AND).
+        "search_semantics": """
+            WITH p AS (
+                SELECT 1 AS gid,
+                       'k' || CAST(doc_id AS VARCHAR) AS key,
+                       text AS ptext
+                FROM documents WHERE doc_id < 2
+                UNION ALL
+                SELECT 2, 'k0', text FROM documents WHERE doc_id = 0
+                UNION ALL SELECT 2, 'n0', 'nonmember-0'
+                UNION ALL SELECT 3, 'n1', 'nonmember-1'
+            ), langs AS (SELECT DISTINCT lang FROM documents),
+            m AS (
+                SELECT l.lang, p.gid, p.key,
+                       CASE WHEN EXISTS (
+                           SELECT 1 FROM documents d
+                           WHERE d.lang = l.lang AND d.text = p.ptext
+                       ) THEN 1 ELSE 0 END AS mem
+                FROM langs l CROSS JOIN p
+            )
+            SELECT lang, gid AS group_id, key,
+                   CAST(mem AS BIGINT) AS hits, 'key' AS part
+            FROM m WHERE mem = 1
+            UNION ALL
+            SELECT lang, gid AS group_id, '(group)' AS key,
+                   CAST(min(mem) AS BIGINT) AS hits, 'group' AS part
+            FROM m GROUP BY lang, gid HAVING max(mem) = 1
+            ORDER BY part, lang, group_id, key
         """,
         # md5 buckets are engine-independent: CAST('0x'||hex AS BIGINT)
         # in DuckDB == conv(hex,16,10) in Spark.

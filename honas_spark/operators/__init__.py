@@ -1,5 +1,15 @@
 from .sketch_agg import (
-    build_sketches, rollup_sketches, finalize_stats, with_window, sha256_key,
+    build_sketches, rollup_sketches, finalize_stats, per_filter_stats,
+    with_window, sha256_key, with_client_hash,
 )
-from .probe import probe_sketches
-from .prefix_join import longest_prefix_join
+from .probe import probe_sketches, cms_probe
+from .prefix_join import longest_prefix_join, cidr_longest_prefix_join
+from .sampling import hash_sample, stratified_hash_sample, top_k_by_hash
+
+__all__ = [
+    "build_sketches", "rollup_sketches", "finalize_stats",
+    "per_filter_stats", "with_window", "sha256_key", "with_client_hash",
+    "probe_sketches", "cms_probe",
+    "longest_prefix_join", "cidr_longest_prefix_join",
+    "hash_sample", "stratified_hash_sample", "top_k_by_hash",
+]
