@@ -152,6 +152,22 @@ class StreamingSketchBuilder:
                 merged = batch_slice
             tmp = final + f".tmp-{epoch_id}"
             merged.write.mode("overwrite").parquet(tmp)
+            # per-window lineage manifest (north rule): which epoch last
+            # touched this window, when, and how many sketch rows it holds
+            import json
+            import time as _time
+
+            with open(os.path.join(tmp, "_manifest.json"), "w") as f:
+                json.dump(
+                    {
+                        "window": str(w),
+                        "last_epoch_id": int(epoch_id),
+                        "committed_at": _time.time(),
+                        "sketch_rows": spark.read.parquet(tmp).count(),
+                        "spec": self.spec.to_dict(),
+                    },
+                    f,
+                )
             self._publish(tmp, final)
         batch_sketches.unpersist()
 

@@ -148,3 +148,23 @@ def test_cidr_lpm_fast_path_is_pure_projection(spark):
     plan = cidr_longest_prefix_join(df, "n", _DIM)._jdf.queryExecution(
     ).executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_cidr_lpm_random_ips_match_ipaddress_model(spark):
+    """200 seeded-random IPs through both physical paths must match the
+    python `ipaddress` reference model exactly."""
+    import numpy as np
+
+    rng = np.random.default_rng(99)
+    raw = rng.integers(0, 2**32, size=200, dtype=np.uint64)
+    ips = [str(ipaddress.IPv4Address(int(v))) for v in raw]
+    df = spark.createDataFrame(
+        [(i, ip) for i, ip in enumerate(ips)], "row_id long, ip string"
+    ).withColumn("n", ip4_aton(F.col("ip")))
+    for kwargs in ({}, {"max_case_entries": 0}):
+        got = {
+            r["ip"]: (r["matched_entity"], r["matched_plen"])
+            for r in cidr_longest_prefix_join(df, "n", _DIM, **kwargs).collect()
+        }
+        for ip in ips:
+            assert got[ip] == _expected_lpm(ip), (ip, kwargs)
