@@ -71,6 +71,14 @@ def write_plotmode_csv(
     group_cols: Sequence[str],
     path: str,
 ) -> None:
-    info_rows(sketch_df, spec, group_cols).write.mode("overwrite").option(
-        "header", True
-    ).csv(path)
+    # one row per sketch group (bounded) -> a single CSV FILE like the
+    # reference's --plotmode output, not a Spark part-file directory
+    rows = info_rows(sketch_df, spec, group_cols).collect()
+    import csv
+
+    with open(path, "w", newline="") as f:
+        if rows:
+            w = csv.DictWriter(f, fieldnames=list(rows[0].asDict()))
+            w.writeheader()
+            for r in rows:
+                w.writerow(r.asDict())

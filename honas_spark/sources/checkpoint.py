@@ -145,6 +145,11 @@ def build_resumable(
             F.expr("bit_xor(xxhash64(content_sha256))").alias("x")
         )
     fp_rows = df.groupBy(window_col).agg(*aggs).collect()
+    if not fp_rows and not done:
+        raise ValueError(
+            f"build_resumable: input has no rows (no {window_col} windows)"
+            " and no committed checkpoint exists"
+        )
     fps: dict[str, str] = {}
     windows = []
     for r in fp_rows:

@@ -1,0 +1,105 @@
+"""CLI round trip: gather -> info/plotmode -> search -> export-hs ->
+combine (the four reference binaries + the checkpoint bridge)."""
+
+import json
+import os
+
+import pytest
+
+from honas_spark.cli import main
+from honas_spark.sources.corpus import generate_corpus
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("cli") / "corpus")
+    generate_corpus(spark, 1500, n_hours=2).write.mode(
+        "overwrite"
+    ).parquet(path)
+    return path
+
+
+@pytest.fixture(scope="module")
+def ckpt_dir(spark, corpus_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("cli") / "ckpt")
+    rc = main([
+        "gather", "--input", corpus_dir, "--output", out,
+        "--m-bits", str(1 << 16), "--k", "5", "--window", "1 hour",
+        "--client-col", "repo",
+    ])
+    assert rc == 0
+    return out
+
+
+def test_gather_writes_metrics_and_manifests(ckpt_dir):
+    with open(os.path.join(ckpt_dir, "_metrics.json")) as f:
+        m = json.load(f)
+    assert m["n_processed_queries"] == 1500
+    assert m["n_accepted_queries"] + m["n_skipped_queries"] == 1500
+    assert "per_type" in m and m["n_queries_sec"] > 0
+    wins = [d for d in os.listdir(ckpt_dir) if d.startswith("window=")]
+    assert len(wins) == 2
+    for w in wins:
+        with open(os.path.join(ckpt_dir, w, "manifest.json")) as f:
+            man = json.load(f)
+        assert man["input_fingerprint"].startswith("n=")
+
+
+def test_info_plotmode_csv(ckpt_dir, tmp_path):
+    csv = str(tmp_path / "plot.csv")
+    assert main(["info", "--state", ckpt_dir, "--plotmode", csv]) == 0
+    lines = open(csv).read().strip().splitlines()
+    assert len(lines) >= 3  # header + 2 windows
+
+
+def test_search_cli_finds_member(spark, corpus_dir, ckpt_dir, tmp_path):
+    import hashlib
+
+    path = (
+        spark.read.parquet(corpus_dir).select("path").first()["path"].lower()
+    )
+    job = {
+        "groups": [
+            {"id": 1, "hostnames": {
+                path: hashlib.sha256(path.encode()).hexdigest(),
+                "no/such/key.zz": hashlib.sha256(b"no/such/key.zz").hexdigest(),
+            }},
+            {"id": 2, "hostnames": {
+                "also/missing.xx": hashlib.sha256(b"also/missing.xx").hexdigest(),
+            }},
+        ]
+    }
+    jp = str(tmp_path / "job.json")
+    op = str(tmp_path / "result.json")
+    with open(jp, "w") as f:
+        json.dump(job, f)
+    assert main(["search", "--state", ckpt_dir, "--job", jp, "--out", op]) == 0
+    res = json.load(open(op))
+    assert res["general_information"][0]["number_of_filters"] == 1
+    assert any(r["key"] == path and r["hits"] >= 1 for r in res["hostnames"])
+    # zero-hit group 2 omitted; group 1 present with AND zeroed by miss
+    gids = {g["group_id"] for g in res["groups"]}
+    assert gids == {1}
+    assert res["groups"][0]["hits_by_all_hostnames"] == 0
+
+
+def test_export_hs_then_combine(spark, ckpt_dir, tmp_path):
+    hs_dir = str(tmp_path / "hs")
+    assert main(["export-hs", "--state", ckpt_dir, "--output", hs_dir]) == 0
+    hs_files = sorted(
+        os.path.join(hs_dir, f) for f in os.listdir(hs_dir)
+        if f.endswith(".hs")
+    )
+    assert len(hs_files) == 2
+    combined = str(tmp_path / "combined.hs")
+    assert main(["combine", "--output", combined] + hs_files) == 0
+
+    from honas_spark.sources.hsfile import import_hs_state
+
+    spec, st, h = import_hs_state(combined)
+    parts = [import_hs_state(p)[1] for p in hs_files]
+    expected = parts[0].merge(parts[1])
+    import numpy as np
+
+    assert np.array_equal(st.filters, expected.filters)
+    assert st.n_rows == expected.n_rows
