@@ -5,5 +5,14 @@ re-designed Spark-first (see SURVEY.md)."""
 from .spec import SketchSpec
 from .state import SketchState
 
-__all__ = ["SketchSpec", "SketchState"]
-__version__ = "0.1.0"
+
+def get_spark(*args, **kwargs):
+    """Convenience re-export (lazy: importing honas_spark must not
+    require a JVM)."""
+    from .session import get_spark as _get
+
+    return _get(*args, **kwargs)
+
+
+__all__ = ["SketchSpec", "SketchState", "get_spark"]
+__version__ = "0.2.0"

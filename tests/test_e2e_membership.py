@@ -162,3 +162,20 @@ def test_group_and_semantics(spark, sketch_table):
     # window 1 contains neither key -> zero-hit group row is OMITTED
     assert (7, 1) not in rows
     assert (8, 1) not in rows
+
+
+def test_multilevel_rollup_associative(spark, sketch_table):
+    """hour -> day -> week must equal hour -> week (merge associativity
+    across rollup LEVELS, not just orderings)."""
+    daily = rollup_sketches(sketch_table, SPEC, "window_start", "1 day", [])
+    weekly_via_daily = rollup_sketches(
+        daily, SPEC, "window_start", "7 days", []
+    ).collect()
+    weekly_direct = rollup_sketches(
+        sketch_table, SPEC, "window_start", "7 days", []
+    ).collect()
+    assert len(weekly_via_daily) == len(weekly_direct) == 1
+    a, b = weekly_via_daily[0], weekly_direct[0]
+    assert a["filters"] == b["filters"]
+    assert a["hll_items"] == b["hll_items"]
+    assert a["n_rows"] == b["n_rows"]
