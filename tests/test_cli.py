@@ -103,3 +103,32 @@ def test_export_hs_then_combine(spark, ckpt_dir, tmp_path):
 
     assert np.array_equal(st.filters, expected.filters)
     assert st.n_rows == expected.n_rows
+
+
+def test_info_and_search_on_fresh_empty_hs(spark, tmp_path):
+    """A fresh/empty .hs state (first_request=0 -> no first_ts) must load
+    with an explicit schema instead of crashing createDataFrame."""
+    from honas_spark.spec import SketchSpec
+    from honas_spark.state import SketchState
+    from honas_spark.sources.hsfile import export_hs_state
+
+    spec = SketchSpec(m_bits=1 << 14, k=5, cms_width=256, kll_k=64)
+    empty = SketchState(spec)
+    hs = str(tmp_path / "fresh.hs")
+    export_hs_state(empty, hs, 1704067200, 1704070800)
+
+    csv = str(tmp_path / "plot.csv")
+    assert main(["info", "--state", hs, "--plotmode", csv]) == 0
+    assert os.path.isfile(csv)
+
+    import hashlib
+
+    job = {"groups": [{"id": 1, "hostnames": {
+        "anything": hashlib.sha256(b"anything").hexdigest()}}]}
+    jp = str(tmp_path / "job.json")
+    op = str(tmp_path / "out.json")
+    with open(jp, "w") as f:
+        json.dump(job, f)
+    assert main(["search", "--state", hs, "--job", jp, "--out", op]) == 0
+    res = json.load(open(op))
+    assert res["hostnames"] == [] and res["groups"] == []
