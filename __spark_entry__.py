@@ -513,6 +513,33 @@ def _q_cidr_lpm(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("row_id")
 
 
+def _q_sha_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row content-sha256 ingest guard (north rule): recompute the
+    digest and compare.  Every 97th row's stored digest is deliberately
+    corrupted, so the guard must flag exactly those rows — both engines
+    compute sha256 natively."""
+    from honas_spark.sources.corpus import verify_content_sha
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        F.col("text").alias("content"),
+        F.when(
+            F.col("doc_id") % 97 == 0,
+            F.sha2(F.concat(F.col("text"), F.lit("x")), 256),
+        ).otherwise(F.sha2(F.col("text"), 256)).alias("content_sha256"),
+    )
+    flagged, _ = verify_content_sha(docs, on_mismatch="flag")
+    return (
+        flagged.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum((~F.col("sha_ok")).cast("long")).alias("n_corrupted"),
+        )
+        .orderBy("lang")
+    )
+
+
 def _q_search_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FULL honas-search result semantics under the exact gate:
     per-key threshold, group AND (hits_by_all_hostnames), and zero-hit
@@ -961,6 +988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cidr_lpm": _q_cidr_lpm,
         "hash_sample": _q_hash_sample,
         "search_semantics": _q_search_semantics,
+        "sha_guard": _q_sha_guard,
     }.items()}
 
 
@@ -1254,6 +1282,22 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text,
                        '[a-zA-Z0-9]+|[^a-zA-Z0-9 ]')) AS n_pieces
             FROM documents ORDER BY doc_id
+        """,
+        # same synthesis + a REAL digest recomputation on the oracle side
+        "sha_guard": """
+            WITH s AS (
+                SELECT doc_id, lang, text,
+                       CASE WHEN doc_id % 97 = 0
+                            THEN sha256(text || 'x')
+                            ELSE sha256(text) END AS stored
+                FROM documents
+            )
+            SELECT lang,
+                   count(*) AS n_rows,
+                   CAST(sum(CASE WHEN stored <> sha256(text)
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_corrupted
+            FROM s GROUP BY lang ORDER BY lang
         """,
         # run_search semantics as EXISTS-membership: key rows pass the
         # u=1 threshold iff member; a group row appears iff ANY key hit

@@ -64,6 +64,20 @@ def cmd_gather(args) -> int:
     spark = _spark()
     t0 = time.time()
     df = spark.read.parquet(args.input)
+    n_sha_mismatch = 0
+    if "content" in df.columns and "content_sha256" in df.columns:
+        # per-row ingest guard (north rule): recompute + compare sha256,
+        # drop corrupted rows before any key reaches a sketch
+        from .sources.corpus import verify_content_sha
+
+        df, sha_counts = verify_content_sha(df, on_mismatch="drop")
+        row = sha_counts.collect()[0]
+        n_sha_mismatch = int(row["n_mismatched"] or 0)
+        if n_sha_mismatch:
+            print(
+                f"ingest guard: dropping {n_sha_mismatch} rows with"
+                " corrupted content_sha256"
+            )
     keyed = explode_keys(
         df, args.name_col, entity_col=args.entity_col or None, sep=args.sep
     )
@@ -96,6 +110,7 @@ def cmd_gather(args) -> int:
     )
     metrics["run_id"] = args.run_id
     metrics["sketch_rows"] = n_rows
+    metrics["n_sha_mismatched"] = n_sha_mismatch
     write_metrics(os.path.join(args.output, "_metrics.json"), metrics)
     print(dump_line(metrics))
     print(f"gathered {n_rows} sketch rows -> {args.output}")

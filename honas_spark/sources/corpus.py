@@ -148,3 +148,37 @@ def documents_as_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(False).alias("ptr_mode"),
         F.sha2(F.col("text"), 256).alias("content_sha256"),
     )
+
+
+def verify_content_sha(
+    df: DataFrame,
+    content_col: str = "content",
+    sha_col: str = "content_sha256",
+    on_mismatch: str = "drop",
+) -> tuple[DataFrame, "DataFrame"]:
+    """Per-row ingest guard (north rule): recompute sha2(content) and
+    compare against the stored digest — corruption anywhere between
+    generation and processing is caught HERE, before any key enters a
+    sketch.  Pure codegen (one sha2 per row, no shuffle).
+
+    on_mismatch: 'drop' filters bad rows, 'flag' keeps them with a
+    `sha_ok` boolean, 'fail' raises if any mismatch exists.
+
+    Returns (guarded df, mismatch-count df with one row:
+    n_rows/n_mismatched — an action the caller runs when it wants the
+    counts, e.g. for the instrumentation sink)."""
+    ok = F.sha2(F.col(content_col), 256) == F.col(sha_col)
+    counts = df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((~ok).cast("long")).alias("n_mismatched"),
+    )
+    if on_mismatch == "flag":
+        return df.withColumn("sha_ok", ok), counts
+    if on_mismatch == "fail":
+        n_bad = counts.collect()[0]["n_mismatched"]
+        if n_bad:
+            raise ValueError(
+                f"content sha256 guard: {n_bad} corrupted rows"
+            )
+        return df, counts
+    return df.filter(ok), counts

@@ -247,3 +247,33 @@ def test_flatten_semantics(spark):
     assert len(rows) == 1
     assert rows[0]["flattened"] is True
     assert rows[0]["hits"] == 1  # clamped from u=4
+
+
+def test_verify_content_sha_guard(spark):
+    """North-rule ingest guard: recomputed sha2 equality flags/drops/fails
+    on corrupted rows."""
+    import pytest
+    from pyspark.sql import functions as F
+    from honas_spark.sources.corpus import generate_corpus, verify_content_sha
+
+    df = generate_corpus(spark, 200, n_hours=1)
+    corrupted = df.withColumn(
+        "content_sha256",
+        F.when(
+            F.col("row_id") % 50 == 0,
+            F.sha2(F.concat(F.col("content"), F.lit("!")), 256),
+        ).otherwise(F.col("content_sha256")),
+    )
+    clean, counts = verify_content_sha(df)
+    assert clean.count() == 200
+    assert counts.collect()[0]["n_mismatched"] == 0
+
+    dropped, counts = verify_content_sha(corrupted, on_mismatch="drop")
+    assert dropped.count() == 196
+    assert counts.collect()[0]["n_mismatched"] == 4
+
+    flagged, _ = verify_content_sha(corrupted, on_mismatch="flag")
+    assert flagged.filter("NOT sha_ok").count() == 4
+
+    with pytest.raises(ValueError, match="4 corrupted"):
+        verify_content_sha(corrupted, on_mismatch="fail")
