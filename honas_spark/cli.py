@@ -152,12 +152,16 @@ def _load_sketch_table(args, spark):
 
 
 def cmd_search(args) -> int:
-    from .search import run_search, search_result_json
+    from .search import job_from_key_file, run_search, search_result_json
 
     spark = _spark()
     spec, table, group_cols = _load_sketch_table(args, spark)
-    with open(args.job) as f:
-        job = json.load(f)
+    if args.keys:
+        # blacklist-file mode (scripts/query_generic_blacklist.py shape)
+        job = job_from_key_file(args.keys)
+    else:
+        with open(args.job) as f:
+            job = json.load(f)
     key_df, group_df = run_search(table, spec, job, group_cols)
     out = search_result_json(
         key_df, group_df, group_cols, sketch_df=table, spec=spec
@@ -194,6 +198,44 @@ def cmd_combine(args) -> int:
         merged, args.output, h0["period_begin"], h0["period_end"]
     )
     print(f"combined {len(args.inputs)} states -> {args.output}")
+    return 0
+
+
+def cmd_rotate(args) -> int:
+    """State rotation/archival (scripts/honas_state_rotate.py +
+    honas_daily_state_combine.py): roll the checkpoint's windows up to a
+    coarser period into a new checkpoint — exact by merge associativity,
+    no raw data touched."""
+    from pyspark.sql import functions as F
+
+    from .operators.sketch_agg import rollup_sketches
+    from .sources import checkpoint as CP
+
+    spark = _spark()
+    spec = CP.read_spec(args.state)
+    df = CP.read_checkpoint(spark, args.state)
+    group_cols = [
+        c for c in df.columns
+        if c in ("entity", "lang", "org", "repo")
+    ]
+    rolled = rollup_sketches(
+        df, spec, "window_start", args.period, group_cols
+    ).cache()
+    windows = [r[0] for r in rolled.select("window_start").distinct().collect()]
+    from dataclasses import replace
+
+    out_spec = replace(spec, window=args.period)
+    CP.write_spec(args.output, out_spec)
+    for w in windows:
+        CP.commit_window(
+            args.output, w,
+            rolled.filter(F.col("window_start") == F.lit(w)),
+            out_spec,
+            input_fingerprint=f"rotated-from={args.state}",
+            metrics={}, run_id=args.run_id,
+        )
+    rolled.unpersist()
+    print(f"rotated {len(windows)} {args.period} windows -> {args.output}")
     return 0
 
 
@@ -254,7 +296,9 @@ def main(argv=None) -> int:
 
     s = sub.add_parser("search")
     s.add_argument("--state", required=True)
-    s.add_argument("--job", required=True)
+    s.add_argument("--job")
+    s.add_argument("--keys", help="plain-text key list (one per line) "
+                   "instead of a JSON job")
     s.add_argument("--out")
     s.set_defaults(fn=cmd_search)
 
@@ -272,6 +316,13 @@ def main(argv=None) -> int:
     e.add_argument("--state", required=True)
     e.add_argument("--output", required=True)
     e.set_defaults(fn=cmd_export_hs)
+
+    r = sub.add_parser("rotate")
+    r.add_argument("--state", required=True)
+    r.add_argument("--output", required=True)
+    r.add_argument("--period", default="1 day")
+    r.add_argument("--run-id", default="rotate")
+    r.set_defaults(fn=cmd_rotate)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -56,6 +56,50 @@ def make_search_job(groups: dict[int, Sequence[str]]) -> dict:
     }
 
 
+def job_from_key_file(path: str, group_id: int = 1) -> dict:
+    """Build a search job from a plain-text key list (one per line) —
+    the shape of the reference's blacklist query tools
+    (scripts/query_generic_blacklist.py:33-47 and the booter/mailfilter/
+    ndn variants): every non-empty line becomes a lowercased hostname in
+    one group."""
+    keys = []
+    with open(path) as f:
+        for line in f:
+            k = line.strip().lower()
+            if k and not k.startswith("#"):
+                keys.append(k)
+    return make_search_job({group_id: keys})
+
+
+def compare_groundtruth(result: "dict | str", truth_keys) -> dict:
+    """Search-result vs ground-truth comparison
+    (scripts/ndn_groundtruth_compare.py / booter / mailfilter): which
+    keys the filters reported vs which were actually present.
+
+    truth_keys: iterable of keys known to be in the data.
+    Returns counts + precision/recall + the miss lists.  False positives
+    here are the Bloom FPs those scripts measure in the wild."""
+    if isinstance(result, str):
+        result = json.loads(result)
+    found = {r["key"] for r in result.get("hostnames", []) if r["hits"]}
+    truth = {str(k).lower() for k in truth_keys}
+    tp = sorted(found & truth)
+    fp = sorted(found - truth)
+    fn = sorted(truth - found)
+    n_tp, n_fp, n_fn = len(tp), len(fp), len(fn)
+    return {
+        "n_found": len(found),
+        "n_truth": len(truth),
+        "true_positives": n_tp,
+        "false_positives": n_fp,
+        "false_negatives": n_fn,
+        "precision": n_tp / max(n_tp + n_fp, 1),
+        "recall": n_tp / max(n_tp + n_fn, 1),
+        "false_positive_keys": fp,
+        "missed_keys": fn,
+    }
+
+
 def run_search(
     sketch_df: DataFrame,
     spec: SketchSpec,

@@ -132,3 +132,55 @@ def test_info_and_search_on_fresh_empty_hs(spark, tmp_path):
     assert main(["search", "--state", hs, "--job", jp, "--out", op]) == 0
     res = json.load(open(op))
     assert res["hostnames"] == [] and res["groups"] == []
+
+
+def test_search_with_keys_file_and_groundtruth(spark, corpus_dir, ckpt_dir, tmp_path):
+    """Blacklist-file query + ground-truth comparison (the reference's
+    query_*/groundtruth_compare script family)."""
+    from honas_spark.search import compare_groundtruth
+
+    member = (
+        spark.read.parquet(corpus_dir).select("path").first()["path"].lower()
+    )
+    kf = str(tmp_path / "blacklist.txt")
+    with open(kf, "w") as f:
+        f.write(f"# comment line\n{member}\nNO/SUCH/KEY.zz\n\n")
+    op = str(tmp_path / "res.json")
+    assert main(["search", "--state", ckpt_dir, "--keys", kf, "--out", op]) == 0
+    res = json.load(open(op))
+    keys = {r["key"] for r in res["hostnames"]}
+    assert member in keys and "no/such/key.zz" not in keys
+
+    cmp1 = compare_groundtruth(res, [member])
+    assert cmp1["true_positives"] == 1
+    assert cmp1["false_negatives"] == 0
+    assert cmp1["precision"] == 1.0 and cmp1["recall"] == 1.0
+    cmp2 = compare_groundtruth(res, [member, "we/never/stored.this"])
+    assert cmp2["false_negatives"] == 1 and cmp2["recall"] == 0.5
+    assert cmp2["missed_keys"] == ["we/never/stored.this"]
+
+
+def test_rotate_cli_rolls_hourly_to_daily(spark, ckpt_dir, tmp_path):
+    """rotate = honas_state_rotate/daily_state_combine: hour windows fold
+    into day windows, bit-exactly equal to merging the hourly states."""
+    import numpy as np
+
+    from honas_spark.sources import checkpoint as CP
+    from honas_spark.state import SketchState
+
+    out = str(tmp_path / "daily")
+    assert main(["rotate", "--state", ckpt_dir, "--output", out,
+                 "--period", "1 day"]) == 0
+    spec = CP.read_spec(out)
+    assert spec.window == "1 day"
+    daily = CP.read_checkpoint(spark, out).collect()
+    assert len(daily) == 1
+    hourly = CP.read_checkpoint(spark, ckpt_dir).collect()
+    h_spec = CP.read_spec(ckpt_dir)
+    states = [SketchState.from_fields(h_spec, r.asDict()) for r in hourly]
+    expected = states[0]
+    for s in states[1:]:
+        expected = expected.merge(s)
+    got = SketchState.from_fields(h_spec, daily[0].asDict())
+    assert np.array_equal(got.filters, expected.filters)
+    assert got.n_rows == expected.n_rows
