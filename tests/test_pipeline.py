@@ -277,3 +277,37 @@ def test_verify_content_sha_guard(spark):
 
     with pytest.raises(ValueError, match="4 corrupted"):
         verify_content_sha(corrupted, on_mismatch="fail")
+
+
+def test_build_modes_bit_identical_under_skew(spark):
+    """All three physical build plans — map_combine, shuffle_keys, and
+    shuffle_keys+salt — must produce bit-identical sketch rows on the
+    skewed corpus (30% of rows in one hot repo): mode/salt are pure
+    performance knobs, never semantics."""
+    corpus = generate_corpus(spark, 2000, n_hours=2)
+    keyed = sha256_key(
+        with_window(corpus, "commit_ts", SPEC.window), "path"
+    )
+    kw = dict(
+        group_cols=["window_start"], client_col="repo", ts_col="commit_ts"
+    )
+    variants = {
+        "map_combine": build_sketches(keyed, SPEC, mode="map_combine", **kw),
+        "shuffle_keys": build_sketches(keyed, SPEC, mode="shuffle_keys", **kw),
+        "salted": build_sketches(
+            keyed, SPEC, mode="shuffle_keys", salt=8, **kw
+        ),
+    }
+    collected = {
+        name: {str(r["window_start"]): r for r in df.collect()}
+        for name, df in variants.items()
+    }
+    base = collected["map_combine"]
+    assert len(base) == 2
+    for name in ("shuffle_keys", "salted"):
+        other = collected[name]
+        assert other.keys() == base.keys(), name
+        for w in base:
+            for col in ("filters", "hll_clients", "hll_items", "cms",
+                        "n_rows", "first_ts", "last_ts"):
+                assert other[w][col] == base[w][col], (name, w, col)
