@@ -372,10 +372,36 @@ def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def _q_minhash_sigs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature math under the EXACT gate: the portable md5
+    hash family (hash_fn="md5") lets DuckDB recompute sig_i = min over
+    2-gram shingles of md5-prefix(i || shingle) — verifying the shingle
+    derivation and the min-aggregation cross-engine.  xxhash64 stays the
+    production default (minhash_lsh ◇)."""
+    docs = _docs(spark, sf_dir)
+    sig = minhash_signatures(
+        docs, "doc_id", "text", num_hashes=16, n=2, hash_fn="md5"
+    )
+    cols = [F.col("sig")[i].alias(f"s{i}") for i in range(16)]
+    return sig.select("doc_id", *cols).orderBy("doc_id")
+
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash fingerprints (rows-only: xxhash64 has no DuckDB analog)."""
+    """SimHash fingerprints (rows-only: xxhash64 has no DuckDB analog;
+    the md5 variant below puts the same math under the exact gate)."""
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 100)
     return simhash(docs, "doc_id", "text").orderBy("doc_id")
+
+
+def _q_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash with the portable md5 hash family — bit votes and
+    sign-fold recomputed exactly by the DuckDB oracle."""
+    docs = _docs(spark, sf_dir)
+    return (
+        simhash(docs, "doc_id", "text", bits=16, hash_fn="md5")
+        .withColumnRenamed("simhash", "simhash16")
+        .orderBy("doc_id")
+    )
 
 
 def _q_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -964,7 +990,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_groups": _q_dedup_exact_groups,
         "token_jaccard_pairs": _q_token_jaccard_pairs,
         "minhash_lsh": _q_minhash_lsh,
+        "minhash_sigs_md5": _q_minhash_sigs_md5,
         "simhash": _q_simhash,
+        "simhash_md5": _q_simhash_md5,
         "textstats": _q_textstats,
         "langid": _q_langid,
         "knn_bruteforce": _q_knn_bruteforce,
@@ -996,7 +1024,35 @@ def oracle_sql() -> dict[str, str]:
     nonmembers_sql = ", ".join(
         f"(1000 + {i}, '{t}')" for i, t in enumerate(_NONMEMBERS)
     )
+    # 16-bit simhash recomputation: per-bit +-1 votes over md5-prefix
+    # token hashes, sign-folded back into an integer (built per-bit here
+    # rather than hand-writing 32 aggregate lines)
+    _votes = ",\n".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(16)
+    )
+    _fold = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16)
+    )
+    simhash_md5_sql = f"""
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(list_filter(string_split_regex(text, '\\s+'),
+                                      x -> x <> '')) AS t
+            FROM documents
+        ), hv AS (
+            SELECT doc_id,
+                   CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS h
+            FROM tok
+        ), v AS (
+            SELECT doc_id, {_votes}
+            FROM hv GROUP BY doc_id
+        )
+        SELECT doc_id, CAST({_fold} AS BIGINT) AS simhash16
+        FROM v ORDER BY doc_id
+    """
     return {
+        "simhash_md5": simhash_md5_sql,
         "bloom_membership": f"""
             WITH probes(probe_id, ptext) AS (
                 SELECT doc_id, text FROM documents WHERE doc_id < 15
@@ -1284,6 +1340,44 @@ def oracle_sql() -> dict[str, str]:
             FROM documents ORDER BY doc_id
         """,
         # same synthesis + a REAL digest recomputation on the oracle side
+        # sig_i = min over distinct 2-gram shingles of the 60-bit md5
+        # prefix of (i || shingle); <2 tokens -> the whole text is the
+        # one shingle (mirrors shingles() in operators/dedup.py)
+        "minhash_sigs_md5": """
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(text, '\\s+'),
+                                   x -> x <> '') AS toks
+                FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       toks[CAST(i AS INT)] || ' '
+                         || toks[CAST(i AS INT) + 1] AS s
+                FROM t, unnest(range(1, len(toks))) AS u(i)
+                WHERE len(toks) >= 2
+                UNION ALL
+                SELECT doc_id, array_to_string(toks, ' ') AS s
+                FROM t WHERE len(toks) < 2
+            )
+            SELECT doc_id,
+                   min(CAST(concat('0x', substr(md5('0' || s), 1, 15)) AS BIGINT)) AS s0,
+                   min(CAST(concat('0x', substr(md5('1' || s), 1, 15)) AS BIGINT)) AS s1,
+                   min(CAST(concat('0x', substr(md5('2' || s), 1, 15)) AS BIGINT)) AS s2,
+                   min(CAST(concat('0x', substr(md5('3' || s), 1, 15)) AS BIGINT)) AS s3,
+                   min(CAST(concat('0x', substr(md5('4' || s), 1, 15)) AS BIGINT)) AS s4,
+                   min(CAST(concat('0x', substr(md5('5' || s), 1, 15)) AS BIGINT)) AS s5,
+                   min(CAST(concat('0x', substr(md5('6' || s), 1, 15)) AS BIGINT)) AS s6,
+                   min(CAST(concat('0x', substr(md5('7' || s), 1, 15)) AS BIGINT)) AS s7,
+                   min(CAST(concat('0x', substr(md5('8' || s), 1, 15)) AS BIGINT)) AS s8,
+                   min(CAST(concat('0x', substr(md5('9' || s), 1, 15)) AS BIGINT)) AS s9,
+                   min(CAST(concat('0x', substr(md5('10' || s), 1, 15)) AS BIGINT)) AS s10,
+                   min(CAST(concat('0x', substr(md5('11' || s), 1, 15)) AS BIGINT)) AS s11,
+                   min(CAST(concat('0x', substr(md5('12' || s), 1, 15)) AS BIGINT)) AS s12,
+                   min(CAST(concat('0x', substr(md5('13' || s), 1, 15)) AS BIGINT)) AS s13,
+                   min(CAST(concat('0x', substr(md5('14' || s), 1, 15)) AS BIGINT)) AS s14,
+                   min(CAST(concat('0x', substr(md5('15' || s), 1, 15)) AS BIGINT)) AS s15
+            FROM sh GROUP BY doc_id ORDER BY doc_id
+        """,
         "sha_guard": """
             WITH s AS (
                 SELECT doc_id, lang, text,

@@ -108,17 +108,31 @@ def minhash_signatures(
     text_col: str,
     num_hashes: int = 64,
     n: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """(id, sig array<long>): sig_i = min over shingles of
-    xxhash64(shingle, i) — one shuffle, JVM-side aggregates."""
+    """(id, sig array<long>): sig_i = min over shingles of h_i(shingle)
+    — one shuffle, JVM-side aggregates.
+
+    hash_fn: "xxhash64" (default — fastest, JVM-internal) or "md5"
+    (60-bit prefix of md5(i || shingle): ~3x slower but portable, so a
+    SQL engine can recompute signatures exactly — the cross-engine
+    verification knob)."""
     sh = df.select(
         F.col(id_col).alias("_id"),
         F.explode(shingles(F.col(text_col), n)).alias("sh"),
     )
-    aggs = [
-        F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
+    if hash_fn == "md5":
+        def h(i):
+            return F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(str(i)), F.col("sh"))), 1, 15
+                ),
+                16, 10,
+            ).cast("long")
+    else:
+        def h(i):
+            return F.xxhash64(F.col("sh"), F.lit(i))
+    aggs = [F.min(h(i)).alias(f"h{i}") for i in range(num_hashes)]
     sig = sh.groupBy("_id").agg(*aggs)
     return sig.select(
         F.col("_id").alias(id_col),
@@ -221,15 +235,27 @@ def minhash_lsh_candidates(
 
 
 def simhash(
-    df: DataFrame, id_col: str, text_col: str, bits: int = 64
+    df: DataFrame, id_col: str, text_col: str, bits: int = 64,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """64-bit SimHash per document: per bit, sum +-1 over token hashes,
-    take the sign.  Pure bit-arithmetic aggregates (no UDF).
-    Output: (id, simhash long)."""
+    """SimHash per document: per bit, sum +-1 over token hashes, take
+    the sign.  Pure bit-arithmetic aggregates (no UDF).
+    Output: (id, simhash long).  hash_fn="md5" swaps in the portable
+    60-bit md5-prefix hash so a SQL oracle can recompute the fingerprint
+    exactly (same knob as minhash_signatures)."""
     tok = df.select(
         F.col(id_col).alias("_id"),
         F.explode(tokens(F.col(text_col))).alias("t"),
-    ).withColumn("h", F.xxhash64("t"))
+    )
+    if hash_fn == "md5":
+        tok = tok.withColumn(
+            "h",
+            F.conv(
+                F.substring(F.md5(F.col("t")), 1, 15), 16, 10
+            ).cast("long"),
+        )
+    else:
+        tok = tok.withColumn("h", F.xxhash64("t"))
     aggs = [
         F.sum(
             F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1,
