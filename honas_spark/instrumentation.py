@@ -75,7 +75,8 @@ def instrument_run(
     else:
         r = df.agg(*aggs).collect()[0]
         per_type = {}
-        totals = {k: int(r[k]) for k in r.asDict()}
+        # F.sum over zero rows returns NULL — coalesce to 0 driver-side
+        totals = {k: int(r[k] or 0) for k in r.asDict()}
 
     elapsed = wall_sec if wall_sec is not None else (time.time() - t0)
     n_proc = int(totals["n_processed"])

@@ -66,19 +66,79 @@ def murmur64a(data: bytes, seed: int = MURMUR_SEED) -> int:
     return h
 
 
-def murmur64a_series(values, seed: int = MURMUR_SEED) -> np.ndarray:
-    """Hash a pandas/np array of strings via a per-unique-value map.
+_MUR_M = U64(0xC6A4A7935BD1E995)
 
-    The honas client hash is only used to pick a filter subset per client
-    (honas_state.c:261-283); clients repeat heavily, so hashing uniques and
-    broadcasting is both faster and keeps Python out of the per-row path.
+
+def murmur64a_np(data: list, seed: int = MURMUR_SEED) -> np.ndarray:
+    """Vectorized MurmurHash64A over a list of byte strings -> (N,) uint64.
+
+    Bit-exact with `murmur64a` (shared golden vectors pin both).  Inputs
+    are grouped by length so each group hashes as a contiguous (n, L)
+    uint8 matrix: the 8-byte body words become `<u8` columns (wrap-multiply
+    via numpy's native uint64 overflow — the same trick as the
+    bloom_offsets limb kernel), the tail is a little-endian byte fold.
+    No per-value Python anywhere: cost is O(total bytes) numpy ops.
     """
+    n = len(data)
+    out = np.empty(n, dtype=np.uint64)
+    if n == 0:
+        return out
+    lens = np.fromiter((len(b) for b in data), dtype=np.int64, count=n)
+    order = np.argsort(lens, kind="stable")
+    arr = np.empty(n, dtype=object)
+    arr[:] = data
+    r = U64(47)
+    pos = 0
+    while pos < n:
+        L = int(lens[order[pos]])
+        end = pos + int(np.searchsorted(lens[order[pos:]], L, side="right"))
+        idx = order[pos:end]
+        pos = end
+        g = len(idx)
+        if L == 0:
+            h = np.full(g, (seed ^ 0) & _MASK64, dtype=np.uint64)
+        else:
+            buf = b"".join(arr[idx])
+            mat = np.frombuffer(buf, dtype=np.uint8).reshape(g, L)
+            h = np.full(
+                g, (seed ^ ((L * int(_MUR_M)) & _MASK64)) & _MASK64,
+                dtype=np.uint64,
+            )
+            n8 = L & ~7
+            if n8:
+                words = np.ascontiguousarray(mat[:, :n8]).view("<u8")
+                for wi in range(n8 // 8):
+                    k = words[:, wi] * _MUR_M
+                    k ^= k >> r
+                    k *= _MUR_M
+                    h ^= k
+                    h *= _MUR_M
+            if L > n8:
+                k = np.zeros(g, dtype=np.uint64)
+                for j in range(L - n8 - 1, -1, -1):
+                    k = (k << U64(8)) | mat[:, n8 + j].astype(np.uint64)
+                h ^= k
+                h *= _MUR_M
+        h ^= h >> r
+        h *= _MUR_M
+        h ^= h >> r
+        out[idx] = h
+    return out
+
+
+def murmur64a_series(values, seed: int = MURMUR_SEED) -> np.ndarray:
+    """Hash a pandas/np array of strings, vectorized.
+
+    The honas client hash picks a filter subset per client
+    (honas_state.c:261-283); clients repeat heavily, so hash the uniques
+    with the numpy kernel and broadcast back via an integer codes gather —
+    no scalar-Python path at any cardinality (mostly-unique per-user
+    corpora included)."""
     import pandas as pd
 
-    s = pd.Series(values)
-    uniq = s.unique()
-    lut = {v: murmur64a(str(v).encode("utf-8"), seed) for v in uniq}
-    return s.map(lut).to_numpy(dtype=np.uint64)
+    codes, uniq = pd.factorize(pd.Series(values).astype(str), sort=False)
+    hashed = murmur64a_np([v.encode("utf-8") for v in uniq], seed)
+    return hashed[codes]
 
 
 # ---------------------------------------------------------------------------
@@ -96,6 +156,10 @@ def hashes_to_limbs(hashes, hash_len: int = 32) -> np.ndarray:
     if len(hashes) == 0:
         return np.empty((0, hash_len // 4), dtype=np.uint32)
     buf = b"".join(hashes)
+    if len(buf) != len(hashes) * hash_len:
+        # inputs longer than hash_len (e.g. full 32-byte digests with a
+        # truncating spec): keep the first hash_len bytes of each
+        buf = b"".join(h[:hash_len] for h in hashes)
     arr = np.frombuffer(buf, dtype="<u4")
     return arr.reshape(-1, hash_len // 4).copy()
 

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from ..functions.text import fingerprint, tokens
 
@@ -75,14 +75,20 @@ def ngram_jaccard_pairs(
         F.explode(shingles(F.col(text_col), n)).alias("sh"),
     )
     if max_shingle_freq is not None:
-        # document-frequency cap: stop-shingles explode the self-join
-        sh = (
-            sh.withColumn(
-                "_df", F.count(F.lit(1)).over(Window.partitionBy("sh"))
-            )
+        # document-frequency cap WITHOUT a window sort: a hot stop-shingle
+        # ("the quick") would put its whole posting list into one sorted
+        # window partition — the exact skew the cap exists to defuse.
+        # Instead: groupBy-count the shingle DF and semi-join the survivors
+        # back (same pattern as the LSH hot-bucket cap below); the count
+        # aggregate is map-side partial, so no task ever holds a full
+        # posting list.
+        good = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("_df"))
             .filter(F.col("_df") <= max_shingle_freq)
-            .drop("_df")
+            .select("sh")
         )
+        sh = sh.join(good.hint("shuffle_hash"), "sh", "left_semi")
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")

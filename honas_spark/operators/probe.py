@@ -141,7 +141,9 @@ def cms_probe(
                 hashlib.sha256(str(t).encode()).digest()
                 for t in pdf[token_col]
             ]
-            limbs = K.hashes_to_limbs(shas, 32)
+            # mirror SketchState.update exactly: truncate the digest to
+            # spec.hash_len before taking the first 8 bytes as the CMS key
+            limbs = K.hashes_to_limbs(shas, spec.hash_len)
             h64 = limbs[:, :2].copy().view("<u8").reshape(-1)
             ests = K.cms_query(cms, h64)
             yield pd.DataFrame(

@@ -100,16 +100,13 @@ def with_client_hash(
     ]
     if len(distinct) > max_distinct:
         return df  # caller keeps client_col; UDF hashes per batch
+    # store as signed int64 (Spark has no unsigned long); the kernels
+    # reinterpret the bits as uint64.  Hash str(v) so the LUT path and the
+    # in-UDF fallback (which also str()s) agree, null included.
+    hashed = K.murmur64a_np([str(v).encode("utf-8") for v in distinct])
     rows = [
-        (
-            v,
-            # store as signed int64 (Spark has no unsigned long); the
-            # kernels reinterpret the bits as uint64.  Hash str(v) so the
-            # LUT path and the in-UDF fallback (which also str()s) agree,
-            # null included.
-            np.int64(np.uint64(K.murmur64a(str(v).encode("utf-8")))).item(),
-        )
-        for v in distinct
+        (v, np.int64(h).item())
+        for v, h in zip(distinct, hashed.view(np.int64))
     ]
     lut = df.sparkSession.createDataFrame(
         rows, f"{client_col} string, {out_col} long"

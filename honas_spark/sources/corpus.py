@@ -167,7 +167,11 @@ def verify_content_sha(
     Returns (guarded df, mismatch-count df with one row:
     n_rows/n_mismatched — an action the caller runs when it wants the
     counts, e.g. for the instrumentation sink)."""
-    ok = F.sha2(F.col(content_col), 256) == F.col(sha_col)
+    # null-safe: a NULL content or NULL stored sha is a guard FAILURE
+    # (coalesce to false), so the dropped-row count and n_mismatched agree
+    ok = F.coalesce(
+        F.sha2(F.col(content_col), 256) == F.col(sha_col), F.lit(False)
+    )
     counts = df.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum((~ok).cast("long")).alias("n_mismatched"),

@@ -129,6 +129,35 @@ def test_murmur64a_known_properties():
     assert len(outs) == 17
 
 
+def test_murmur64a_np_matches_scalar():
+    """The vectorized numpy MurmurHash64A must be bit-exact with the
+    scalar reference implementation over every tail length, mixed lengths
+    in one batch, empty input, and a custom seed."""
+    rng = np.random.default_rng(11)
+    datas = [bytes(rng.integers(0, 256, size=n, dtype=np.uint8)) for n in range(33)]
+    datas += [bytes(rng.integers(0, 256, size=int(n), dtype=np.uint8))
+              for n in rng.integers(0, 100, size=500)]
+    for seed in (K.MURMUR_SEED, 0, 1, 0xFFFFFFFF):
+        vec = K.murmur64a_np(datas, seed)
+        sca = np.array([K.murmur64a(d, seed) for d in datas], dtype=np.uint64)
+        assert (vec == sca).all()
+    assert K.murmur64a_np([]).shape == (0,)
+
+
+def test_murmur64a_series_high_cardinality_no_scalar_path():
+    """1M-unique analog (downscaled): murmur64a_series must stay fully
+    vectorized and agree with the scalar hash at any cardinality."""
+    vals = [f"client-{i}" for i in range(50_000)]  # all unique
+    out = K.murmur64a_series(vals)
+    idx = [0, 1, 4999, 25_000, 49_999]
+    for i in idx:
+        assert out[i] == K.murmur64a(vals[i].encode("utf-8"))
+    # null handling matches the old per-unique map (str() of the value)
+    out2 = K.murmur64a_series(["a", None, "a"])
+    assert out2[0] == out2[2] == K.murmur64a(b"a")
+    assert out2[1] == K.murmur64a(b"None")
+
+
 def test_transform_limbs_matches_reference_semantics():
     """filter_index_host_name_hash_transform (honas_state.c:231-244):
     each 64-bit lane multiplied by 2i+1 mod 2^64."""

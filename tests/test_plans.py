@@ -73,6 +73,24 @@ def test_sketch_build_shuffles_once(spark):
     assert s["n_exchanges"] <= 2, s
 
 
+def test_ngram_jaccard_cap_avoids_window_sort(spark):
+    """The shingle document-frequency cap must be a groupBy-count +
+    semi-join (map-side partial aggregation), never a sort-based window —
+    a hot stop-shingle would serialize its whole posting list into one
+    sorted partition."""
+    from honas_spark.operators.dedup import ngram_jaccard_pairs
+
+    df = spark.createDataFrame(
+        [(i, f"the quick brown fox {i % 5} jumps over") for i in range(40)],
+        "doc_id long, text string",
+    )
+    out = ngram_jaccard_pairs(
+        df, "doc_id", "text", n=2, max_shingle_freq=30
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+
+
 def test_minhash_lsh_capped_path_avoids_window_sort(spark):
     """The hot-bucket cap must come from a groupBy-count semi-join, not a
     sort-based window; pair generation is a projection over collected
