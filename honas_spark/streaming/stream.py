@@ -107,15 +107,42 @@ class StreamingSketchBuilder:
         if os.path.isdir(old):
             shutil.rmtree(old)
 
+    def _read_manifest(self, final: str) -> Optional[dict]:
+        import json
+
+        p = os.path.join(final, "_manifest.json")
+        if not os.path.isfile(p):
+            return None
+        try:
+            with open(p) as f:
+                return json.load(f)
+        except (ValueError, OSError):
+            return None
+
     def process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
         """Merge one micro-batch into the store.
 
         The store is partitioned by window (`window=KEY/` dirs) and only
         windows TOUCHED by this batch are read+merged+rewritten — per-batch
         cost is O(batch + touched windows' sketch rows), independent of
-        stream length (the old whole-store rewrite was quadratic)."""
+        stream length.  All touched windows are written by ONE
+        `partitionBy` job (a backfill batch touching hundreds of windows
+        issues O(1) Spark jobs, not one per window); the crash-safe
+        per-directory swap then happens on the local filesystem only.
+
+        Idempotent under foreachBatch's at-least-once replay: a window
+        whose manifest already records this epoch_id has this batch merged
+        in — re-merging would double-count the additive CMS / n_rows
+        components (Bloom OR / HLL max are idempotent, counter-add is
+        not), so replayed windows are skipped.  Restarting a stream over
+        an existing store therefore requires the same checkpoint dir (so
+        epoch ids continue) — standard Structured Streaming practice."""
         if batch_df.isEmpty():
             return
+        import json
+        import shutil
+        import time as _time
+
         spark = batch_df.sparkSession
         self._recover()
         batch_sketches = build_sketches(
@@ -135,41 +162,71 @@ class StreamingSketchBuilder:
         ]
         root = self._store_path()
         os.makedirs(root, exist_ok=True)
+        todo, existing = [], []
         for w in touched:
             final = os.path.join(root, f"window={self._window_key(w)}")
-            batch_slice = batch_sketches.filter(
-                F.col(self.window_col) == F.lit(w)
-            )
+            man = self._read_manifest(final)
+            if man is not None and man.get("last_epoch_id") == int(epoch_id):
+                continue  # replayed epoch: this batch is already merged
+            todo.append(w)
             if os.path.isdir(final):
-                merged = rollup_sketches(
-                    spark.read.parquet(final).unionByName(batch_slice),
-                    self.spec,
-                    self.window_col,
-                    self.spec.window,
-                    self.group_cols,
-                )
-            else:
-                merged = batch_slice
-            tmp = final + f".tmp-{epoch_id}"
-            merged.write.mode("overwrite").parquet(tmp)
+                existing.append(final)
+        if not todo:
+            batch_sketches.unpersist()
+            return
+        union = (
+            batch_sketches
+            if len(todo) == len(touched)
+            else batch_sketches.filter(F.col(self.window_col).isin(todo))
+        )
+        if existing:
+            union = spark.read.parquet(*existing).unionByName(union)
+        merged = rollup_sketches(
+            union, self.spec, self.window_col, self.spec.window,
+            self.group_cols,
+        ).cache()
+        # ONE write job for every touched window: partition dirs under a
+        # tmp root (`_recover` clears a stray one after a crash) ...
+        tmp_root = os.path.join(root, f"all.tmp-{epoch_id}")
+        if os.path.isdir(tmp_root):
+            shutil.rmtree(tmp_root)
+        (
+            merged.withColumn(
+                "_wkey",
+                F.translate(
+                    F.col(self.window_col).cast("string"), " :", "T-"
+                ),
+            )
+            .write.mode("overwrite")
+            .partitionBy("_wkey")
+            .parquet(tmp_root)
+        )
+        # ... and ONE count job off the cached merge for the manifests
+        # (no re-read of files just written)
+        counts = {
+            r[0]: r[1]
+            for r in merged.groupBy(self.window_col).count().collect()
+        }
+        merged.unpersist()
+        batch_sketches.unpersist()
+        for w in todo:
+            wk = self._window_key(w)
+            tmp = os.path.join(tmp_root, f"_wkey={wk}")
             # per-window lineage manifest (north rule): which epoch last
             # touched this window, when, and how many sketch rows it holds
-            import json
-            import time as _time
-
             with open(os.path.join(tmp, "_manifest.json"), "w") as f:
                 json.dump(
                     {
                         "window": str(w),
                         "last_epoch_id": int(epoch_id),
                         "committed_at": _time.time(),
-                        "sketch_rows": spark.read.parquet(tmp).count(),
+                        "sketch_rows": int(counts.get(w, 0)),
                         "spec": self.spec.to_dict(),
                     },
                     f,
                 )
-            self._publish(tmp, final)
-        batch_sketches.unpersist()
+            self._publish(tmp, os.path.join(root, f"window={wk}"))
+        shutil.rmtree(tmp_root, ignore_errors=True)
 
     def start(
         self,

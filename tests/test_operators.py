@@ -259,6 +259,87 @@ def test_streaming_store_crash_recovery(spark, tmp_path):
     assert not os.path.isdir(victim + ".tmp-99")
 
 
+def test_streaming_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-delivering the SAME epoch must
+    not double-count the additive components (CMS counters, n_rows) —
+    the per-window manifest's last_epoch_id guards the re-merge.  A NEW
+    epoch with identical rows must still merge (counters double)."""
+    from honas_spark.spec import SketchSpec
+    from honas_spark.operators import sha256_key, with_window
+    from honas_spark.sources.corpus import generate_corpus
+    from honas_spark.streaming.stream import StreamingSketchBuilder
+
+    spec = SketchSpec(m_bits=1 << 14, k=5, window="1 hour",
+                      cms_width=256, kll_k=64)
+    corpus = generate_corpus(spark, 300, n_hours=2)
+    keyed = sha256_key(
+        with_window(corpus, "commit_ts", spec.window), "path"
+    ).select("window_start", "key_sha", "repo", "commit_ts")
+
+    builder = StreamingSketchBuilder(
+        spec, str(tmp_path / "store"), group_cols=[],
+        client_col="repo", ts_col="commit_ts",
+    )
+    builder.process_batch(keyed, epoch_id=7)
+    first = {str(r["window_start"]): r
+             for r in builder.read_store(spark).collect()}
+    builder.process_batch(keyed, epoch_id=7)  # replayed epoch
+    replay = {str(r["window_start"]): r
+              for r in builder.read_store(spark).collect()}
+    assert first.keys() == replay.keys()
+    for k in first:
+        assert replay[k]["n_rows"] == first[k]["n_rows"], "double-counted"
+        assert replay[k]["cms"] == first[k]["cms"]
+        assert replay[k]["filters"] == first[k]["filters"]
+    builder.process_batch(keyed, epoch_id=8)  # genuinely new epoch
+    again = {str(r["window_start"]): r
+             for r in builder.read_store(spark).collect()}
+    for k in first:
+        assert again[k]["n_rows"] == 2 * first[k]["n_rows"]
+        assert again[k]["filters"] == first[k]["filters"]  # OR idempotent
+
+
+def test_streaming_publish_is_single_job(spark, tmp_path):
+    """A batch touching MANY windows must publish them all with O(1)
+    Spark jobs (one partitionBy write + one count off the cached merge),
+    not one write job + one re-read job per window."""
+    from honas_spark.spec import SketchSpec
+    from honas_spark.operators import sha256_key, with_window
+    from honas_spark.sources.corpus import generate_corpus
+    from honas_spark.streaming.stream import StreamingSketchBuilder
+
+    spec = SketchSpec(m_bits=1 << 14, k=5, window="1 hour",
+                      cms_width=256, kll_k=64)
+    corpus = generate_corpus(spark, 2000, n_hours=24)  # 24 touched windows
+    keyed = sha256_key(
+        with_window(corpus, "commit_ts", spec.window), "path"
+    ).select("window_start", "key_sha", "repo", "commit_ts")
+
+    builder = StreamingSketchBuilder(
+        spec, str(tmp_path / "store"), group_cols=[],
+        client_col="repo", ts_col="commit_ts",
+    )
+    sc = spark.sparkContext
+    sc.setJobGroup("publish24", "streaming publish job-count probe")
+    try:
+        builder.process_batch(keyed, epoch_id=0)
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = spark.sparkContext.statusTracker().getJobIdsForGroup("publish24")
+    n_windows = len([
+        d for d in __import__("os").listdir(builder._store_path())
+        if d.startswith("window=")
+    ])
+    assert n_windows == 24
+    # ~12 jobs observed: a fixed set of actions (isEmpty, client-hash LUT,
+    # cache fill, touched-windows collect, write, manifest count), each
+    # split into AQE stage-jobs — independent of the window count.  The
+    # per-window publish this replaced issued 2 jobs per window (>= 48).
+    assert len(jobs) <= 16, (
+        f"{len(jobs)} jobs for 24 windows — publish is per-window again"
+    )
+
+
 def test_kmeans_refine_improves_or_matches_quantization(spark, vectors):
     """Distributed Lloyd refinement must not worsen (and normally
     shrinks) the within-cluster quantization error, and assignment stays
