@@ -539,6 +539,45 @@ def _q_cidr_lpm(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("row_id")
 
 
+_V6_BASE = 0x20010DB800000000  # hi limb of 2001:db8:: (segments 1-4)
+
+_CIDR6_DIM = [
+    ("2001:db8::/32", "site"),
+    ("2001:db8:2::/48", "pod2"),
+    ("2001:db8:5::/48", "pod5"),
+    ("2001:db8:5:1::/64", "rack5-1"),
+    ("2001:db8:3:2::/80", "slice3-2"),
+]
+
+
+def _q_cidr_lpm6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9/J1b, IPv6 half: longest-prefix match over struct<hi,lo> limb
+    pairs — the reference's dual-stack subnet matching
+    (src/subnet_activity.c:441-507 via include/inet.h:59-65; the fixture
+    etc/example_subnet_definitions.json registers v6 /48 and /64
+    prefixes).  Addresses are synthesized arithmetically from order keys
+    (hi = 2001:db8:(k%8):(k%3), lo = k) so the DuckDB oracle can
+    recompute the masked compares in plain integer arithmetic."""
+    from honas_spark.operators.prefix_join import cidr_longest_prefix_join6
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    k = F.col("o_orderkey")
+    hi = (F.lit(_V6_BASE) + (k % 8) * 65536 + (k % 3)).cast("long")
+    lo = k.cast("long")
+    addrs = orders.select(
+        k.alias("row_id"),
+        F.struct(hi.alias("hi"), lo.alias("lo")).alias("addr6"),
+    )
+    out = cidr_longest_prefix_join6(addrs, "addr6", _CIDR6_DIM)
+    return out.select(
+        "row_id",
+        F.col("addr6")["hi"].alias("hi"),
+        F.col("addr6")["lo"].alias("lo"),
+        F.coalesce(F.col("matched_entity"), F.lit("-")).alias("entity"),
+        F.coalesce(F.col("matched_plen"), F.lit(0)).alias("plen"),
+    ).orderBy("row_id")
+
+
 def _q_sha_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-row content-sha256 ingest guard (north rule): recompute the
     digest and compare.  Every 97th row's stored digest is deliberately
@@ -1014,6 +1053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": _q_sessionize,
         "instrumentation": _q_instrumentation,
         "cidr_lpm": _q_cidr_lpm,
+        "cidr_lpm6": _q_cidr_lpm6,
         "hash_sample": _q_hash_sample,
         "search_semantics": _q_search_semantics,
         "sha_guard": _q_sha_guard,
@@ -1526,6 +1566,38 @@ def oracle_sql() -> dict[str, str]:
                   WHEN n // 16777216 = 10 THEN 8
                   ELSE 0 END AS plen
             FROM nums ORDER BY row_id
+        """,
+        # IPv6 LPM recomputed on the same synthesized limb pairs: masked
+        # compares become integer divisions (hi >> 16 for /48, hi >> 32
+        # for /32, lo >> 48 for the /80 tail), longest prefix first
+        # (80 > 64 > 48 > 32).
+        "cidr_lpm6": f"""
+            WITH addrs AS (
+                SELECT o_orderkey AS row_id,
+                       CAST({_V6_BASE} AS BIGINT)
+                         + (o_orderkey % 8) * 65536
+                         + (o_orderkey % 3) AS hi,
+                       CAST(o_orderkey AS BIGINT) AS lo
+                FROM orders
+            )
+            SELECT row_id, hi, lo,
+                CASE
+                  WHEN hi = {_V6_BASE + 3 * 65536 + 2}
+                       AND lo // 281474976710656 = 0 THEN 'slice3-2'
+                  WHEN hi = {_V6_BASE + 5 * 65536 + 1} THEN 'rack5-1'
+                  WHEN hi // 65536 = {(_V6_BASE >> 16) + 2} THEN 'pod2'
+                  WHEN hi // 65536 = {(_V6_BASE >> 16) + 5} THEN 'pod5'
+                  WHEN hi // 4294967296 = {_V6_BASE >> 32} THEN 'site'
+                  ELSE '-' END AS entity,
+                CASE
+                  WHEN hi = {_V6_BASE + 3 * 65536 + 2}
+                       AND lo // 281474976710656 = 0 THEN 80
+                  WHEN hi = {_V6_BASE + 5 * 65536 + 1} THEN 64
+                  WHEN hi // 65536 = {(_V6_BASE >> 16) + 2} THEN 48
+                  WHEN hi // 65536 = {(_V6_BASE >> 16) + 5} THEN 48
+                  WHEN hi // 4294967296 = {_V6_BASE >> 32} THEN 32
+                  ELSE 0 END AS plen
+            FROM addrs ORDER BY row_id
         """,
         "instrumentation": """
             SELECT lang,

@@ -89,7 +89,12 @@ def _ip6_aton_batch(s: pd.Series) -> pd.DataFrame:
         except (ipaddress.AddressValueError, TypeError, ValueError):
             his.append(None)
             los.append(None)
-    return pd.DataFrame({"hi": his, "lo": los})
+    # nullable Int64, NOT the default inference: a single None would
+    # coerce the column to float64, silently rounding limbs past 2^53
+    # (an exact /64 compare then fails for valid rows in the same batch)
+    return pd.DataFrame(
+        {"hi": pd.array(his, dtype="Int64"), "lo": pd.array(los, dtype="Int64")}
+    )
 
 
 def _ip6_ntoa_batch(hi: pd.Series, lo: pd.Series) -> pd.Series:

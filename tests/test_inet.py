@@ -168,3 +168,125 @@ def test_cidr_lpm_random_ips_match_ipaddress_model(spark):
         }
         for ip in ips:
             assert got[ip] == _expected_lpm(ip), (ip, kwargs)
+
+
+# --------------------------------------------------------------------------
+# IPv6 / dual-stack LPM (J1b v6) — reference fixture cases ported from
+# etc/example_subnet_definitions.json (netSURF registers 2001:67c:6ec::/48
+# and 2001:67c:6ec:201::/64), matched per src/subnet_activity.c:441-507.
+# --------------------------------------------------------------------------
+
+_DIM_DUAL = [
+    ("192.87.0.0/16", "SURFnet"),
+    ("145.0.0.0/8", "SURFnet"),
+    ("192.42.0.0/16", "SURFnet"),
+    ("192.42.113.0/24", "netSURF"),
+    ("145.220.0.0/16", "netSURF"),
+    ("2001:67c:6ec::/48", "netSURF"),
+    ("2001:67c:6ec:201::/64", "netSURF64"),
+]
+
+
+def _expected_dual(ip: str):
+    a = ipaddress.ip_address(ip)
+    best = (None, None)
+    for cidr, ent in _DIM_DUAL:
+        net = ipaddress.ip_network(cidr)
+        if a.version == net.version and a in net:
+            if best[1] is None or net.prefixlen > best[1]:
+                best = (ent, net.prefixlen)
+    return best
+
+
+def _dual_df(spark, addrs):
+    from honas_spark.functions.inet import ip4_aton, ip6_aton
+
+    df = spark.createDataFrame(
+        [(i, a) for i, a in enumerate(addrs)], "row_id long, addr string"
+    )
+    is4 = F.col("addr").contains(".") & ~F.col("addr").contains(":")
+    return (
+        df.withColumn("a4", F.when(is4, ip4_aton(F.col("addr"))))
+        .withColumn("a6", F.when(~is4, ip6_aton(F.col("addr"))))
+    )
+
+
+def test_cidr_lpm6_reference_fixture_cases(spark):
+    """The reference's own v6 fixture: /64 beats /48, /48 beats nothing,
+    off-prefix addresses match neither."""
+    from honas_spark.operators.prefix_join import cidr_longest_prefix_join6
+
+    cases = {
+        "2001:67c:6ec:201::5": ("netSURF64", 64),
+        "2001:67c:6ec:201:ffff::1": ("netSURF64", 64),
+        "2001:67c:6ec:202::5": ("netSURF", 48),
+        "2001:67c:6ec::1": ("netSURF", 48),
+        "2001:67c:6ed::1": (None, None),
+        "::1": (None, None),
+    }
+    df = _dual_df(spark, list(cases))
+    v6 = [(c, e) for c, e in _DIM_DUAL if ":" in c]
+    for kwargs in ({}, {"max_case_entries": 0}):
+        out = cidr_longest_prefix_join6(df, "a6", v6, **kwargs)
+        got = {r["addr"]: (r["matched_entity"], r["matched_plen"])
+               for r in out.collect()}
+        for a, exp in cases.items():
+            assert got[a] == exp, (a, kwargs)
+
+
+def test_cidr_lpm_dual_matches_ipaddress_model(spark):
+    """Randomized dual-stack sweep: both families in one column pair must
+    match the python `ipaddress` model exactly (family dispatch + LPM)."""
+    import numpy as np
+
+    from honas_spark.operators.prefix_join import (
+        cidr_longest_prefix_join_dual,
+    )
+
+    rng = np.random.default_rng(7)
+    addrs = [
+        "192.87.1.2", "145.220.5.5", "145.9.9.9", "192.42.113.7",
+        "192.42.9.9", "8.8.8.8", "2001:67c:6ec:201::5",
+        "2001:67c:6ec:202::5", "2001:67c:6ed::1", "::1",
+    ]
+    base = 0x2001067C06EC0000 << 64
+    for _ in range(150):
+        if rng.random() < 0.5:
+            addrs.append(str(ipaddress.IPv4Address(int(rng.integers(0, 2**32)))))
+        else:
+            x = int(rng.integers(0, 2**63)) | (int(rng.integers(0, 2**7)) << 63)
+            addrs.append(str(ipaddress.IPv6Address(base ^ x)))
+    out = cidr_longest_prefix_join_dual(
+        _dual_df(spark, addrs), "a4", "a6", _DIM_DUAL
+    )
+    got = {r["addr"]: (r["matched_entity"], r["matched_plen"])
+           for r in out.collect()}
+    for a in addrs:
+        assert got[a] == _expected_dual(a), a
+
+
+def test_cidr_lpm6_case_path_is_pure_projection(spark):
+    """The v6 CASE fast path must add no exchange (zero shuffle)."""
+    from honas_spark.operators.prefix_join import cidr_longest_prefix_join6
+
+    df = spark.createDataFrame(
+        [(1, (2, 3))], "row_id long, a6 struct<hi: long, lo: long>"
+    )
+    v6 = [(c, e) for c, e in _DIM_DUAL if ":" in c]
+    plan = cidr_longest_prefix_join6(df, "a6", v6)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_ip6_aton_mixed_batch_keeps_limb_precision(spark):
+    """A malformed value in the same Arrow batch must not demote the limb
+    columns to float64 (2^53 rounding would corrupt exact /64 compares)."""
+    big = "ffff:ffff:ffff:fffe::1"  # hi = -2 as signed int64
+    from honas_spark.functions.inet import ip6_aton
+
+    df = spark.createDataFrame(
+        [(big,), ("not-an-ip",)], "ip string"
+    ).withColumn("l", ip6_aton(F.col("ip")))
+    got = {r["ip"]: r["l"] for r in df.collect()}
+    assert got[big]["hi"] == -2 and got[big]["lo"] == 1
+    assert got["not-an-ip"]["hi"] is None
