@@ -81,6 +81,36 @@ def cmd_gather(args) -> int:
     keyed = explode_keys(
         df, args.name_col, entity_col=args.entity_col or None, sep=args.sep
     )
+    if args.dry_run:
+        # the reference's `-d` mode (honas_gather.c:1150-1292): no state
+        # is built — hourly/daily distinct counters run over the ingest
+        # and the sizing-advice block is printed at "rotation" (here: the
+        # end of the bounded input), in the reference's exact format
+        import datetime as _dt
+
+        from .info import dry_run_counters, render_advice_block
+
+        hourly, daily = dry_run_counters(keyed, "key", args.ts_col)
+        lines = []
+        for w, dk, tq in hourly:
+            lines.append(
+                f"[{w}] Distinct count this hour: {dk},"
+                f" total query count: {tq}"
+            )
+        for w, dk, tq in daily:
+            lines.append(
+                f"[{w}] Distinct count this day: {dk},"
+                f" total query count: {tq}"
+            )
+        h_max = max((dk for _, dk, _ in hourly), default=0)
+        d_max = max((dk for _, dk, _ in daily), default=0)
+        now = _dt.datetime.now().strftime("%d-%m-%Y %H:%M")
+        report = "\n".join(lines + [render_advice_block(h_max, d_max, now)])
+        print(report)
+        os.makedirs(args.output, exist_ok=True)
+        with open(os.path.join(args.output, "_dryrun.txt"), "a") as f:
+            f.write(report + "\n")
+        return 0
     keyed = sha256_key(keyed, "key")
     keyed = with_window(keyed, args.ts_col, spec.window)
     group_cols = [c for c in [args.entity_col] if c]
@@ -152,7 +182,12 @@ def _load_sketch_table(args, spark):
 
 
 def cmd_search(args) -> int:
-    from .search import job_from_key_file, run_search, search_result_json
+    from .search import (
+        job_from_key_file,
+        run_search,
+        search_result_json,
+        search_result_json_reference,
+    )
 
     spark = _spark()
     spec, table, group_cols = _load_sketch_table(args, spark)
@@ -163,9 +198,18 @@ def cmd_search(args) -> int:
         with open(args.job) as f:
             job = json.load(f)
     key_df, group_df = run_search(table, spec, job, group_cols)
-    out = search_result_json(
-        key_df, group_df, group_cols, sketch_df=table, spec=spec
-    )
+    if args.state.endswith(".hs"):
+        # single-state search: render the reference binary's exact
+        # document (README.md:341-454) from the state header
+        from .sources.hsfile import read_hs_header
+
+        with open(args.state, "rb") as f:
+            h = read_hs_header(f.read(8192))
+        out = search_result_json_reference(key_df, group_df, spec, h)
+    else:
+        out = search_result_json(
+            key_df, group_df, group_cols, sketch_df=table, spec=spec
+        )
     if args.out:
         with open(args.out, "w") as f:
             f.write(out)
@@ -292,6 +336,9 @@ def main(argv=None) -> int:
     g.add_argument("--mode", default="map_combine")
     g.add_argument("--salt", type=int, default=None)
     g.add_argument("--run-id", default="cli")
+    g.add_argument("--dry-run", action="store_true",
+                   help="the reference's -d mode: no state built; print "
+                   "hourly/daily distinct counters + sizing advice")
     g.set_defaults(fn=cmd_gather)
 
     s = sub.add_parser("search")

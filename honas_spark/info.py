@@ -57,6 +57,87 @@ def advice_for_sketch_table(
     return out
 
 
+def _optimal_k_ref(n: int, m: int) -> int:
+    """The reference's optimal_k (src/advice.c:37-45) — NOTE `m / n` is C
+    INTEGER division (both args int), which is why the README example
+    prints k=16 where true-ratio math gives 17.  Reproduced exactly for
+    text-level parity of the advice block."""
+    return math.ceil((m // n) * math.log(2)) if n > 0 else 0
+
+
+def render_advice_block(
+    hourly_max: int, daily_max: int, date_str: str
+) -> str:
+    """The dry-run advice block, field-for-field the reference's format
+    (src/bin/honas_gather.c:1150-1212, example README.md:639-656):
+    m = roundUp(bloom_filter_size(p, n), 1e5) printed with the 10%
+    tolerance applied (C truncates the double), k from the integer-ratio
+    optimal_k above."""
+    lines = [
+        "------------------------------------ Advice"
+        " ------------------------------------",
+        f"[{date_str}] The numbers are rounded up to the nearest"
+        " hundred-thousand, and a tolerance of 10 percent is added.",
+        "-------------------------------- Hourly Filters"
+        " --------------------------------",
+    ]
+
+    def family(n: int) -> None:
+        for p, label in (
+            (1e-3, "1 / 1000"), (1e-4, "1 / 10000"), (1e-5, "1 / 100000")
+        ):
+            m = int(math.ceil(K.bloom_filter_size(p, n) / 100_000)) * 100_000
+            k = _optimal_k_ref(n, m)
+            lines.append(
+                f"[{date_str}] For a false positive rate of {label},"
+                f" BF size (m) should be {int(m * 1.1)},"
+                f" based on {n} unique domain names"
+            )
+            lines.append(
+                f"[{date_str}] The number of hash functions (k)"
+                f" should be {k}"
+            )
+
+    family(hourly_max)
+    lines.append(
+        "-------------------------------- Daily Filters"
+        " ---------------------------------"
+    )
+    family(daily_max)
+    lines.append(
+        "-------------------------------------- End"
+        " -------------------------------------"
+    )
+    return "\n".join(lines)
+
+
+def dry_run_counters(
+    df: DataFrame, key_col: str, ts_col: str, rsd: float = 0.0081
+) -> tuple[list, list]:
+    """The gather dry-run's hourly/daily distinct counters
+    (honas_gather.c:1216-1263) over a keyed DataFrame: one aggregation
+    per granularity, distinct keys estimated with Spark's HLL++
+    (`approx_count_distinct`, rsd matched to the reference's P=14
+    register error ~0.81%).  Returns ([(window, distinct, total)], same
+    daily) sorted by window — bounded output, one row per period."""
+    from pyspark.sql import functions as F
+
+    def counters(period: str) -> list:
+        rows = (
+            df.groupBy(F.window(F.col(ts_col), period)["start"].alias("w"))
+            .agg(
+                F.approx_count_distinct(key_col, rsd).alias("distinct_keys"),
+                F.count(F.lit(1)).alias("total_rows"),
+            )
+            .orderBy("w")
+            .collect()
+        )
+        return [(r["w"], int(r["distinct_keys"]), int(r["total_rows"]))
+                for r in rows]
+
+    return counters("1 hour"), counters("1 day")
+
+
 def info_rows(
     sketch_df: DataFrame, spec: SketchSpec, group_cols: Sequence[str]
 ) -> DataFrame:

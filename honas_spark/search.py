@@ -239,6 +239,77 @@ def general_information(
     return out
 
 
+def search_result_json_reference(
+    key_df: DataFrame,
+    group_df: DataFrame,
+    spec: SketchSpec,
+    header: dict,
+    indent: "int | None" = None,
+) -> str:
+    """Render the reference's EXACT search-result document for a
+    single-state (.hs) search (README.md:341-454, honas_search.c
+    add_general_information:88-127 + group rendering:303-371): field
+    names, field order, per-filter stats with the "%.10f" FPR string,
+    `flattened_results`, and groups as {key: hits} maps.
+
+    key_df/group_df come from `run_search` over the imported state (the
+    engine path — this is a sink, not a second implementation); `header`
+    is the .hs header dict from `import_hs_state`."""
+    from . import kernels as K
+    from honas_spark import __version__
+
+    doc: dict = {
+        "node_version": __version__,
+        "state_file_version": f"{header['major']}.{header['minor']}",
+        "period_begin": int(header["period_begin"]),
+        "first_request": int(header["first_request"]),
+        "last_request": int(header["last_request"]),
+        "period_end": int(header["period_end"]),
+        "estimated_number_of_clients": int(
+            header["estimated_number_of_clients"]
+        ),
+        "estimated_number_of_host_names": int(
+            header["estimated_number_of_host_names"]
+        ),
+        "number_of_requests": int(header["number_of_requests"]),
+        "number_of_filters": spec.num_filters,
+        "number_of_filters_per_user": spec.filters_per_user,
+        "number_of_hashes": spec.k,
+        "number_of_bits_per_filter": spec.m_bits,
+        "flatten_threshold": spec.flatten_threshold,
+        "filters": [
+            {
+                "number_of_bits_set": int(b),
+                "estimated_number_of_host_names": int(
+                    K.bloom_approx_count(spec.m_bits, spec.k, int(b))
+                ),
+                "actual_false_positive_rate": "%.10f"
+                % K.actual_fpr(spec.m_bits, spec.k, int(b)),
+            }
+            for b in header["filter_bits_set"]
+        ],
+        "flattened_results": bool(
+            int(header["estimated_number_of_clients"])
+            < spec.flatten_threshold
+        ),
+    }
+    by_gid: dict[int, dict] = {}
+    for r in key_df.collect():
+        by_gid.setdefault(int(r["group_id"]), {})[r["key"]] = int(r["hits"])
+    groups = []
+    for r in sorted(group_df.collect(), key=lambda x: int(x["group_id"])):
+        gid = int(r["group_id"])
+        groups.append(
+            {
+                "id": gid,
+                "hostnames": by_gid.get(gid, {}),
+                "hits_by_all_hostnames": int(r["hits_by_all_hostnames"]),
+            }
+        )
+    doc["groups"] = groups
+    return json.dumps(doc, indent=indent)
+
+
 def search_result_json(
     key_df: DataFrame,
     group_df: DataFrame,

@@ -184,3 +184,56 @@ def test_rotate_cli_rolls_hourly_to_daily(spark, ckpt_dir, tmp_path):
     got = SketchState.from_fields(h_spec, daily[0].asDict())
     assert np.array_equal(got.filters, expected.filters)
     assert got.n_rows == expected.n_rows
+
+
+def test_gather_dry_run_prints_reference_advice_block(
+    corpus_dir, tmp_path, capsys
+):
+    """The reference's `-d` mode (honas_gather.c:1150-1292): no state is
+    built, hourly/daily distinct counters are printed, and the advice
+    block matches the documented format (README.md:639-656)."""
+    out = str(tmp_path / "dry")
+    rc = main([
+        "gather", "--input", corpus_dir, "--output", out, "--dry-run",
+        "--m-bits", str(1 << 16), "--k", "5", "--window", "1 hour",
+    ])
+    assert rc == 0
+    text = capsys.readouterr().out
+    assert "Distinct count this hour:" in text
+    assert "Distinct count this day:" in text
+    assert (
+        "------------------------------------ Advice"
+        " ------------------------------------" in text
+    )
+    assert "-------------------------------- Hourly Filters" in text
+    assert "-------------------------------- Daily Filters" in text
+    # 3 target FPRs x 2 granularities, each with an m and a k line
+    assert text.count("For a false positive rate of") == 6
+    assert text.count("The number of hash functions (k) should be") == 6
+    # no state built
+    assert not [d for d in os.listdir(out) if d.startswith("window=")]
+    assert os.path.isfile(os.path.join(out, "_dryrun.txt"))
+
+
+def test_render_advice_block_matches_readme_example():
+    """Byte-for-byte parity with the README.md:639-656 example advice
+    (incl. the reference's integer-ratio optimal_k quirk: k=16 at 1e-5
+    where true-ratio math would give 17)."""
+    from honas_spark.info import render_advice_block
+
+    out = render_advice_block(2578756, 19300734, "10-08-2018 13:32")
+    for needle in (
+        "BF size (m) should be 40810000, based on 2578756",
+        "BF size (m) should be 54450000, based on 2578756",
+        "BF size (m) should be 67980000, based on 2578756",
+        "BF size (m) should be 305250000, based on 19300734",
+        "BF size (m) should be 407000000, based on 19300734",
+        "BF size (m) should be 508750000, based on 19300734",
+    ):
+        assert needle in out
+    ks = [
+        line.rsplit(" ", 1)[1]
+        for line in out.splitlines()
+        if "hash functions" in line
+    ]
+    assert ks == ["10", "14", "16", "10", "14", "16"]

@@ -105,3 +105,94 @@ def test_header_validation():
     data[0] = 0x58  # corrupt magic
     with pytest.raises(ValueError, match="magic"):
         read_hs_header(bytes(data))
+
+
+def test_search_result_json_golden_document(spark, tmp_path):
+    """Field-for-field golden of the FULL rendered search-result document
+    (README.md:341-454) for the reference-produced state and the
+    documented job shape, through the CLI path (`honas_spark search
+    --state golden.hs --job ...`).  Every value below is either a header
+    constant recorded from the reference binary or derived by the
+    documented formulas (bloom_approx_count on byte size, fill^k FPR as
+    a "%.10f" string, threshold/omission rules)."""
+    import json
+    import os
+
+    from honas_spark import __version__
+    from honas_spark.cli import main
+
+    job = {
+        "groups": [
+            {
+                "id": 1,
+                "hostnames": {
+                    k: _sha(k).hex() for k in MEMBERS + [NON_MEMBER]
+                },
+            },
+            {"id": 2, "hostnames": {NON_MEMBER: _sha(NON_MEMBER).hex()}},
+        ]
+    }
+    job_path = str(tmp_path / "job.json")
+    out_path = str(tmp_path / "result.json")
+    with open(job_path, "w") as f:
+        json.dump(job, f)
+    assert main([
+        "search", "--state", os.path.abspath(GOLDEN),
+        "--job", job_path, "--out", out_path,
+    ]) == 0
+    with open(out_path) as f:
+        got = json.load(f)
+
+    expected = {
+        "node_version": __version__,
+        "state_file_version": "1.0",
+        "period_begin": 1700000000,
+        "first_request": 1700000100,
+        "last_request": 1700000102,
+        "period_end": 1700003600,
+        "estimated_number_of_clients": 22,
+        "estimated_number_of_host_names": 13,
+        "number_of_requests": 3,
+        "number_of_filters": 4,
+        "number_of_filters_per_user": 2,
+        "number_of_hashes": 3,
+        "number_of_bits_per_filter": 65536,
+        "flatten_threshold": 1,
+        "filters": [
+            {
+                "number_of_bits_set": 0,
+                "estimated_number_of_host_names": 0,
+                "actual_false_positive_rate": "0.0000000000",
+            },
+            {
+                "number_of_bits_set": 39,
+                "estimated_number_of_host_names": 13,
+                "actual_false_positive_rate": "0.0000000002",
+            },
+            {
+                "number_of_bits_set": 0,
+                "estimated_number_of_host_names": 0,
+                "actual_false_positive_rate": "0.0000000000",
+            },
+            {
+                "number_of_bits_set": 39,
+                "estimated_number_of_host_names": 13,
+                "actual_false_positive_rate": "0.0000000002",
+            },
+        ],
+        "flattened_results": False,
+        "groups": [
+            {
+                "id": 1,
+                # every member in 2 filters; the never-inserted key is
+                # dropped (hits < filters_per_user); group 2 (only the
+                # non-member) is omitted entirely; the AND across group 1
+                # zeroes because one key was missing
+                "hostnames": {k: 2 for k in MEMBERS},
+                "hits_by_all_hostnames": 0,
+            }
+        ],
+    }
+    assert got == expected
+    # field ORDER also matches the reference printer (README.md "Format")
+    assert list(got) == list(expected)
