@@ -200,28 +200,23 @@ def _q_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KLL sibling: per-event-type quantile estimates (rows-only; rank
-    error bound asserted in tests)."""
-    ev = _events(spark, sf_dir).withColumn("g", F.col("event_type"))
-    keyed = sha256_key(ev, "event_type")
-    sk = build_sketches(
-        keyed, _MEMBER_SPEC, group_cols=["g"], value_col="value"
+    error bound asserted in tests).  Fully distributed — the generic
+    quantile_sketch_agg operator (two-phase map-combine + tree merge),
+    same protocol as tdigest_quantiles; no driver-side rebuild."""
+    from honas_spark.operators.quantiles import quantile_sketch_agg
+
+    ev = _events(spark, sf_dir)
+    q = quantile_sketch_agg(
+        ev, ["event_type"], "value", sketch="kll",
+        param=_MEMBER_SPEC.kll_k, quantiles=(0.25, 0.5, 0.75, 0.99),
     )
-    rows = []
-    for r in sk.collect():
-        st = SketchState.from_fields(_MEMBER_SPEC, r.asDict())
-        rows.append(
-            (
-                r["g"],
-                round(st.kll.quantile(0.25), 4),
-                round(st.kll.quantile(0.5), 4),
-                round(st.kll.quantile(0.75), 4),
-                round(st.kll.quantile(0.99), 4),
-            )
-        )
-    return spark.createDataFrame(
-        sorted(rows),
-        "event_type string, q25 double, q50 double, q75 double, q99 double",
-    )
+    return q.select(
+        "event_type",
+        F.round("q_25", 4).alias("q25"),
+        F.round("q_50", 4).alias("q50"),
+        F.round("q_75", 4).alias("q75"),
+        F.round("q_99", 4).alias("q99"),
+    ).orderBy("event_type")
 
 
 def _q_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -977,29 +972,39 @@ def _q_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_sizing_advice(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D3: dry-run sizing advice from per-lang HLL uniques estimates
-    (rows-only: derives from the HLL estimate)."""
-    from honas_spark.info import sizing_advice
+    (rows-only: derives from the HLL estimate).  The advice math
+    (info.sizing_advice / src/advice.c:30-51) is expressed as Spark
+    column arithmetic over the finalize_stats output — one explode per
+    target FPR, no driver-side collect+createDataFrame in the path."""
+    import math as _math
 
     docs = _docs(spark, sf_dir)
     keyed = sha256_key(docs.select("lang", "text"), "text")
     sk = build_sketches(keyed, _MEMBER_SPEC, group_cols=["lang"])
-    stats = finalize_stats(sk, _MEMBER_SPEC, ["lang"]).collect()
-    rows = []
-    for r in stats:
-        for adv in sizing_advice(r["est_items"]):
-            rows.append(
-                (
-                    r["lang"],
-                    float(adv["target_fpr"]),
-                    adv["n_uniques"],
-                    adv["m_bits"],
-                    adv["k"],
-                )
-            )
-    return spark.createDataFrame(
-        sorted(rows),
-        "lang string, target_fpr double, n_uniques long, m_bits long, k long",
+    stats = finalize_stats(sk, _MEMBER_SPEC, ["lang"])
+    n = F.greatest(
+        F.floor(F.col("est_items") * 1.10), F.lit(1)
+    ).cast("long")
+    advice = stats.select(
+        "lang",
+        F.col("est_items").alias("n_uniques"),
+        n.alias("_n"),
+        F.explode(
+            F.array(*[F.lit(p) for p in (1e-5, 1e-4, 1e-3)])
+        ).alias("target_fpr"),
     )
+    ln2sq = _math.log(2) ** 2
+    m_raw = F.floor(
+        -(F.col("_n") * F.log(F.col("target_fpr"))) / F.lit(ln2sq)
+    )
+    m = (F.ceil(m_raw / 100_000) * 100_000).cast("long")
+    k = F.greatest(
+        F.ceil(m / F.col("_n") * F.lit(_math.log(2))), F.lit(1)
+    ).cast("long")
+    return advice.select(
+        "lang", "target_fpr", "n_uniques",
+        m.alias("m_bits"), k.alias("k"),
+    ).orderBy("lang", "target_fpr")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -52,6 +52,9 @@ def probe_sketches(
         " total_bits_set long"
     )
 
+    nq = len(qlist)
+    keys_arr = np.array(keys, dtype=object)
+
     def probe(batches):
         # offsets are derived executor-side (vectorized numpy over all
         # queries x filters): the closure ships only the 32-byte SHAs
@@ -61,6 +64,8 @@ def probe_sketches(
         # driver.  Lazily, so empty partitions pay nothing.
         per_filter_offsets = None
         for pdf in batches:
+            if pdf.empty or nq == 0:
+                continue
             if per_filter_offsets is None:
                 limbs = K.hashes_to_limbs(shas, spec.hash_len)
                 per_filter_offsets = [
@@ -69,46 +74,54 @@ def probe_sketches(
                     )
                     for fi in range(spec.num_filters)
                 ]
-            rows: dict[str, list] = {c: [] for c in group_cols}
-            rows.update(
-                group_id=[], key=[], hits=[], filters_hit=[], n_rows=[],
-                est_clients=[], est_items=[], total_bits_set=[],
-            )
-            for row in pdf.to_dict('records'):
+            # block assembly: the (R sketch rows x nq keys) output is
+            # built from preallocated numpy matrices + repeat/tile — no
+            # per-row Python lists, so a 10k-key job costs numpy time,
+            # not interpreter time
+            R = len(pdf)
+            hits_mat = np.zeros((R, nq), dtype=np.int64)
+            mask_mat = np.zeros((R, nq), dtype=np.int64)
+            total_bits = np.zeros(R, dtype=np.int64)
+            est_clients = np.zeros(R, dtype=np.int64)
+            est_items = np.zeros(R, dtype=np.int64)
+            filt_col = pdf["filters"].to_numpy()
+            hllc_col = pdf["hll_clients"].to_numpy()
+            hlli_col = pdf["hll_items"].to_numpy()
+            for i in range(R):
                 # lightweight parse: the probe needs only the filters and
                 # HLLs — skip CMS/KLL deserialization entirely
                 filters = np.frombuffer(
-                    row["filters"], dtype=np.uint8
+                    filt_col[i], dtype=np.uint8
                 ).reshape(spec.num_filters, spec.filter_bytes)
-                nq = len(qlist)
-                hits = np.zeros(nq, dtype=np.int64)
-                mask = np.zeros(nq, dtype=np.int64)
-                total_bits = 0
+                hm, mm = hits_mat[i], mask_mat[i]
                 for fi in range(spec.num_filters):
                     hit = K.bloom_probe(
                         filters[fi], per_filter_offsets[fi]
                     )
-                    hits += hit
-                    mask |= hit.astype(np.int64) << fi
-                    total_bits += K.bloom_bits_set(filters[fi])
-                est_clients = K.hll_count(
-                    np.frombuffer(row["hll_clients"], dtype=np.uint8)
+                    hm += hit
+                    mm |= hit.astype(np.int64) << fi
+                    total_bits[i] += K.bloom_bits_set(filters[fi])
+                est_clients[i] = K.hll_count(
+                    np.frombuffer(hllc_col[i], dtype=np.uint8)
                 )
-                est_items = K.hll_count(
-                    np.frombuffer(row["hll_items"], dtype=np.uint8)
+                est_items[i] = K.hll_count(
+                    np.frombuffer(hlli_col[i], dtype=np.uint8)
                 )
-                for c in group_cols:
-                    rows[c].extend([row[c]] * nq)
-                rows["group_id"].extend(gids.tolist())
-                rows["key"].extend(keys)
-                rows["hits"].extend(hits.tolist())
-                rows["filters_hit"].extend(mask.tolist())
-                rows["n_rows"].extend([int(row["n_rows"])] * nq)
-                rows["est_clients"].extend([est_clients] * nq)
-                rows["est_items"].extend([est_items] * nq)
-                rows["total_bits_set"].extend([total_bits] * nq)
-            if rows["key"]:
-                yield pd.DataFrame(rows)
+            data = {
+                c: pdf[c].repeat(nq).reset_index(drop=True)
+                for c in group_cols
+            }
+            data["group_id"] = np.tile(gids, R)
+            data["key"] = np.tile(keys_arr, R)
+            data["hits"] = hits_mat.reshape(-1)
+            data["filters_hit"] = mask_mat.reshape(-1)
+            data["n_rows"] = np.repeat(
+                pdf["n_rows"].to_numpy(dtype=np.int64), nq
+            )
+            data["est_clients"] = np.repeat(est_clients, nq)
+            data["est_items"] = np.repeat(est_items, nq)
+            data["total_bits_set"] = np.repeat(total_bits, nq)
+            yield pd.DataFrame(data)
 
     return sketch_df.mapInPandas(probe, schema=out_schema)
 

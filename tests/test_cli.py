@@ -131,7 +131,13 @@ def test_info_and_search_on_fresh_empty_hs(spark, tmp_path):
         json.dump(job, f)
     assert main(["search", "--state", hs, "--job", jp, "--out", op]) == 0
     res = json.load(open(op))
-    assert res["hostnames"] == [] and res["groups"] == []
+    # .hs searches render the reference's result document: the zero-hit
+    # group is omitted, general information is always present
+    assert res["groups"] == []
+    assert res["number_of_requests"] == 0
+    assert res["state_file_version"] == "1.0"
+    assert res["period_begin"] == 1704067200
+    assert len(res["filters"]) == spec.num_filters
 
 
 def test_search_with_keys_file_and_groundtruth(spark, corpus_dir, ckpt_dir, tmp_path):
