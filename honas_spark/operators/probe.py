@@ -39,7 +39,9 @@ def probe_sketches(
     """
     group_cols = list(group_cols)
     qlist = list(queries)
-    gids = np.array([q[0] for q in qlist], dtype=np.int64)
+    # object dtype: group ids are optional in the reference job format
+    # (README.md:296-339) — None rides the Arrow long column as null
+    gids = np.array([q[0] for q in qlist], dtype=object)
     keys = [q[1] for q in qlist]
     shas = [q[2] for q in qlist]
 

@@ -31,13 +31,48 @@ from .operators.probe import probe_sketches
 
 
 def parse_search_job(job: "dict | str") -> list[tuple]:
-    """Job JSON -> [(group_id, key, sha_bytes)] (S4 source)."""
+    """Job JSON -> [(group_id, key, sha_bytes)] (S4 source).
+
+    Validation mirrors the reference parser (honas_search.c:129-371 +
+    the AFL fuzz target fuzz/src/input_fuzz.c): `{}` is the minimal
+    valid job (no groups); `id` is optional but must be numeric when
+    present; every hostname value must be a 64-hex-char SHA-256.  Any
+    malformed input raises ValueError with a message — never a hang,
+    never a partial result (fuzz-tested in tests/test_fuzz_parsers.py)."""
     if isinstance(job, str):
-        job = json.loads(job)
+        try:
+            job = json.loads(job)
+        except json.JSONDecodeError as e:
+            raise ValueError(f"search job is not valid JSON: {e}") from e
+    if not isinstance(job, dict):
+        raise ValueError("search job must be a JSON object")
+    groups = job.get("groups", [])
+    if not isinstance(groups, list):
+        raise ValueError("'groups' must be an array")
     out = []
-    for grp in job["groups"]:
-        for key, hexsha in grp["hostnames"].items():
-            out.append((int(grp["id"]), key, bytes.fromhex(hexsha)))
+    for grp in groups:
+        if not isinstance(grp, dict):
+            raise ValueError("each group must be a JSON object")
+        gid = grp.get("id")
+        if gid is not None:
+            if isinstance(gid, bool) or not isinstance(gid, (int, float)):
+                raise ValueError(f"group id must be numeric, got {gid!r}")
+            gid = int(gid)
+        hostnames = grp.get("hostnames", {})
+        if not isinstance(hostnames, dict):
+            raise ValueError("'hostnames' must be an object")
+        for key, hexsha in hostnames.items():
+            if not isinstance(hexsha, str) or len(hexsha) != 64:
+                raise ValueError(
+                    f"hostname value for {key!r} must be 64 hex chars"
+                )
+            try:
+                sha = bytes.fromhex(hexsha)
+            except ValueError:
+                raise ValueError(
+                    f"hostname value for {key!r} is not valid hex"
+                ) from None
+            out.append((gid, key, sha))
     return out
 
 
@@ -293,19 +328,21 @@ def search_result_json_reference(
             < spec.flatten_threshold
         ),
     }
-    by_gid: dict[int, dict] = {}
+    by_gid: dict = {}
     for r in key_df.collect():
-        by_gid.setdefault(int(r["group_id"]), {})[r["key"]] = int(r["hits"])
+        by_gid.setdefault(r["group_id"], {})[r["key"]] = int(r["hits"])
     groups = []
-    for r in sorted(group_df.collect(), key=lambda x: int(x["group_id"])):
-        gid = int(r["group_id"])
-        groups.append(
-            {
-                "id": gid,
-                "hostnames": by_gid.get(gid, {}),
-                "hits_by_all_hostnames": int(r["hits_by_all_hostnames"]),
-            }
-        )
+    for r in sorted(
+        group_df.collect(),
+        key=lambda x: (x["group_id"] is None, x["group_id"]),
+    ):
+        gid = r["group_id"]
+        g: dict = {}
+        if gid is not None:  # README: a group without id stays id-less
+            g["id"] = int(gid)
+        g["hostnames"] = by_gid.get(gid, {})
+        g["hits_by_all_hostnames"] = int(r["hits_by_all_hostnames"])
+        groups.append(g)
     doc["groups"] = groups
     return json.dumps(doc, indent=indent)
 

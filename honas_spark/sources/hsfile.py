@@ -69,6 +69,17 @@ def _pack_registers(regs: np.ndarray) -> bytes:
 
 
 def read_hs_header(data: bytes) -> dict:
+    """Parse + validate the packed header.
+
+    Validation mirrors the reference loader (honas_state.c:179-210):
+    magic, major version, and layout-consistency checks.  ANY corrupt or
+    truncated input raises ValueError with a message — never struct
+    errors, absurd allocations, or a garbage header (fuzz-tested)."""
+    if len(data) < _HEADER_SIZE:
+        raise ValueError(
+            f"truncated state file: {len(data)} bytes < header"
+            f" {_HEADER_SIZE}"
+        )
     vals = struct.unpack_from(_HEADER_FMT, data, 0)
     names = [
         "magic", "major", "minor",
@@ -85,6 +96,25 @@ def read_hs_header(data: bytes) -> dict:
         raise ValueError("not a honas state file (bad magic)")
     if h["major"] != MAJOR:
         raise ValueError(f"unsupported major version {h['major']}")
+    if not 1 <= h["num_filters"] <= 4096:
+        raise ValueError(f"corrupt num_filters {h['num_filters']}")
+    if h["m_bits"] == 0 or h["m_bits"] % 8:
+        raise ValueError(f"corrupt number_of_bits_per_filter {h['m_bits']}")
+    if not 1 <= h["k"] <= 64:
+        raise ValueError(f"corrupt number_of_hashes {h['k']}")
+    if not 1 <= h["filters_per_user"] <= h["num_filters"]:
+        raise ValueError(
+            f"corrupt number_of_filters_per_user {h['filters_per_user']}"
+        )
+    if h["first_filter_offset"] < _HEADER_SIZE + 4 * h["num_filters"]:
+        raise ValueError(
+            f"corrupt first_filter_offset {h['first_filter_offset']}"
+        )
+    for f in ("client_hll_size", "host_name_hll_size"):
+        if h[f] != HLL_DENSE_SIZE:
+            raise ValueError(f"corrupt {f} {h[f]} != {HLL_DENSE_SIZE}")
+    if len(data) < _HEADER_SIZE + 4 * h["num_filters"]:
+        raise ValueError("truncated state file: filter_bits_set missing")
     h["filter_bits_set"] = list(
         struct.unpack_from(f"<{h['num_filters']}I", data, _HEADER_SIZE)
     )
@@ -110,16 +140,25 @@ def import_hs_state(path: str, spec: SketchSpec | None = None
             flatten_threshold=h["flatten_threshold"],
         )
     state = SketchState(spec)
-    for i in range(h["num_filters"]):
-        off = h["first_filter_offset"] + i * (fbytes + pad)
-        state.filters[i] = np.frombuffer(
-            data, dtype=np.uint8, count=fbytes, offset=off
-        ).copy()
     # Quirk Q6: HLL offsets computed exactly as the reference does
     client_off = (fbytes + pad) * h["num_filters"]
     host_off = (
         client_off + h["client_hll_size"] + h["padding_after_client_hll"]
     )
+    need = max(
+        h["first_filter_offset"] + h["num_filters"] * (fbytes + pad),
+        host_off + h["host_name_hll_size"],
+    )
+    if len(data) < need:
+        raise ValueError(
+            f"truncated state file: {len(data)} bytes < {need} required"
+            " by header layout"
+        )
+    for i in range(h["num_filters"]):
+        off = h["first_filter_offset"] + i * (fbytes + pad)
+        state.filters[i] = np.frombuffer(
+            data, dtype=np.uint8, count=fbytes, offset=off
+        ).copy()
     state.hll_clients = _unpack_registers(
         data[client_off: client_off + h["client_hll_size"]]
     )
