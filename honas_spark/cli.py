@@ -181,6 +181,69 @@ def _load_sketch_table(args, spark):
     return spec, df, group_cols
 
 
+def _search_hs_file(spark, hs_path: str, job) -> str:
+    """Run one search job against one .hs state and render the
+    reference's result document."""
+    import argparse as _ap
+
+    from .search import run_search, search_result_json_reference
+    from .sources.hsfile import read_hs_header
+
+    spec, table, group_cols = _load_sketch_table(
+        _ap.Namespace(state=hs_path), spark
+    )
+    key_df, group_df = run_search(table, spec, job, group_cols)
+    with open(hs_path, "rb") as f:
+        h = read_hs_header(f.read(8192))
+    return search_result_json_reference(key_df, group_df, spec, h)
+
+
+def cmd_query_all(args) -> int:
+    """scripts/query_all_scenarios.py: the periodic (cron-driven)
+    blacklist runner — for every configured search job, query each
+    archived state file that has no result yet and write
+    `<state>.hs.json` into the job's result directory.  Incremental:
+    states already holding a result are skipped, so the cron tick is
+    idempotent."""
+    import glob
+    import os
+
+    from .search import job_from_key_file, read_entities_csv
+
+    with open(args.conf) as f:
+        conf = json.load(f)
+    entities = None
+    ef = conf.get("entities_file")
+    if ef and os.path.isfile(ef):
+        entities = read_entities_csv(ef)
+    states = sorted(
+        glob.glob(os.path.join(args.archive, "**", "*.hs"), recursive=True)
+    )
+    spark = _spark()
+    n_run = 0
+    for sjob in conf.get("searchjobs", []):
+        outdir = sjob["result_directory"]
+        os.makedirs(outdir, exist_ok=True)
+        have = {
+            os.path.basename(p)[: -len(".json")]
+            for p in glob.glob(os.path.join(outdir, "*.hs.json"))
+        }
+        job = None
+        for sf in states:
+            base = os.path.basename(sf)
+            if base in have:
+                continue
+            if job is None:  # parse the blacklist once per search job
+                job = job_from_key_file(sjob["blacklist"], entities=entities)
+            out = _search_hs_file(spark, sf, job)
+            with open(os.path.join(outdir, base + ".json"), "w") as f:
+                f.write(out)
+            n_run += 1
+            print(f"queried {base} for {sjob.get('name', '?')}")
+    print(f"ran {n_run} searches over {len(states)} states")
+    return 0
+
+
 def cmd_search(args) -> int:
     from .search import (
         job_from_key_file,
@@ -193,7 +256,12 @@ def cmd_search(args) -> int:
     spec, table, group_cols = _load_sketch_table(args, spark)
     if args.keys:
         # blacklist-file mode (scripts/query_generic_blacklist.py shape)
-        job = job_from_key_file(args.keys)
+        from .search import read_entities_csv
+
+        ents = (
+            read_entities_csv(args.entities) if args.entities else None
+        )
+        job = job_from_key_file(args.keys, entities=ents)
     else:
         with open(args.job) as f:
             job = json.load(f)
@@ -346,8 +414,17 @@ def main(argv=None) -> int:
     s.add_argument("--job")
     s.add_argument("--keys", help="plain-text key list (one per line) "
                    "instead of a JSON job")
+    s.add_argument("--entities", help="entities CSV: adds entity@key + "
+                   "UNKNOWN@key variants per key (query_generic_blacklist)")
     s.add_argument("--out")
     s.set_defaults(fn=cmd_search)
+
+    qa = sub.add_parser("query-all")
+    qa.add_argument("--conf", required=True,
+                    help="periodic_search_jobs.conf (reference shape)")
+    qa.add_argument("--archive", required=True,
+                    help="state-file archive dir (recursive *.hs glob)")
+    qa.set_defaults(fn=cmd_query_all)
 
     i = sub.add_parser("info")
     i.add_argument("--state", required=True)

@@ -91,18 +91,48 @@ def make_search_job(groups: dict[int, Sequence[str]]) -> dict:
     }
 
 
-def job_from_key_file(path: str, group_id: int = 1) -> dict:
+def read_entities_csv(path: str) -> list[str]:
+    """First column of the entities CSV (the reference's entities_out.csv
+    consumed by query_generic_blacklist.py:59-67)."""
+    import csv
+
+    out = []
+    with open(path) as f:
+        for row in csv.reader(f):
+            if row and row[0].strip():
+                out.append(row[0].strip())
+    return out
+
+
+def job_from_key_file(
+    path: str, group_id: int = 1, entities: "Sequence[str] | None" = None
+) -> dict:
     """Build a search job from a plain-text key list (one per line) —
     the shape of the reference's blacklist query tools
     (scripts/query_generic_blacklist.py:33-47 and the booter/mailfilter/
     ndn variants): every non-empty line becomes a lowercased hostname in
-    one group."""
+    one group.
+
+    With `entities`, every key additionally gets one `<entity>@<key>`
+    variant per entity plus an `UNKNOWN@<key>` probe — exactly the
+    compound queries the reference generates
+    (query_generic_blacklist.py:73-89)."""
     keys = []
     with open(path) as f:
         for line in f:
             k = line.strip().lower()
             if k and not k.startswith("#"):
                 keys.append(k)
+    if entities:
+        keys = [
+            v
+            for k in keys
+            for v in (
+                [k]
+                + [f"{e}@{k}" for e in entities]
+                + [f"UNKNOWN@{k}"]
+            )
+        ]
     return make_search_job({group_id: keys})
 
 

@@ -243,3 +243,66 @@ def test_render_advice_block_matches_readme_example():
         if "hash functions" in line
     ]
     assert ks == ["10", "14", "16", "10", "14", "16"]
+
+
+def test_query_all_scenarios_incremental(spark, tmp_path, capsys):
+    """scripts/query_all_scenarios.py parity: every archived state that
+    has no result yet is queried with the blacklist job (incl. entity@
+    and UNKNOWN@ variants), results land as <state>.hs.json, and a
+    second run is a no-op (idempotent cron tick)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from honas_spark.spec import SketchSpec
+    from honas_spark.state import SketchState
+    from honas_spark.sources.hsfile import export_hs_state
+
+    spec = SketchSpec(m_bits=1 << 14, k=5, num_filters=2,
+                      filters_per_user=1, cms_width=256, kll_k=64)
+    archive = tmp_path / "archive" / "2024"
+    archive.mkdir(parents=True)
+    members = {
+        "2024-01-01.hs": ["bad.example.com", "corp@bad.example.com"],
+        "2024-01-02.hs": ["other.example.net"],
+    }
+    for name, keys in members.items():
+        st = SketchState(spec)
+        st.update(pd.Series(
+            [hashlib.sha256(k.encode()).digest() for k in keys]
+        ), client_hashes=np.zeros(len(keys), dtype=np.uint64))
+        export_hs_state(st, str(archive / name), 1704067200, 1704070800)
+
+    bl = tmp_path / "blacklist.csv"
+    bl.write_text("bad.example.com\nnot-listed.org\n")
+    ents = tmp_path / "entities.csv"
+    ents.write_text("corp\nuni\n")
+    outdir = tmp_path / "results"
+    conf = tmp_path / "jobs.conf"
+    conf.write_text(json.dumps({
+        "entities_file": str(ents),
+        "searchjobs": [{
+            "name": "Test", "blacklist": str(bl),
+            "result_directory": str(outdir),
+        }],
+    }))
+
+    assert main(["query-all", "--conf", str(conf),
+                 "--archive", str(tmp_path / "archive")]) == 0
+    out1 = capsys.readouterr().out
+    assert "ran 2 searches" in out1
+    res1 = json.load(open(outdir / "2024-01-01.hs.json"))
+    hostnames = res1["groups"][0]["hostnames"]
+    # plain key AND its corp@ entity variant hit; UNKNOWN@ did not
+    assert hostnames["bad.example.com"] >= 1
+    assert hostnames["corp@bad.example.com"] >= 1
+    assert "UNKNOWN@bad.example.com" not in hostnames
+    assert "not-listed.org" not in hostnames
+    res2 = json.load(open(outdir / "2024-01-02.hs.json"))
+    assert res2["groups"] == []  # nothing from the blacklist in state 2
+
+    # second tick: incremental, nothing re-queried
+    assert main(["query-all", "--conf", str(conf),
+                 "--archive", str(tmp_path / "archive")]) == 0
+    assert "ran 0 searches" in capsys.readouterr().out
