@@ -155,7 +155,10 @@ def _q_hll_distinct_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ±2% bound vs exact is asserted in tests/test_bounds.py)."""
     docs = _docs(spark, sf_dir)
     keyed = sha256_key(docs.select("lang", "text"), "text")
-    sk = build_sketches(keyed, _MEMBER_SPEC, group_cols=["lang"])
+    sk = build_sketches(
+        keyed, _MEMBER_SPEC, group_cols=["lang"],
+        components=frozenset({"hll"}),
+    )
     return (
         finalize_stats(sk, _MEMBER_SPEC, ["lang"])
         .select("lang", F.col("est_items").alias("est_distinct"))
@@ -183,7 +186,12 @@ def _q_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = sha256_key(
         toks.withColumn("g", F.lit(1)), "token"
     )
-    sk = build_sketches(keyed, _MEMBER_SPEC, group_cols=["g"])
+    # CMS-only build: skips the per-token Bloom offset derivation (the
+    # k-draw big-int kernel), which dominates when only counts are needed
+    sk = build_sketches(
+        keyed, _MEMBER_SPEC, group_cols=["g"],
+        components=frozenset({"cms"}),
+    )
     # one bounded row collected (the sketch itself); the vocabulary never
     # reaches the driver — candidates are generated distributedly and the
     # CMS is probed inside a mapInPandas with the sketch broadcast.
@@ -532,6 +540,19 @@ def _q_cidr_lpm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("matched_entity"), F.lit("-")).alias("entity"),
         F.coalesce(F.col("matched_plen"), F.lit(0)).alias("plen"),
     ).orderBy("row_id")
+
+
+def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 A1.1)
+    per document: total/distinct/most-frequent/duplicated 2-gram
+    occurrence counts — the integers the duplicate-n-gram-fraction and
+    top-n-gram-share filters derive from.  Grams fold to a 16-char md5
+    prefix before the shuffle (portable hash: DuckDB recomputes the
+    exact same groups)."""
+    from honas_spark.operators.quality import ngram_repetition
+
+    docs = _docs(spark, sf_dir)
+    return ngram_repetition(docs, "doc_id", "text", n=2).orderBy("doc_id")
 
 
 _V6_BASE = 0x20010DB800000000  # hi limb of 2001:db8:: (segments 1-4)
@@ -980,7 +1001,10 @@ def _q_sizing_advice(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     keyed = sha256_key(docs.select("lang", "text"), "text")
-    sk = build_sketches(keyed, _MEMBER_SPEC, group_cols=["lang"])
+    sk = build_sketches(
+        keyed, _MEMBER_SPEC, group_cols=["lang"],
+        components=frozenset({"hll"}),  # only est_items feeds the advice
+    )
     stats = finalize_stats(sk, _MEMBER_SPEC, ["lang"])
     n = F.greatest(
         F.floor(F.col("est_items") * 1.10), F.lit(1)
@@ -1059,6 +1083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "instrumentation": _q_instrumentation,
         "cidr_lpm": _q_cidr_lpm,
         "cidr_lpm6": _q_cidr_lpm6,
+        "repetition_stats": _q_repetition_stats,
         "hash_sample": _q_hash_sample,
         "search_semantics": _q_search_semantics,
         "sha_guard": _q_sha_guard,
@@ -1571,6 +1596,40 @@ def oracle_sql() -> dict[str, str]:
                   WHEN n // 16777216 = 10 THEN 8
                   ELSE 0 END AS plen
             FROM nums ORDER BY row_id
+        """,
+        # Same tokenization + 2-gram construction, same md5-prefix gram
+        # fold, recomputed as two GROUP BYs; short docs via LEFT JOIN.
+        "repetition_stats": """
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(text, '\\s+'),
+                                   x -> x <> '') AS toks
+                FROM documents
+            ), g AS (
+                SELECT doc_id,
+                       substr(md5(toks[CAST(i AS INT)] || ' '
+                              || toks[CAST(i AS INT) + 1]), 1, 16) AS g
+                FROM t, unnest(range(1, len(toks))) AS u(i)
+                WHERE len(toks) >= 2
+            ), pg AS (
+                SELECT doc_id, g, count(*) AS c FROM g GROUP BY doc_id, g
+            ), pd AS (
+                SELECT doc_id,
+                       CAST(sum(c) AS BIGINT) AS n_grams,
+                       CAST(count(*) AS BIGINT) AS n_uniq,
+                       CAST(max(c) AS BIGINT) AS max_gram,
+                       CAST(coalesce(
+                           sum(CASE WHEN c > 1 THEN c END), 0
+                       ) AS BIGINT) AS dup_occ
+                FROM pg GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(n_grams, 0) AS n_grams,
+                   coalesce(n_uniq, 0) AS n_uniq,
+                   coalesce(max_gram, 0) AS max_gram,
+                   coalesce(dup_occ, 0) AS dup_occ
+            FROM documents d LEFT JOIN pd USING (doc_id)
+            ORDER BY d.doc_id
         """,
         # IPv6 LPM recomputed on the same synthesized limb pairs: masked
         # compares become integer divisions (hi >> 16 for /48, hi >> 32

@@ -1,0 +1,73 @@
+"""Document repetition signals — Gopher-style quality filters for
+training-data pipelines (Rae et al. 2021, "Scaling Language Models",
+appendix A1.1: fraction of duplicate n-grams and the share of the most
+frequent n-gram flag boilerplate/spam documents).
+
+Scale shape (100 TB): two hash aggregations, both map-side partial.
+The shuffle never carries content — grams are folded to a 16-char md5
+prefix before the exchange (same portable-hash trick as the minhash
+md5 knob, so a SQL oracle recomputes the exact same groups), and the
+second aggregation carries only (doc_id, count) pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.text import tokens
+
+
+def ngrams(col, n: int = 2):
+    """Word n-grams of a text column WITH multiplicity (unlike
+    dedup.shingles, which deduplicates) — repetition counting needs the
+    duplicates.  Empty array for docs with < n tokens."""
+    toks = tokens(col)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def ngram_repetition(
+    df: DataFrame, id_col: str, text_col: str, n: int = 2
+) -> DataFrame:
+    """Per-document n-gram repetition stats, exact integers:
+
+      n_grams   total n-gram occurrences (len(tokens)-n+1, 0 if short)
+      n_uniq    distinct n-grams
+      max_gram  occurrences of the most frequent n-gram
+      dup_occ   total occurrences belonging to repeated n-grams
+
+    Downstream filters derive the published fractions from these
+    (top-n-gram share = max_gram/n_grams, duplicate-n-gram fraction =
+    dup_occ/n_grams); integers keep the driver's value-hash gate
+    byte-stable across engines."""
+    g = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(ngrams(F.col(text_col), n)).alias("gram"),
+    ).select(
+        "_id", F.substring(F.md5(F.col("gram")), 1, 16).alias("g")
+    )
+    per_gram = g.groupBy("_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = per_gram.groupBy("_id").agg(
+        F.sum("c").alias("n_grams"),
+        F.count(F.lit(1)).alias("n_uniq"),
+        F.max("c").alias("max_gram"),
+        F.coalesce(
+            F.sum(F.when(F.col("c") > 1, F.col("c"))), F.lit(0)
+        ).alias("dup_occ"),
+    )
+    base = df.select(F.col(id_col))
+    return (
+        base.join(per_doc, base[id_col] == per_doc["_id"], "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_uniq", F.lit(0)).alias("n_uniq"),
+            F.coalesce("max_gram", F.lit(0)).alias("max_gram"),
+            F.coalesce("dup_occ", F.lit(0)).alias("dup_occ"),
+        )
+    )

@@ -128,6 +128,7 @@ def build_sketches(
     salt: Optional[int] = None,
     client_hash_col: Optional[str] = None,
     distinct_keys: bool = False,
+    components: Optional[frozenset] = None,
 ) -> DataFrame:
     """Aggregate keyed rows into one sketch row per group.
 
@@ -154,6 +155,11 @@ def build_sketches(
     on one.  Correct by construction — the merge algebra is commutative/
     idempotent, so salted partials OR back to the exact same bitsets
     (property-tested in tests/test_properties.py::test_split_anywhere).
+
+    components: subset of {"bloom","hll","cms","kll"} to maintain — a
+    CMS-only or HLL-only aggregation skips the per-key Bloom offset
+    derivation entirely (see SketchState.update); unused components
+    merge as zeros.
 
     distinct_keys: drop duplicate (group, client, key) rows before the
     build — the Spark-native form of the reference's proposed LRU front
@@ -233,6 +239,7 @@ def build_sketches(
                     if value_col
                     else None
                 ),
+                components=components,
             )
 
         for pdf in batches:

@@ -44,12 +44,15 @@ class SketchState:
     # update — the vectorized analog of                                   #
     # honas_state_register_host_name_lookup (honas_state.c:246-454)       #
     # ------------------------------------------------------------------ #
+    ALL_COMPONENTS = frozenset({"bloom", "hll", "cms", "kll"})
+
     def update(
         self,
         key_sha: "pd.Series | list",
         client_hashes: Optional[np.ndarray] = None,
         ts: Optional[pd.Series] = None,
         values: Optional[np.ndarray] = None,
+        components: Optional[frozenset] = None,
     ) -> None:
         """Ingest a batch of keys.
 
@@ -62,7 +65,13 @@ class SketchState:
         ts: optional timestamps (first/last request stats, Quirk Q4: we
             use true min — the reference mis-stamps out-of-order firsts).
         values: optional floats for the KLL quantile sibling.
+        components: subset of {"bloom","hll","cms","kll"} to maintain —
+            a CMS-only or HLL-only aggregation skips the Bloom offset
+            derivation (the k-draw big-int kernel, ~10x the rest), the
+            single biggest per-key cost.  Untouched components stay
+            zero and still merge correctly (zero is the identity).
         """
+        comp = self.ALL_COMPONENTS if components is None else components
         n = len(key_sha)
         if n == 0:
             return
@@ -75,29 +84,35 @@ class SketchState:
             if self.last_ts is None or tmax > self.last_ts:
                 self.last_ts = tmax
 
-        limbs = K.hashes_to_limbs(list(key_sha), spec.hash_len)
-        item_h64 = limbs[:, :2].copy().view("<u8").reshape(-1)
-        K.hll_add(self.hll_items, item_h64)
-        K.cms_add(self.cms, item_h64)
+        limbs = None
+        if comp & {"bloom", "hll", "cms"}:
+            limbs = K.hashes_to_limbs(list(key_sha), spec.hash_len)
+            item_h64 = limbs[:, :2].copy().view("<u8").reshape(-1)
+        if "hll" in comp:
+            K.hll_add(self.hll_items, item_h64)
+        if "cms" in comp:
+            K.cms_add(self.cms, item_h64)
 
         if client_hashes is None:
             client_hashes = np.zeros(n, dtype=np.uint64)
-        K.hll_add(self.hll_clients, client_hashes)
+        if "hll" in comp:
+            K.hll_add(self.hll_clients, client_hashes)
 
-        if values is not None:
+        if values is not None and "kll" in comp:
             self.kll.add(np.asarray(values, dtype=np.float64))
 
-        # each client updates its u-of-F filter subset
-        subsets = K.filter_indexes_for_clients(
-            client_hashes, spec.num_filters, spec.filters_per_user
-        )
-        for fi in range(spec.num_filters):
-            mask = (subsets == fi).any(axis=1)
-            if not mask.any():
-                continue
-            tl = K.transform_limbs(limbs[mask], fi)
-            offs = K.bloom_offsets(tl, spec.m_bits, spec.k)
-            K.bloom_build(self.filters[fi], offs)
+        if "bloom" in comp:
+            # each client updates its u-of-F filter subset
+            subsets = K.filter_indexes_for_clients(
+                client_hashes, spec.num_filters, spec.filters_per_user
+            )
+            for fi in range(spec.num_filters):
+                mask = (subsets == fi).any(axis=1)
+                if not mask.any():
+                    continue
+                tl = K.transform_limbs(limbs[mask], fi)
+                offs = K.bloom_offsets(tl, spec.m_bits, spec.k)
+                K.bloom_build(self.filters[fi], offs)
 
     # ------------------------------------------------------------------ #
     # merge — OR / max / add / min-max (honas_state.c:568-611)            #

@@ -421,3 +421,30 @@ def test_streaming_late_data_merges_into_event_window(spark, tmp_path):
     for k in batch:
         assert got[k]["filters"] == batch[k]["filters"], k
         assert got[k]["n_rows"] == batch[k]["n_rows"], k
+
+
+def test_ngram_repetition_hand_computed(spark):
+    """Gopher repetition signals against hand-counted 2-gram stats."""
+    from honas_spark.operators.quality import ngram_repetition
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a"),       # grams: ab ba ab ba -> 4 total, 2 uniq
+            (2, "x y z"),           # xy yz -> 2 total, 2 uniq, no dups
+            (3, "w w w w"),         # ww ww ww -> 3 total, 1 uniq, all dup
+            (4, "single"),          # < 2 tokens -> zeros
+            (5, ""),                # empty -> zeros
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in
+           ngram_repetition(df, "doc_id", "text", n=2).collect()}
+    assert (got[1]["n_grams"], got[1]["n_uniq"], got[1]["max_gram"],
+            got[1]["dup_occ"]) == (4, 2, 2, 4)
+    assert (got[2]["n_grams"], got[2]["n_uniq"], got[2]["max_gram"],
+            got[2]["dup_occ"]) == (2, 2, 1, 0)
+    assert (got[3]["n_grams"], got[3]["n_uniq"], got[3]["max_gram"],
+            got[3]["dup_occ"]) == (3, 1, 3, 3)
+    for d in (4, 5):
+        assert (got[d]["n_grams"], got[d]["n_uniq"], got[d]["max_gram"],
+                got[d]["dup_occ"]) == (0, 0, 0, 0)

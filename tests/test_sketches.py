@@ -119,3 +119,42 @@ def test_kll_serialization_roundtrip():
     assert back.n == s.n
     assert back.quantile(0.5) == s.quantile(0.5)
     assert back.to_bytes() == blob
+
+
+def test_component_scoped_update_matches_full():
+    """components={'cms'} / {'hll'} must produce exactly the same CMS /
+    HLL arrays as a full update, leave the other components at their
+    merge identity (zeros), and merge cleanly with full states."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from honas_spark.spec import SketchSpec
+    from honas_spark.state import SketchState
+
+    spec = SketchSpec(m_bits=1 << 14, k=5, num_filters=2,
+                      filters_per_user=1, cms_width=256, kll_k=64)
+    shas = pd.Series(
+        [hashlib.sha256(f"k{i % 40}".encode()).digest() for i in range(200)]
+    )
+    full = SketchState(spec)
+    full.update(shas)
+    cms_only = SketchState(spec)
+    cms_only.update(shas, components=frozenset({"cms"}))
+    hll_only = SketchState(spec)
+    hll_only.update(shas, components=frozenset({"hll"}))
+
+    assert np.array_equal(cms_only.cms, full.cms)
+    assert not cms_only.filters.any() and not cms_only.hll_items.any()
+    assert np.array_equal(hll_only.hll_items, full.hll_items)
+    assert np.array_equal(hll_only.hll_clients, full.hll_clients)
+    assert not hll_only.cms.any() and not hll_only.filters.any()
+    assert cms_only.n_rows == hll_only.n_rows == full.n_rows == 200
+
+    # zero components are merge identities: full ∪ cms_only keeps full's
+    # blooms/HLLs and doubles the CMS
+    merged = full.merge(cms_only)
+    assert np.array_equal(merged.filters, full.filters)
+    assert np.array_equal(merged.hll_items, full.hll_items)
+    assert np.array_equal(merged.cms, full.cms * 2)
