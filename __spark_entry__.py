@@ -555,6 +555,21 @@ def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_repetition(docs, "doc_id", "text", n=2).orderBy("doc_id")
 
 
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix-C style 13-gram overlap,
+    scaled to 4-grams for this corpus' 8-24-word docs): every 97th
+    document stands in as the eval suite; training docs sharing any
+    4-gram with it are flagged.  Gram md5-prefix fold keeps the compare
+    portable, so DuckDB recomputes the exact same overlap counts."""
+    from honas_spark.operators.quality import contamination_flags
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return contamination_flags(
+        docs, bench, "doc_id", "text", "text", n=4
+    ).orderBy("doc_id")
+
+
 _V6_BASE = 0x20010DB800000000  # hi limb of 2001:db8:: (segments 1-4)
 
 _CIDR6_DIM = [
@@ -1084,6 +1099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cidr_lpm": _q_cidr_lpm,
         "cidr_lpm6": _q_cidr_lpm6,
         "repetition_stats": _q_repetition_stats,
+        "decontaminate": _q_decontaminate,
         "hash_sample": _q_hash_sample,
         "search_semantics": _q_search_semantics,
         "sha_guard": _q_sha_guard,
@@ -1629,6 +1645,40 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(max_gram, 0) AS max_gram,
                    coalesce(dup_occ, 0) AS dup_occ
             FROM documents d LEFT JOIN pd USING (doc_id)
+            ORDER BY d.doc_id
+        """,
+        # Same tokenization / 4-gram / md5-prefix fold; eval set = every
+        # 97th doc's distinct grams; overlap counts via one join + two
+        # aggregates, zeros via LEFT JOIN.
+        "decontaminate": """
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(text, '\\s+'),
+                                   x -> x <> '') AS toks
+                FROM documents
+            ), g AS (
+                SELECT doc_id,
+                       substr(md5(
+                           toks[CAST(i AS INT)] || ' '
+                           || toks[CAST(i AS INT) + 1] || ' '
+                           || toks[CAST(i AS INT) + 2] || ' '
+                           || toks[CAST(i AS INT) + 3]), 1, 16) AS g
+                FROM t, unnest(range(1, len(toks) - 2)) AS u(i)
+                WHERE len(toks) >= 4
+            ), b AS (
+                SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0
+            ), h AS (
+                SELECT doc_id,
+                       CAST(count(*) AS BIGINT) AS n_hit_grams,
+                       CAST(count(DISTINCT g.g) AS BIGINT) AS n_hit_uniq
+                FROM g JOIN b USING (g) GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(n_hit_grams, 0) AS n_hit_grams,
+                   coalesce(n_hit_uniq, 0) AS n_hit_uniq,
+                   CAST(coalesce(n_hit_grams, 0) > 0 AS INT)
+                       AS contaminated
+            FROM documents d LEFT JOIN h USING (doc_id)
             ORDER BY d.doc_id
         """,
         # IPv6 LPM recomputed on the same synthesized limb pairs: masked

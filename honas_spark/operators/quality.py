@@ -31,6 +31,61 @@ def ngrams(col, n: int = 2):
     ).otherwise(F.array().cast("array<string>"))
 
 
+def contamination_flags(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_text_col: str = "text",
+    n: int = 13,
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination — flag training documents that share
+    any word n-gram with an evaluation set (the GPT-3 appendix-C /
+    PaLM / Llama 13-gram overlap filter).
+
+    Output per doc: (id, n_hit_grams, n_hit_uniq, contaminated) — total
+    overlapping gram occurrences, distinct overlapping grams, 0/1 flag.
+    Unflagged docs appear with zeros, so the output is a full corpus
+    annotation, not just the hit list.
+
+    Scale shape: the eval set's distinct grams fold to 16-char md5
+    prefixes (shuffle carries hashes, not text) and broadcast when
+    small (the common case: eval suites are MBs against a 100 TB
+    corpus); set broadcast_bench=False for a shuffle_hash semi-join
+    when the benchmark side is itself huge."""
+    bgrams = (
+        bench.select(
+            F.explode(ngrams(F.col(bench_text_col), n)).alias("gram")
+        )
+        .select(F.substring(F.md5("gram"), 1, 16).alias("g"))
+        .distinct()
+    )
+    if broadcast_bench:
+        bgrams = F.broadcast(bgrams)
+    dgrams = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(ngrams(F.col(text_col), n)).alias("gram"),
+    ).select("_id", F.substring(F.md5("gram"), 1, 16).alias("g"))
+    hits = (
+        dgrams.join(bgrams, "g", "inner")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hit_grams"),
+            F.countDistinct("g").alias("n_hit_uniq"),
+        )
+    )
+    base = docs.select(F.col(id_col))
+    return base.join(hits, base[id_col] == hits["_id"], "left").select(
+        id_col,
+        F.coalesce("n_hit_grams", F.lit(0)).alias("n_hit_grams"),
+        F.coalesce("n_hit_uniq", F.lit(0)).alias("n_hit_uniq"),
+        (F.coalesce("n_hit_grams", F.lit(0)) > 0).cast("int").alias(
+            "contaminated"
+        ),
+    )
+
+
 def ngram_repetition(
     df: DataFrame, id_col: str, text_col: str, n: int = 2
 ) -> DataFrame:

@@ -448,3 +448,35 @@ def test_ngram_repetition_hand_computed(spark):
     for d in (4, 5):
         assert (got[d]["n_grams"], got[d]["n_uniq"], got[d]["max_gram"],
                 got[d]["dup_occ"]) == (0, 0, 0, 0)
+
+
+def test_contamination_flags_hand_computed(spark):
+    """Eval-overlap decontamination against hand-counted 2-gram hits."""
+    from honas_spark.operators.quality import contamination_flags
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),   # shares "alpha beta" w/ bench
+            (2, "beta gamma delta epsilon"), # shares "beta gamma"? bench has "alpha beta","zzz yyy" only -> no
+            (3, "totally clean words here"),
+            (4, "alpha beta alpha beta"),    # "alpha beta" twice + "beta alpha"
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "alpha beta"), (101, "zzz yyy")], "bid long, text string"
+    )
+    got = {r["doc_id"]: r for r in contamination_flags(
+        docs, bench, "doc_id", "text", "text", n=2
+    ).collect()}
+    assert (got[1]["n_hit_grams"], got[1]["n_hit_uniq"],
+            got[1]["contaminated"]) == (1, 1, 1)
+    assert got[2]["contaminated"] == 0
+    assert got[3] ["contaminated"] == 0
+    assert (got[4]["n_hit_grams"], got[4]["n_hit_uniq"],
+            got[4]["contaminated"]) == (2, 1, 1)
+    # the eval-gram side must broadcast (tiny vs the corpus)
+    plan = contamination_flags(
+        docs, bench, "doc_id", "text", "text", n=2
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
