@@ -254,7 +254,8 @@ def run_queries(spark) -> dict:
         "kll_quantiles", "window_rollup_events", "dedup_exact",
         "token_jaccard_pairs", "minhash_lsh", "simhash", "textstats",
         "knn_bruteforce", "knn_ivf", "pricing_summary",
-        "daily_rollup_counters", "search_e2e",
+        "daily_rollup_counters", "search_e2e", "repetition_stats",
+        "decontaminate",
     ]
     qs = E.queries()
     out = {}
