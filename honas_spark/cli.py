@@ -287,8 +287,27 @@ def cmd_search(args) -> int:
 
 
 def cmd_info(args) -> int:
-    from .info import info_rows, write_plotmode_csv
+    from .info import (
+        info_rows,
+        render_info_text,
+        render_plot_lines,
+        write_plotmode_csv,
+    )
 
+    if args.state.endswith(".hs"):
+        # single-state info: the reference binary's exact text/plot
+        # output (honas_info.c:59-105), straight off the header — no
+        # Spark session needed
+        from .sources.hsfile import import_hs_state
+
+        spec, _st, h = import_hs_state(args.state)
+        if args.plotmode:
+            with open(args.plotmode, "w") as f:
+                f.write(render_plot_lines(h) + "\n")
+            print(f"wrote {args.plotmode}")
+        else:
+            print(render_info_text(spec, h))
+        return 0
     spark = _spark()
     spec, table, group_cols = _load_sketch_table(args, spark)
     if args.plotmode:

@@ -138,6 +138,78 @@ def dry_run_counters(
     return counters("1 hour"), counters("1 day")
 
 
+def render_info_text(spec: SketchSpec, header: dict) -> str:
+    """The honas-info human dump, field-for-field
+    (src/bin/honas_info.c:69-105: version/period/configuration blocks +
+    per-filter bits/estimate/fill/FPR lines with the same widths and
+    precision).  Timestamps render in UTC — the engine's fixed timezone
+    — where the reference uses localtime()."""
+    import datetime as _dt
+
+    from honas_spark import __version__
+
+    def ts(v: int) -> str:
+        return _dt.datetime.fromtimestamp(
+            int(v), _dt.timezone.utc
+        ).strftime("%Y-%m-%dT%H:%M:%S")
+
+    L = [
+        "",
+        "## Version information ##",
+        "",
+        f"Node version      : {__version__}",
+        f"State file version: {header['major']}.{header['minor']}",
+        "",
+        "## Period information ##",
+        "",
+        f"Period begin                  : {ts(header['period_begin'])}",
+        f"First request                 : {ts(header['first_request'])}",
+        f"Last request                  : {ts(header['last_request'])}",
+        f"Period end                    : {ts(header['period_end'])}",
+        "Estimated number of clients   : "
+        f"{header['estimated_number_of_clients']}",
+        "Estimated number of host names: "
+        f"{header['estimated_number_of_host_names']} ",
+        f"Number of requests            : {header['number_of_requests']}",
+        "",
+        "## Filter configuration ##",
+        "",
+        f"Number of filters         : {spec.num_filters}",
+        f"Number of filters per user: {spec.filters_per_user}",
+        f"Number of hashes          : {spec.k}",
+        f"Number of bits per filter : {spec.m_bits}",
+        f"Flatten threshold         : {spec.flatten_threshold}",
+        "",
+        "## Filter information ##",
+        "",
+    ]
+    for i, bits in enumerate(header["filter_bits_set"]):
+        est = K.bloom_approx_count(spec.m_bits, spec.k, int(bits))
+        fr = K.fill_rate(spec.m_bits, int(bits))
+        L.append(
+            f"{i + 1:2d}. Number of bits set: {bits:10d}"
+            f" (Estimated number of host names: {est:10d})"
+        )
+        L.append(
+            f"    Fill Rate:        {fr:.10f}"
+            f" (False positive probability:   {fr ** spec.k:.20f})"
+        )
+    L.append("")
+    return "\n".join(L)
+
+
+def render_plot_lines(header: dict) -> str:
+    """honas-info --plotmode for one state: `period_begin,estimate` per
+    filter (honas_info.c:59-67)."""
+    # spec fields ride in the header dict for .hs states
+    m_bits, k = header["m_bits"], header["k"]
+    return "\n".join(
+        f"{header['period_begin']},"
+        f"{K.bloom_approx_count(m_bits, k, int(b))}"
+        for b in header["filter_bits_set"]
+    )
+
+
 def info_rows(
     sketch_df: DataFrame, spec: SketchSpec, group_cols: Sequence[str]
 ) -> DataFrame:

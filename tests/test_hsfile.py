@@ -196,3 +196,64 @@ def test_search_result_json_golden_document(spark, tmp_path):
     assert got == expected
     # field ORDER also matches the reference printer (README.md "Format")
     assert list(got) == list(expected)
+
+
+GOLDEN_INFO_TEXT = """
+## Version information ##
+
+Node version      : {version}
+State file version: 1.0
+
+## Period information ##
+
+Period begin                  : 2023-11-14T22:13:20
+First request                 : 2023-11-14T22:15:00
+Last request                  : 2023-11-14T22:15:02
+Period end                    : 2023-11-14T23:13:20
+Estimated number of clients   : 22
+Estimated number of host names: 13 
+Number of requests            : 3
+
+## Filter configuration ##
+
+Number of filters         : 4
+Number of filters per user: 2
+Number of hashes          : 3
+Number of bits per filter : 65536
+Flatten threshold         : 1
+
+## Filter information ##
+
+ 1. Number of bits set:          0 (Estimated number of host names:          0)
+    Fill Rate:        0.0000000000 (False positive probability:   0.00000000000000000000)
+ 2. Number of bits set:         39 (Estimated number of host names:         13)
+    Fill Rate:        0.0005950928 (False positive probability:   0.00000000021074342271)
+ 3. Number of bits set:          0 (Estimated number of host names:          0)
+    Fill Rate:        0.0000000000 (False positive probability:   0.00000000000000000000)
+ 4. Number of bits set:         39 (Estimated number of host names:         13)
+    Fill Rate:        0.0005950928 (False positive probability:   0.00000000021074342271)
+"""
+
+
+def test_info_text_and_plotmode_golden(tmp_path, capsys):
+    """honas-info parity: the human dump (honas_info.c:69-105 — same
+    field widths, float precisions and trailing-space quirks) and the
+    --plotmode lines (period_begin,estimate per filter), pinned for the
+    reference-produced state, through the CLI."""
+    import os
+
+    from honas_spark import __version__
+    from honas_spark.cli import main
+
+    assert main(["info", "--state", os.path.abspath(GOLDEN)]) == 0
+    out = capsys.readouterr().out
+    assert out.rstrip("\n") == GOLDEN_INFO_TEXT.format(
+        version=__version__
+    ).rstrip("\n")
+
+    plot = str(tmp_path / "plot.csv")
+    assert main(["info", "--state", os.path.abspath(GOLDEN),
+                 "--plotmode", plot]) == 0
+    assert open(plot).read().splitlines() == [
+        "1700000000,0", "1700000000,13", "1700000000,0", "1700000000,13",
+    ]
