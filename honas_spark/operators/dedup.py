@@ -122,28 +122,39 @@ def minhash_signatures(
     hash_fn: "xxhash64" (default — fastest, JVM-internal) or "md5"
     (60-bit prefix of md5(i || shingle): ~3x slower but portable, so a
     SQL engine can recompute signatures exactly — the cross-engine
-    verification knob)."""
-    sh = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(shingles(F.col(text_col), n)).alias("sh"),
-    )
+    verification knob).
+
+    Physical shape: a signature is a per-document reduction, so it is
+    computed as `array_min(transform(shingles, h_i))` — a pure
+    projection, ZERO shuffle (the explode+groupBy alternative ships
+    every shingle string through an exchange, ~5-10x the input bytes at
+    corpus scale).  Parallelism comes from input splits; a small input
+    with fewer partitions than cores is re-split first (cheap there,
+    and never triggered on a real many-split corpus)."""
     if hash_fn == "md5":
-        def h(i):
+        def h(s, i):
             return F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit(str(i)), F.col("sh"))), 1, 15
-                ),
+                F.substring(F.md5(F.concat(F.lit(str(i)), s)), 1, 15),
                 16, 10,
             ).cast("long")
     else:
-        def h(i):
-            return F.xxhash64(F.col("sh"), F.lit(i))
-    aggs = [F.min(h(i)).alias(f"h{i}") for i in range(num_hashes)]
-    sig = sh.groupBy("_id").agg(*aggs)
-    return sig.select(
-        F.col("_id").alias(id_col),
-        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"),
+        def h(s, i):
+            return F.xxhash64(s, F.lit(i))
+
+    def mk(i):  # bind i; a 2-arg lambda would receive the element INDEX
+        return lambda s: h(s, i)
+
+    para = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < para:
+        df = df.repartition(para)
+    base = df.select(
+        F.col(id_col), shingles(F.col(text_col), n).alias("_shs")
     )
+    sig = F.array(
+        *[F.array_min(F.transform(F.col("_shs"), mk(i)))
+          for i in range(num_hashes)]
+    )
+    return base.select(id_col, sig.alias("sig"))
 
 
 def minhash_lsh_candidates(
