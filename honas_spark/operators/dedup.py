@@ -256,41 +256,54 @@ def simhash(
     hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """SimHash per document: per bit, sum +-1 over token hashes, take
-    the sign.  Pure bit-arithmetic aggregates (no UDF).
-    Output: (id, simhash long).  hash_fn="md5" swaps in the portable
-    60-bit md5-prefix hash so a SQL oracle can recompute the fingerprint
-    exactly (same knob as minhash_signatures)."""
-    tok = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(tokens(F.col(text_col))).alias("t"),
-    )
+    the sign.  Output: (id, simhash long).  hash_fn="md5" swaps in the
+    portable 60-bit md5-prefix hash so a SQL oracle can recompute the
+    fingerprint exactly (same knob as minhash_signatures).
+
+    Physical shape: per-document reduction -> pure projection, zero
+    shuffle.  Token hashes are computed once into an array column, each
+    bit's vote is an `aggregate` over it (64 array passes, all inside
+    codegen), and the sign fold is plain column arithmetic.  The old
+    explode + 64-sum groupBy shipped one row per token through an
+    exchange.  Small inputs with fewer splits than cores re-split first
+    (same rule as minhash_signatures)."""
     if hash_fn == "md5":
-        tok = tok.withColumn(
-            "h",
-            F.conv(
-                F.substring(F.md5(F.col("t")), 1, 15), 16, 10
-            ).cast("long"),
-        )
+        def h(t):
+            return F.conv(
+                F.substring(F.md5(t), 1, 15), 16, 10
+            ).cast("long")
     else:
-        tok = tok.withColumn("h", F.xxhash64("t"))
-    aggs = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1,
-                   F.lit(1)).otherwise(F.lit(-1))
-        ).alias(f"b{b}")
-        for b in range(bits)
-    ]
-    agg = tok.groupBy("_id").agg(*aggs)
+        def h(t):
+            return F.xxhash64(t)
+
+    para = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < para:
+        df = df.repartition(para)
+    base = df.select(
+        F.col(id_col),
+        F.transform(tokens(F.col(text_col)), h).alias("_hs"),
+    )
+
+    def vote(b):
+        return F.aggregate(
+            F.col("_hs"),
+            F.lit(0),
+            lambda acc, hv: acc
+            + F.when(
+                F.shiftright(hv, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            ).otherwise(F.lit(-1)),
+        )
+
     terms = []
     for b in range(bits):
         val = (1 << b) if b < 63 else -(1 << 63)  # two's-complement top bit
         terms.append(
-            F.when(F.col(f"b{b}") > 0, F.lit(val).cast("long")).otherwise(
+            F.when(vote(b) > 0, F.lit(val).cast("long")).otherwise(
                 F.lit(0).cast("long")
             )
         )
     sim = reduce(lambda x, y: x + y, terms)
-    return agg.select(F.col("_id").alias(id_col), sim.alias("simhash"))
+    return base.select(F.col(id_col), sim.alias("simhash"))
 
 
 def simhash_near_pairs(
