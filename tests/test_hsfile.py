@@ -257,3 +257,149 @@ def test_info_text_and_plotmode_golden(tmp_path, capsys):
     assert open(plot).read().splitlines() == [
         "1700000000,0", "1700000000,13", "1700000000,0", "1700000000,13",
     ]
+
+
+# ---------------------------------------------------------------------------
+# Multi-client golden fixture: tests/data/reference_golden_multi.hs was
+# produced THIS round by a harness compiled from the reference sources
+# (honas_state.c + bloom.c + byte_slice.c + combinations.c +
+# hyperloglog.c, gcc -O2, HAS_128BIT_INTEGERS): F=8, m=32768, k=5, u=3,
+# flatten=2; six clients (4x IPv4 + 2x IPv6), entity prefixes, a PTR
+# registration and a mixed-case name with trailing dot.  All constants
+# below are the reference binary's own recorded output.
+# ---------------------------------------------------------------------------
+
+GOLDEN_MULTI = "tests/data/reference_golden_multi.hs"
+
+_MULTI_CLIENTS = {
+    0: bytes([10, 0, 0, 1]),
+    1: bytes([192, 168, 1, 50]),
+    2: bytes([172, 16, 5, 9]),
+    3: bytes([8, 8, 4, 4]),
+    4: bytes.fromhex("20010db8000000000000000000000001"),
+    5: bytes.fromhex("fe800000000000000000000000000042"),
+}
+# (client, name, entity, is_ptr) — the harness registration sequence
+_MULTI_REGS = [
+    (0, "www.example.com", None, False),
+    (1, "www.example.com", "SURFnet", False),
+    (2, "api.test.org", "netSURF", False),
+    (3, "deep.sub.domain.net", None, False),
+    (4, "MiXeD.Case.Example.", None, False),
+    (5, "ptr.reverse.zone", "SURFnet", True),
+    (0, "www.example.com", None, False),
+    (4, "v6.only.host", None, False),
+]
+_MULTI_PROBE_HITS = {
+    "www.example.com": 4, "www": 4, "example": 4, "example.com": 4,
+    "surfnet@www.example.com": 0, "SURFnet@www.example.com": 3,
+    "netsurf@api": 0, "netSURF@api": 3, "api.test.org": 3,
+    "test.org": 3, "deep.sub.domain.net": 3, "domain.net": 3, "sub": 3,
+    "mixed.case.example": 3, "case.example": 3, "mixed": 3,
+    "ptr.reverse.zone": 3, "surfnet@ptr.reverse.zone": 0,
+    "SURFnet@ptr.reverse.zone": 3, "reverse.zone": 0, "ptr": 0,
+    "v6.only.host": 3, "only.host": 3, "v6": 3,
+    "never-inserted.example": 0,
+}
+_MULTI_BITS = [60, 50, 45, 95, 35, 60, 35, 76]
+
+
+def _honas_reg_keys(name: str, entity=None, ptr=False) -> list:
+    """The exact key set one registration inserts
+    (honas_state.c:296-453): lowercased name with ONE trailing dot
+    stripped; entity@full (entity case PRESERVED — the reference never
+    lowercases the prefix); unless PTR: per-label (entity@label, label)
+    pairs for every label before the TLD, then the bare SLD.TLD."""
+    if name.endswith("."):
+        name = name[:-1]
+    name = name.lower()
+    keys = [name]
+    if entity:
+        keys.append(f"{entity}@{name}")
+    if not ptr:
+        parts = name.split(".")
+        for lab in parts[:-1]:
+            if entity:
+                keys.append(f"{entity}@{lab}")
+            keys.append(lab)
+        keys.append(".".join(parts[-2:]))
+    return keys
+
+
+def test_multi_client_import_reproduces_reference_probes():
+    spec, st, h = import_hs_state(GOLDEN_MULTI)
+    assert (spec.num_filters, spec.m_bits, spec.k,
+            spec.filters_per_user, spec.flatten_threshold) == (
+        8, 32768, 5, 3, 2)
+    assert h["filter_bits_set"] == _MULTI_BITS
+    assert [K.bloom_bits_set(f) for f in st.filters] == _MULTI_BITS
+    assert st.n_rows == 8
+    assert int(st.first_ts.timestamp()) == 1700000100
+    assert int(st.last_ts.timestamp()) == 1700000107
+    assert h["estimated_number_of_clients"] == 80   # Quirk Q6 aliasing
+    assert h["estimated_number_of_host_names"] == 29
+    assert K.hll_count(st.hll_clients) == 80
+    assert K.hll_count(st.hll_items) == 29
+    probes = list(_MULTI_PROBE_HITS)
+    hits, _ = st.probe([_sha(k) for k in probes])
+    assert {k: int(v) for k, v in zip(probes, hits)} == _MULTI_PROBE_HITS
+
+
+def test_multi_client_engine_rebuild_is_bit_exact():
+    """Rebuild the same state from scratch with our engine — murmur
+    client hashes over raw wire bytes select each client's 3-of-8
+    filter subset, honas key semantics incl. entity prefixes and PTR
+    mode — and compare every bitset and both HLLs bit for bit.
+
+    Quirk Q6, fully characterized: the reference's persist ORs the
+    packed client-HLL registers into `mmap + (fbytes+pad)*F`
+    (honas_state.c:90,495) — first_filter_offset bytes BEFORE the
+    filter region ends — so the persisted LAST filter equals
+    pure_bloom | packed_client_hll[:first_filter_offset], and the
+    reloaded client HLL equals packed_client_hll | that same bloom
+    tail (whence est_clients=80 from six real clients).  Our pure
+    rebuild + an explicit OR reproduces the file bit for bit."""
+    from honas_spark.sources.hsfile import (
+        _pack_registers, _unpack_registers,
+    )
+
+    spec, ref, h = import_hs_state(GOLDEN_MULTI)
+    mine = SketchState(spec)
+    for cid, name, entity, ptr in _MULTI_REGS:
+        keys = _honas_reg_keys(name, entity, ptr)
+        ch = K.murmur64a(_MULTI_CLIENTS[cid])
+        mine.update(
+            pd.Series([_sha(k) for k in keys]),
+            client_hashes=np.full(len(keys), ch, dtype=np.uint64),
+        )
+    last = spec.num_filters - 1
+    for i in range(last):
+        assert np.array_equal(mine.filters[i], ref.filters[i]), f"filter {i}"
+    assert np.array_equal(mine.hll_items, ref.hll_items)
+
+    ffo = h["first_filter_offset"]  # 4096: the aliased overlap length
+    packed_clients = np.frombuffer(
+        _pack_registers(mine.hll_clients), dtype=np.uint8
+    )
+    aliased_last = mine.filters[last].copy()
+    aliased_last |= packed_clients[:ffo]
+    assert np.array_equal(aliased_last, ref.filters[last])
+
+    client_region = packed_clients.copy()
+    client_region[:ffo] |= mine.filters[last]
+    assert np.array_equal(
+        _unpack_registers(client_region.tobytes()), ref.hll_clients
+    )
+    # ... and the bloom bits leaked into the registers ARE the quirky
+    # client estimate the reference reports
+    assert K.hll_count(ref.hll_clients) == 80
+
+
+def test_multi_client_export_roundtrip(tmp_path):
+    spec, st, h = import_hs_state(GOLDEN_MULTI)
+    out = str(tmp_path / "multi.hs")
+    export_hs_state(st, out, h["period_begin"], h["period_end"])
+    spec2, st2, h2 = import_hs_state(out)
+    assert spec2 == spec
+    assert np.array_equal(st.filters, st2.filters)
+    assert h2["filter_bits_set"] == _MULTI_BITS
