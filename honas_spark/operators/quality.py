@@ -17,6 +17,17 @@ from pyspark.sql import DataFrame, functions as F
 from ..functions.text import tokens
 
 
+def _resplit_small(df: DataFrame) -> DataFrame:
+    """Same rule as minhash_signatures/simhash: a small input with fewer
+    partitions than cores (e.g. one parquet row group) is re-split so
+    the gram explosion parallelizes; a real many-split corpus never
+    triggers this."""
+    para = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < para:
+        return df.repartition(para)
+    return df
+
+
 def ngrams(col, n: int = 2):
     """Word n-grams of a text column WITH multiplicity (unlike
     dedup.shingles, which deduplicates) — repetition counting needs the
@@ -63,7 +74,7 @@ def contamination_flags(
     )
     if broadcast_bench:
         bgrams = F.broadcast(bgrams)
-    dgrams = docs.select(
+    dgrams = _resplit_small(docs).select(
         F.col(id_col).alias("_id"),
         F.explode(ngrams(F.col(text_col), n)).alias("gram"),
     ).select("_id", F.substring(F.md5("gram"), 1, 16).alias("g"))
@@ -100,7 +111,7 @@ def ngram_repetition(
     (top-n-gram share = max_gram/n_grams, duplicate-n-gram fraction =
     dup_occ/n_grams); integers keep the driver's value-hash gate
     byte-stable across engines."""
-    g = df.select(
+    g = _resplit_small(df).select(
         F.col(id_col).alias("_id"),
         F.explode(ngrams(F.col(text_col), n)).alias("gram"),
     ).select(

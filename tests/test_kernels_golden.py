@@ -180,3 +180,14 @@ def test_sizing_formulas():
     assert 0 < K.fpr_theory(10, 100_000, 1 << 20) < 1
     assert K.required_entropy_ok(1 << 20, 10, 256)
     assert not K.required_entropy_ok(1 << 30, 10, 256)
+
+
+def test_bloom_offsets_chunking_is_invisible():
+    """The cache-blocked path must produce byte-identical offsets across
+    the chunk boundary (rows are independent by construction)."""
+    rng = np.random.default_rng(5)
+    hashes = [rng.bytes(32) for _ in range(5000)]  # crosses the 4096 chunk
+    limbs = K.hashes_to_limbs(hashes, 32)
+    chunked = K.bloom_offsets(limbs, 1 << 20, 10)
+    whole = K._bloom_offsets_block(limbs, 1 << 20, 10)
+    assert np.array_equal(chunked, whole)
