@@ -451,3 +451,50 @@ def test_engine_built_export_verified_against_reference_loader(tmp_path):
     got = {k: int(v) for k, v in zip(probes, hits)}
     expected = dict(_MULTI_PROBE_HITS)
     assert got == expected
+
+
+def test_merge_verified_against_reference_combine(tmp_path):
+    """Two engine-built states were exported and combined by a harness
+    around the reference's own honas_state_aggregate_combine
+    (honas_state.c:568-611, compiled this round); the persisted result
+    was bit-identical to our `SketchState.merge` for all 8 filters and
+    the hostname HLL.  The reference binary's recorded output:
+
+        HDR requests=5 clients=2 hostnames=16
+        BITS [50, 0, 80, 30, 80, 0, 0, 0]
+
+    (No Q6 leak on this path: states loaded from file have
+    registers_owned=false, so persist skips the aliasing OR.)  This
+    test pins the same construction engine-side."""
+    spec = SketchSpec(m_bits=32768, k=5, num_filters=8,
+                      filters_per_user=3, flatten_threshold=2)
+
+    def mk(names, client_bytes, ts0):
+        st = SketchState(spec)
+        for i, n in enumerate(names):
+            keys = [n] + n.split(".")[:-1] + [".".join(n.split(".")[-2:])]
+            ch = K.murmur64a(client_bytes)
+            st.update(
+                pd.Series([_sha(k) for k in keys]),
+                client_hashes=np.full(len(keys), ch, dtype=np.uint64),
+                ts=pd.Series([pd.Timestamp(ts0 + i, unit="s")]),
+            )
+        st.n_rows = len(names)
+        return st
+
+    a = mk(["alpha.example.com", "beta.example.com"],
+           bytes([10, 0, 0, 1]), 1700000100)
+    b = mk(["gamma.test.org", "delta.test.org", "epsilon.net.nl"],
+           bytes([192, 168, 1, 50]), 1700001000)
+    merged = a.merge(b)
+    assert [K.bloom_bits_set(f) for f in merged.filters] == [
+        50, 0, 80, 30, 80, 0, 0, 0]
+    assert merged.n_rows == 5
+    assert K.hll_count(merged.hll_items) == 16
+    assert K.hll_count(merged.hll_clients) == 2
+    # the exported bytes round-trip (what the reference combiner read)
+    out = str(tmp_path / "m.hs")
+    export_hs_state(merged, out, 1700000000, 1700003600)
+    _, st2, h2 = import_hs_state(out)
+    assert h2["filter_bits_set"] == [50, 0, 80, 30, 80, 0, 0, 0]
+    assert np.array_equal(st2.filters, merged.filters)
