@@ -435,10 +435,11 @@ processes still gain — an artifact a real multi-host cluster does not
 have (executors are provisioned, not oversubscribed).
 
 Reference anchor: honas sustains >30,000 hostname lookups/sec on one
-core (README.md:880-884).  Our probe path runs ~20k lookups/sec against
-4-filter sketches including Spark job overhead (see
-`probe_lookups_per_sec` in BENCH_r*.json) and the end-to-end build path
-sustains ~80-100k files/sec (~600-750k key-inserts/sec) at local[8..32].
+core (README.md:880-884).  Our probe path answers a 10k-key job at
+~60-70k lookups/sec against 4-filter sketches including Spark job
+overhead (see `probe_lookups_per_sec` in BENCH_r*.json) and the
+end-to-end build path sustains ~45-135k files/sec (~350k-1M
+key-inserts/sec) at local[8..32] depending on neighboring load.
 """
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "w") as f:
