@@ -40,6 +40,7 @@ from honas_spark.operators.dedup import (
     simhash,
 )
 from honas_spark.operators.knn import brute_force_topk, ivf_index, ivf_topk
+from honas_spark.operators.pareto import pareto_coverage
 from honas_spark.operators.probe import cms_probe
 from honas_spark.operators.prefix_join import longest_prefix_join
 from honas_spark.search import make_search_job, run_search
@@ -810,28 +811,20 @@ def _q_pareto_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.7 top-k/Pareto (scripts/pareto_analysis.py:29-37): rank tokens
     by frequency and report each token's cumulative coverage of all
     occurrences, for the head that covers 80%.  Integer arithmetic
-    (cum*100 vs total*80) keeps the oracle float-free."""
+    (cum*100 vs total*80) keeps the oracle float-free.
+
+    Distributed plan (operators/pareto.py): range-repartition +
+    per-partition prefix offsets + partitioned window — no
+    Exchange SinglePartition anywhere (the old unpartitioned
+    Window.orderBy serialized the whole vocabulary into one task)."""
     docs = _docs(spark, sf_dir)
     counts = (
         docs.select(F.explode(T.tokens(F.col("text"))).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    w = Window.orderBy(F.desc("n"), "token")
-    total = counts.agg(F.sum("n")).collect()[0][0]
-    return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .withColumn(
-            "cum_n",
-            F.sum("n").over(
-                w.rowsBetween(Window.unboundedPreceding, 0)
-            ),
-        )
-        .filter(
-            (F.col("cum_n") - F.col("n")) * 100 < F.lit(int(total)) * 80
-        )
-        .select("rank", "token", "n", "cum_n")
-        .orderBy("rank")
+    return pareto_coverage(counts, "token", "n", coverage_pct=80).orderBy(
+        "rank"
     )
 
 
@@ -1427,8 +1420,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         # same synthesis + a REAL digest recomputation on the oracle side
         # sig_i = min over distinct 2-gram shingles of the 60-bit md5
-        # prefix of (i || shingle); <2 tokens -> the whole text is the
-        # one shingle (mirrors shingles() in operators/dedup.py)
+        # prefix of (i || shingle); exactly 1 token -> the whole text is
+        # the one shingle; 0 tokens -> no row (mirrors shingles() +
+        # the zero-shingle filter in operators/dedup.py)
         "minhash_sigs_md5": """
             WITH t AS (
                 SELECT doc_id,
@@ -1443,7 +1437,7 @@ def oracle_sql() -> dict[str, str]:
                 WHERE len(toks) >= 2
                 UNION ALL
                 SELECT doc_id, array_to_string(toks, ' ') AS s
-                FROM t WHERE len(toks) < 2
+                FROM t WHERE len(toks) = 1
             )
             SELECT doc_id,
                    min(CAST(concat('0x', substr(md5('0' || s), 1, 15)) AS BIGINT)) AS s0,

@@ -25,7 +25,13 @@ from ..functions.text import fingerprint, tokens
 
 
 def shingles(col, n: int = 3):
-    """Distinct word n-gram shingles of a text column (built-ins only)."""
+    """Distinct word n-gram shingles of a text column (built-ins only).
+
+    Zero-token documents (empty / whitespace-only text) produce an EMPTY
+    array, not [""]: a blank doc has no shingle content, and emitting the
+    empty-string shingle would make every blank doc hash-identical — the
+    downstream signature operators drop such docs entirely (they cannot
+    be meaningfully near-dup compared)."""
     toks = tokens(col)
     return F.array_distinct(
         F.when(
@@ -36,7 +42,9 @@ def shingles(col, n: int = 3):
                     F.slice(toks, i + 1, n), " "
                 ),
             ),
-        ).otherwise(F.array(F.array_join(toks, " ")))
+        )
+        .when(F.size(toks) > 0, F.array(F.array_join(toks, " ")))
+        .otherwise(F.array().cast("array<string>"))
     )
 
 
@@ -149,7 +157,10 @@ def minhash_signatures(
         df = df.repartition(para)
     base = df.select(
         F.col(id_col), shingles(F.col(text_col), n).alias("_shs")
-    )
+    ).filter(F.size(F.col("_shs")) > 0)
+    # zero-shingle docs are dropped, not emitted: array_min over an empty
+    # array is null, and null signatures would band-hash identically,
+    # pairing ALL blank/short docs at max confidence downstream.
     sig = F.array(
         *[F.array_min(F.transform(F.col("_shs"), mk(i)))
           for i in range(num_hashes)]
@@ -282,7 +293,9 @@ def simhash(
     base = df.select(
         F.col(id_col),
         F.transform(tokens(F.col(text_col)), h).alias("_hs"),
-    )
+    ).filter(F.size(F.col("_hs")) > 0)
+    # zero-token docs are dropped: their vote vector is all-zero, so the
+    # fingerprint collapses to 0 and every blank doc pairs at hamming 0.
 
     def vote(b):
         return F.aggregate(

@@ -98,6 +98,47 @@ def test_shingles_short_doc(spark):
     assert out[0]["s"] == ["one two"]  # shorter than n -> whole doc
 
 
+def test_blank_docs_never_pair(spark):
+    """Zero-token docs (empty / whitespace-only) must not appear in the
+    signature outputs at all — the projection-shaped minhash/simhash would
+    otherwise give every blank doc an identical (null-band / zero)
+    fingerprint and pair them all at max confidence."""
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),
+        (2, ""),              # empty
+        (3, "   \t  \n "),    # whitespace-only
+        (4, "x"),             # single short token: stays, is comparable
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # shingles: blank docs -> empty array (not [""])
+    sh = {r["doc_id"]: r["s"] for r in df.select(
+        "doc_id", shingles(F.col("text"), 2).alias("s")).collect()}
+    assert sh[2] == [] and sh[3] == []
+    assert sh[4] == ["x"]
+
+    sig = minhash_signatures(df, "doc_id", "text", num_hashes=16, n=2)
+    sig_ids = {r["doc_id"] for r in sig.collect()}
+    assert sig_ids == {0, 1, 4}
+    cands = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(
+            sig, "doc_id", num_hashes=16, bands=4
+        ).collect()
+    }
+    assert not any(2 in p or 3 in p for p in cands)
+
+    sim = simhash(df, "doc_id", "text")
+    sim_ids = {r["doc_id"] for r in sim.collect()}
+    assert sim_ids == {0, 1, 4}
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_near_pairs(sim, "doc_id", max_hamming=3).collect()
+    }
+    assert not any(2 in p or 3 in p for p in pairs)
+
+
 @pytest.fixture(scope="module")
 def vectors(spark):
     rng = np.random.default_rng(42)

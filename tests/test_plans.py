@@ -91,6 +91,43 @@ def test_ngram_jaccard_cap_avoids_window_sort(spark):
     assert "Window" not in plan
 
 
+def test_pareto_coverage_no_single_partition_exchange(spark):
+    """The Pareto head must never funnel the vocabulary through one
+    task: no Exchange SinglePartition, and every Window is partitioned
+    by the range-partition id."""
+    import __spark_entry__ as E
+
+    df = E.queries()["pareto_coverage"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+    for line in plan.splitlines():
+        if "windowspecdefinition(" in line:
+            assert "_pid" in line, line
+
+
+def test_pareto_coverage_matches_local_cumsum(spark):
+    """Distributed rank/cum_n must equal the single-machine sort+cumsum
+    on a skewed (Zipf-ish) count table spread over many partitions."""
+    from honas_spark.operators.pareto import pareto_coverage
+
+    rows = [(f"tok{i:04d}", max(1, 5000 // (i + 1))) for i in range(800)]
+    counts = spark.createDataFrame(rows, "token string, n long").repartition(16)
+    got = {
+        r["rank"]: (r["token"], r["n"], r["cum_n"])
+        for r in pareto_coverage(
+            counts, "token", "n", coverage_pct=80, num_partitions=8
+        ).collect()
+    }
+    srt = sorted(rows, key=lambda r: (-r[1], r[0]))
+    total = sum(n for _, n in rows)
+    cum, want = 0, {}
+    for rank, (t, n) in enumerate(srt, start=1):
+        if cum * 100 < total * 80:
+            want[rank] = (t, n, cum + n)
+        cum += n
+    assert got == want
+
+
 def test_minhash_lsh_capped_path_avoids_window_sort(spark):
     """The hot-bucket cap must come from a groupBy-count semi-join, not a
     sort-based window; pair generation is a projection over collected
