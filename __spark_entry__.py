@@ -325,7 +325,10 @@ def _q_hit_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("source", F.explode(T.tokens(F.col("text"))).alias("t"))
         .groupBy("source")
         .agg(F.countDistinct("t").alias("hits"))
-        .filter(F.col("hits") >= 40)
+        # 31 discriminates on the sf0.01 corpus (17 sources pass, 3
+        # fail) — a gate row that returns 0 rows can't tell a correct
+        # filter from limit(0)
+        .filter(F.col("hits") >= 31)
         .orderBy("source")
     )
 
@@ -349,11 +352,21 @@ def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact duplicate groups only (n>=2) — empty on dup-free slices,
-    exercised with injected dups in tests."""
-    return exact_duplicates(_docs(spark, sf_dir), "doc_id", "text").orderBy(
-        "fp"
+    """Exact duplicate groups only (n>=2).  The sf corpus is dup-free,
+    so the gate row injects deterministic duplicates (docs 0-19 re-added
+    under doc_id+100000, whitespace-perturbed so only NORMALIZED
+    equality catches them) — a 0-row result can't distinguish a correct
+    operator from limit(0)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.lit("  "), F.upper(F.col("text")), F.lit(" ")).alias(
+            "text"
+        ),
     )
+    return exact_duplicates(
+        docs.unionByName(dups), "doc_id", "text"
+    ).orderBy("fp")
 
 
 def _q_token_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1224,7 +1237,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT source, count(DISTINCT t) AS hits
             FROM toks WHERE t <> ''
-            GROUP BY source HAVING count(DISTINCT t) >= 40
+            GROUP BY source HAVING count(DISTINCT t) >= 31
             ORDER BY source
         """,
         "dedup_exact": r"""
@@ -1236,11 +1249,18 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1 ORDER BY 1
         """,
         "dedup_exact_groups": r"""
+            WITH corpus AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 100000,
+                       concat('  ', upper(text), ' ')
+                FROM documents WHERE doc_id < 20
+            )
             SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
                        AS fp,
                    count(*) AS n_dups,
                    min(doc_id) AS rep_id
-            FROM documents
+            FROM corpus
             GROUP BY 1 HAVING count(*) >= 2 ORDER BY 1
         """,
         "token_jaccard_pairs": """

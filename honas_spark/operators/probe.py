@@ -139,11 +139,13 @@ def cms_probe(
 
     The sketch is ONE bounded row (depth x width counters) shipped inside
     the closure (an implicit broadcast); the candidate column can be
-    arbitrarily large — each Arrow batch is hashed and queried with the
-    vectorized kernel, nothing is collected to the driver.  This is the
+    arbitrarily large — SHA-256 is computed JVM-side (`unhex(sha2(...))`,
+    whole-stage codegen, same trick as sketch_agg.sha256_key) so the
+    Python side of each Arrow batch is only the vectorized numpy CMS
+    query; no per-row interpreted hashing anywhere.  This is the
     scale-correct heavy-hitters pattern: candidate generation stays in
     the engine, the CMS answers point queries in the map phase."""
-    import hashlib
+    from pyspark.sql import functions as F
 
     depth, width = spec.cms_depth, spec.cms_width
 
@@ -152,19 +154,19 @@ def cms_probe(
         for pdf in batches:
             if pdf.empty:
                 continue
-            shas = [
-                hashlib.sha256(str(t).encode()).digest()
-                for t in pdf[token_col]
-            ]
             # mirror SketchState.update exactly: truncate the digest to
             # spec.hash_len before taking the first 8 bytes as the CMS key
-            limbs = K.hashes_to_limbs(shas, spec.hash_len)
+            limbs = K.hashes_to_limbs(list(pdf["_sha"]), spec.hash_len)
             h64 = limbs[:, :2].copy().view("<u8").reshape(-1)
             ests = K.cms_query(cms, h64)
             yield pd.DataFrame(
                 {token_col: pdf[token_col], out_col: ests.astype("int64")}
             )
 
-    return candidates_df.select(token_col).mapInPandas(
+    hashed = candidates_df.select(
+        F.col(token_col),
+        F.unhex(F.sha2(F.col(token_col), 256)).alias("_sha"),
+    )
+    return hashed.mapInPandas(
         probe, schema=f"{token_col} string, {out_col} long"
     )

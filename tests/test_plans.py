@@ -91,6 +91,25 @@ def test_ngram_jaccard_cap_avoids_window_sort(spark):
     assert "Window" not in plan
 
 
+def test_cms_probe_hashes_jvm_side(spark):
+    """Candidate hashing must happen in the JVM projection (sha2 inside
+    whole-stage codegen) before the Arrow exchange — the Python side is
+    only the vectorized numpy CMS query, so an arbitrarily large
+    candidate column never pays per-row interpreted hashing."""
+    from honas_spark.operators.probe import cms_probe
+    from honas_spark.spec import SketchSpec
+
+    spec = SketchSpec(m_bits=1 << 14, k=5, cms_depth=4, cms_width=256)
+    cms_bytes = bytes(8 * spec.cms_depth * spec.cms_width)
+    cands = spark.createDataFrame(
+        [("alpha",), ("beta",)], "token string"
+    )
+    df = cms_probe(cands, cms_bytes, spec)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "sha2" in plan, plan
+    assert all(r["est"] == 0 for r in df.collect())
+
+
 def test_pareto_coverage_no_single_partition_exchange(spark):
     """The Pareto head must never funnel the vocabulary through one
     task: no Exchange SinglePartition, and every Window is partitioned
