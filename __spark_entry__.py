@@ -820,6 +820,31 @@ def _q_search_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sector_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity->sector result rollup (scripts/entities_to_sector.py:44-59):
+    per-entity counts joined onto a sector dim (broadcast), summed per
+    sector; unmapped entities are skipped like the reference's KeyError
+    branch.  The dim is synthesized deterministically from the corpus
+    (sector = 'S' + first md5 hex char of the entity) with two entities
+    deliberately left unmapped so the skip path is exercised."""
+    from honas_spark.search import sector_rollup
+
+    docs = _docs(spark, sf_dir)
+    counts = docs.groupBy(F.col("source").alias("entity")).agg(
+        F.count(F.lit(1)).alias("count")
+    )
+    mapping = (
+        docs.select(F.col("source").alias("entity"))
+        .distinct()
+        .filter(~F.col("entity").isin("src0", "src1"))
+        .withColumn(
+            "sector",
+            F.concat(F.lit("S"), F.substring(F.md5(F.col("entity")), 1, 1)),
+        )
+    )
+    return sector_rollup(counts, mapping).orderBy("sector")
+
+
 def _q_pareto_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.7 top-k/Pareto (scripts/pareto_analysis.py:29-37): rank tokens
     by frequency and report each token's cumulative coverage of all
@@ -1092,6 +1117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_rollup_counters": _q_daily_rollup_counters,
         "search_e2e": _q_search_e2e,
         "pareto_coverage": _q_pareto_coverage,
+        "sector_rollup": _q_sector_rollup,
         "bpe_pieces": _q_bpe_pieces,
         "embedding_near_dup": _q_embedding_near_dup,
         "sizing_advice": _q_sizing_advice,
@@ -1410,6 +1436,20 @@ def oracle_sql() -> dict[str, str]:
                 FROM orders
             ) WHERE rnk <= 3
             ORDER BY o_orderpriority, rnk
+        """,
+        "sector_rollup": """
+            WITH counts AS (
+                SELECT source AS entity, count(*) AS cnt
+                FROM documents GROUP BY source
+            ),
+            m AS (
+                SELECT DISTINCT source AS entity,
+                       concat('S', substr(md5(source), 1, 1)) AS sector
+                FROM documents WHERE source NOT IN ('src0', 'src1')
+            )
+            SELECT m.sector, CAST(sum(c.cnt) AS BIGINT) AS count
+            FROM counts c JOIN m USING (entity)
+            GROUP BY m.sector ORDER BY m.sector
         """,
         "pareto_coverage": """
             WITH counts AS (

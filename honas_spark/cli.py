@@ -187,14 +187,14 @@ def _search_hs_file(spark, hs_path: str, job) -> str:
     import argparse as _ap
 
     from .search import run_search, search_result_json_reference
-    from .sources.hsfile import read_hs_header
+    from .sources.hsfile import HEADER_READ_SIZE, read_hs_header
 
     spec, table, group_cols = _load_sketch_table(
         _ap.Namespace(state=hs_path), spark
     )
     key_df, group_df = run_search(table, spec, job, group_cols)
     with open(hs_path, "rb") as f:
-        h = read_hs_header(f.read(8192))
+        h = read_hs_header(f.read(HEADER_READ_SIZE))
     return search_result_json_reference(key_df, group_df, spec, h)
 
 
@@ -269,10 +269,10 @@ def cmd_search(args) -> int:
     if args.state.endswith(".hs"):
         # single-state search: render the reference binary's exact
         # document (README.md:341-454) from the state header
-        from .sources.hsfile import read_hs_header
+        from .sources.hsfile import HEADER_READ_SIZE, read_hs_header
 
         with open(args.state, "rb") as f:
-            h = read_hs_header(f.read(8192))
+            h = read_hs_header(f.read(HEADER_READ_SIZE))
         out = search_result_json_reference(key_df, group_df, spec, h)
     else:
         out = search_result_json(
@@ -283,6 +283,27 @@ def cmd_search(args) -> int:
             f.write(out)
     else:
         print(out)
+    if getattr(args, "sectors", None):
+        # entity->sector result rollup (scripts/entities_to_sector.py):
+        # per-entity hits joined onto the sector mapping CSV, summed per
+        # sector, written as the reference script's sector,count CSV
+        from .search import (
+            entity_hit_counts,
+            read_sector_mapping_csv,
+            sector_csv,
+            sector_rollup,
+        )
+
+        mapping = read_sector_mapping_csv(spark, args.sectors)
+        csv_text = sector_csv(
+            sector_rollup(entity_hit_counts(key_df), mapping)
+        )
+        if args.sectors_out:
+            with open(args.sectors_out, "w") as f:
+                f.write(csv_text)
+            print(f"wrote {args.sectors_out}")
+        else:
+            print(csv_text, end="")
     return 0
 
 
@@ -402,6 +423,57 @@ def cmd_export_hs(args) -> int:
     return 0
 
 
+def cmd_export_csv(args) -> int:
+    """scripts/experiment_to_csv.py: flatten result documents to the
+    documentation CSV.  Driver-side by design — one scalar row per
+    state file; the distributed work happened in the searches that
+    produced the documents."""
+    from .search import results_csv
+
+    truth = None
+    if args.truth:
+        with open(args.truth) as f:
+            truth = [
+                line.strip().lower() for line in f
+                if line.strip() and not line.startswith("#")
+            ]
+    csv_text = results_csv(args.results, truth)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(csv_text)
+        print(f"wrote {args.out}")
+    else:
+        print(csv_text, end="")
+    return 0
+
+
+def cmd_diff_results(args) -> int:
+    """scripts/crm_diff.py shape: did the two latest results differ?
+    Exit 0 when identical, 1 when different (so a cron wrapper can gate
+    regeneration on the exit code, like the reference gates the subnet
+    config rebuild)."""
+    import glob
+    import os
+
+    from .search import diff_results
+
+    paths = list(args.paths)
+    if len(paths) == 1 and os.path.isdir(paths[0]):
+        files = sorted(
+            glob.glob(os.path.join(paths[0], "*.json")), key=os.path.getmtime
+        )
+        if len(files) < 2:
+            print("at least two result files are required")
+            return 1
+        paths = files[-2:]
+    if len(paths) != 2:
+        print("pass two result files or one directory")
+        return 2
+    d = diff_results(paths[0], paths[1])
+    print(json.dumps(d, indent=2))
+    return 0 if d["identical"] else 1
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="honas_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -436,6 +508,11 @@ def main(argv=None) -> int:
     s.add_argument("--entities", help="entities CSV: adds entity@key + "
                    "UNKNOWN@key variants per key (query_generic_blacklist)")
     s.add_argument("--out")
+    s.add_argument("--sectors", help="sector mapping CSV "
+                   "(entities_to_sector.py shape): roll per-entity hits "
+                   "up to per-sector counts")
+    s.add_argument("--sectors-out", help="write the sector rollup CSV "
+                   "here (default: print)")
     s.set_defaults(fn=cmd_search)
 
     qa = sub.add_parser("query-all")
@@ -466,6 +543,23 @@ def main(argv=None) -> int:
     r.add_argument("--period", default="1 day")
     r.add_argument("--run-id", default="rotate")
     r.set_defaults(fn=cmd_rotate)
+
+    x = sub.add_parser("export-csv", help="flatten a result-JSON dir "
+                       "to the reference's day,inside,total CSV "
+                       "(experiment_to_csv.py)")
+    x.add_argument("--results", required=True,
+                   help="directory of <state>.hs.json result documents")
+    x.add_argument("--truth", help="ground-truth key file: "
+                   "inside/total become the groundtruth comparison")
+    x.add_argument("--out", help="output CSV path (default: print)")
+    x.set_defaults(fn=cmd_export_csv)
+
+    d = sub.add_parser("diff-results", help="diff two search-result "
+                       "JSONs (or the two latest in a dir, crm_diff.py "
+                       "shape); exit 1 when they differ")
+    d.add_argument("paths", nargs="+",
+                   help="two result files, or one directory")
+    d.set_defaults(fn=cmd_diff_results)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -24,7 +24,7 @@ def longest_prefix_join(
     entity_col: str = "entity",
     row_id_col: str = "row_id",
     out_col: str = "matched_entity",
-    max_case_entries: int = 5000,
+    max_case_entries: int = 500,
 ) -> DataFrame:
     """fact[key_col] matched against dim[(prefix, entity)]; longest prefix
     wins; unmatched rows keep null.  `dim` must be small (broadcast).
@@ -34,19 +34,33 @@ def longest_prefix_join(
     pure projection, ZERO shuffle of the fact table, fully codegen'd.
     The reference's per-length hash probes (subnet_activity.c:441-507)
     are exactly this shape.  Larger dims fall back to explode +
-    broadcast join + max_by, which shuffles only (row_id, entity)."""
+    broadcast join + max_by, which shuffles only (row_id, entity).
+
+    The default caps the CASE chain at 500 entries: a deeper nested
+    expression tree stresses Janino codegen (method-size limits force an
+    interpreted fallback well before 5,000 levels), and the broadcast
+    path is already cheap at that dim size."""
     n_dim = dim.count()
+    if n_dim == 0:
+        return fact.withColumn(out_col, F.lit(None).cast("string"))
     if n_dim <= max_case_entries:
         entries = sorted(
             [(r[prefix_col], r[entity_col]) for r in dim.collect()],
             key=lambda x: -len(x[0]),
         )
-        expr = F.lit(None).cast("string")
-        for prefix, entity in reversed(entries):
-            expr = F.when(
-                F.substring(F.col(key_col), 1, len(prefix)) == prefix,
-                F.lit(entity),
-            ).otherwise(expr)
+        # flat CaseWhen (one node, N branches, first match wins ->
+        # longest-first order IS the longest-prefix rule).  Never build
+        # this as nested when/otherwise: N nested nodes StackOverflow the
+        # Column->Catalyst conversion around ~400 levels.
+        expr = None
+        for prefix, entity in entries:
+            cond = F.substring(F.col(key_col), 1, len(prefix)) == prefix
+            expr = (
+                F.when(cond, F.lit(entity))
+                if expr is None
+                else expr.when(cond, F.lit(entity))
+            )
+        expr = expr.otherwise(F.lit(None).cast("string"))
         return fact.withColumn(out_col, expr)
     lengths = sorted(
         {r[0] for r in dim.select(F.length(prefix_col)).distinct().collect()}
@@ -80,7 +94,7 @@ def cidr_longest_prefix_join(
     out_col: str = "matched_entity",
     plen_col: str = "matched_plen",
     row_id_col: str = "row_id",
-    max_case_entries: int = 2000,
+    max_case_entries: int = 500,
 ) -> DataFrame:
     """True CIDR longest-prefix match over an IPv4 BIGINT column (the
     reference's subnet->entity lookup, src/subnet_activity.c:441-507 —
@@ -109,14 +123,22 @@ def cidr_longest_prefix_join(
         parsed.append((net, plen, entity))
 
     addr = F.col(addr_col)
+    if not parsed:
+        return fact.withColumn(
+            out_col, F.lit(None).cast("string")
+        ).withColumn(plen_col, F.lit(None).cast("int"))
     if len(parsed) <= max_case_entries:
-        ent = F.lit(None).cast("string")
-        ln = F.lit(None).cast("int")
-        # build shortest-first so the longest prefix ends up outermost
-        for net, plen, entity in sorted(parsed, key=lambda x: x[1]):
+        # flat CaseWhen, longest length first (first match wins); nested
+        # when/otherwise StackOverflows conversion at depth ~400
+        ent = ln = None
+        for net, plen, entity in sorted(parsed, key=lambda x: -x[1]):
             cond = ip4_mask(addr, plen) == F.lit(net)
-            ent = F.when(cond, F.lit(entity)).otherwise(ent)
-            ln = F.when(cond, F.lit(plen)).otherwise(ln)
+            ent = (F.when(cond, F.lit(entity)) if ent is None
+                   else ent.when(cond, F.lit(entity)))
+            ln = (F.when(cond, F.lit(plen)) if ln is None
+                  else ln.when(cond, F.lit(plen)))
+        ent = ent.otherwise(F.lit(None).cast("string"))
+        ln = ln.otherwise(F.lit(None).cast("int"))
         return fact.withColumn(out_col, ent).withColumn(plen_col, ln)
 
     spark = fact.sparkSession
@@ -187,7 +209,7 @@ def cidr_longest_prefix_join6(
     out_col: str = "matched_entity",
     plen_col: str = "matched_plen",
     row_id_col: str = "row_id",
-    max_case_entries: int = 2000,
+    max_case_entries: int = 500,
 ) -> DataFrame:
     """True CIDR longest-prefix match over an IPv6 struct<hi,lo> column
     (two signed int64 limbs, big-endian — `functions.inet.ip6_aton`).
@@ -209,16 +231,26 @@ def cidr_longest_prefix_join6(
 
     hi = F.col(addr6_col)["hi"]
     lo = F.col(addr6_col)["lo"]
+    if not parsed:
+        return fact.withColumn(
+            out_col, F.lit(None).cast("string")
+        ).withColumn(plen_col, F.lit(None).cast("int"))
     if len(parsed) <= max_case_entries:
-        ent = F.lit(None).cast("string")
-        ln = F.lit(None).cast("int")
-        # shortest-first so the longest prefix ends up outermost
-        for nh, nl, mh, ml, plen, entity in sorted(parsed, key=lambda x: x[4]):
+        # flat CaseWhen, longest length first (first match wins); nested
+        # when/otherwise StackOverflows conversion at depth ~400
+        ent = ln = None
+        for nh, nl, mh, ml, plen, entity in sorted(
+            parsed, key=lambda x: -x[4]
+        ):
             cond = (hi.bitwiseAND(F.lit(mh)) == F.lit(nh)) & (
                 lo.bitwiseAND(F.lit(ml)) == F.lit(nl)
             )
-            ent = F.when(cond, F.lit(entity)).otherwise(ent)
-            ln = F.when(cond, F.lit(plen)).otherwise(ln)
+            ent = (F.when(cond, F.lit(entity)) if ent is None
+                   else ent.when(cond, F.lit(entity)))
+            ln = (F.when(cond, F.lit(plen)) if ln is None
+                  else ln.when(cond, F.lit(plen)))
+        ent = ent.otherwise(F.lit(None).cast("string"))
+        ln = ln.otherwise(F.lit(None).cast("int"))
         return fact.withColumn(out_col, ent).withColumn(plen_col, ln)
 
     spark = fact.sparkSession
@@ -271,7 +303,7 @@ def cidr_longest_prefix_join_dual(
     out_col: str = "matched_entity",
     plen_col: str = "matched_plen",
     row_id_col: str = "row_id",
-    max_case_entries: int = 2000,
+    max_case_entries: int = 500,
 ) -> DataFrame:
     """Dual-stack LPM — the reference's family dispatch
     (subnet_activity.c:441-507): each row carries EITHER an IPv4 BIGINT

@@ -311,11 +311,20 @@ def search_result_json_reference(
     header: dict,
     indent: "int | None" = None,
 ) -> str:
-    """Render the reference's EXACT search-result document for a
+    """Render the reference's search-result document for a
     single-state (.hs) search (README.md:341-454, honas_search.c
     add_general_information:88-127 + group rendering:303-371): field
     names, field order, per-filter stats with the "%.10f" FPR string,
     `flattened_results`, and groups as {key: hits} maps.
+
+    One DELIBERATE deviation (Quirk Q2, see SURVEY.md): the reference
+    binary flattens when estimated_number_of_host_names <
+    flatten_threshold (honas_search.c:378) even though the config docs
+    describe the threshold as a CLIENT-count privacy bound; this engine
+    follows the documented intent and compares est_clients.  For states
+    whose client and hostname estimates straddle the threshold, the
+    `flattened_results` flag (and clamped hits) differ from the
+    reference binary's byte output.
 
     key_df/group_df come from `run_search` over the imported state (the
     engine path — this is a sink, not a second implementation); `header`
@@ -402,3 +411,145 @@ def search_result_json(
             if hasattr(v, "isoformat"):
                 row[c] = v.isoformat()
     return json.dumps(result, default=str)
+
+
+def read_sector_mapping_csv(
+    spark,
+    path: str,
+    entity_field: str = "Volledige naam klant",
+    sector_field: str = "DoelgroepCode",
+) -> DataFrame:
+    """Sector mapping dim (scripts/entities_to_sector.py:36-38): a
+    quoted, headered CSV mapping entity -> sector.  Returns a 2-column
+    (entity, sector) DataFrame; the field names default to the
+    reference's Dutch column headers."""
+    df = spark.read.option("header", True).option("quote", '"').csv(path)
+    return df.select(
+        F.col(f"`{entity_field}`").alias("entity"),
+        F.col(f"`{sector_field}`").alias("sector"),
+    )
+
+
+def entity_hit_counts(key_df: DataFrame) -> DataFrame:
+    """Per-entity hit totals from a search result: keys of the compound
+    form `entity@name` (README.md:119-146) are credited to their entity;
+    plain keys are ignored.  Output: (entity, count)."""
+    return (
+        key_df.filter(F.col("key").contains("@"))
+        .select(
+            F.substring_index(F.col("key"), "@", 1).alias("entity"),
+            F.col("hits"),
+        )
+        .groupBy("entity")
+        .agg(F.sum("hits").alias("count"))
+        .filter(F.col("count") > 0)
+    )
+
+
+def sector_rollup(
+    entity_counts: DataFrame,
+    mapping: DataFrame,
+    entity_col: str = "entity",
+    count_col: str = "count",
+) -> DataFrame:
+    """Entity->sector result rollup (scripts/entities_to_sector.py:44-59):
+    join the sector dim onto per-entity counts and sum per sector.
+    Entities absent from the mapping are skipped, exactly like the
+    reference's KeyError branch.  The mapping is a small dim -> broadcast
+    join; the aggregation is map-side partial.  Output: (sector, count)."""
+    m = mapping.select(
+        F.col("entity").alias(entity_col), "sector"
+    ).dropDuplicates([entity_col])
+    return (
+        entity_counts.join(F.broadcast(m), entity_col, "inner")
+        .groupBy("sector")
+        .agg(F.sum(count_col).alias("count"))
+    )
+
+
+def sector_csv(sector_df: DataFrame) -> str:
+    """Render the rollup as the reference script's output CSV
+    (entities_to_sector.py:53-56): header `sector,count`, one row per
+    sector (sorted here for determinism; the reference emits dict
+    order)."""
+    lines = ["sector,count"]
+    for r in sector_df.orderBy("sector").collect():
+        lines.append(f"{r['sector']},{r['count']}")
+    return "\n".join(lines) + "\n"
+
+
+def results_to_csv_rows(
+    result_dir: str, truth_keys=None
+) -> list[tuple[str, int, int]]:
+    """Flatten a directory of search-result JSONs (the `query-all`
+    output, one `<state>.hs.json` per state) into the reference's
+    experiment CSV rows (scripts/experiment_to_csv.py:21-45):
+    (day, inside, total) per state, sorted by day.
+
+    With `truth_keys`, inside/total are the ground-truth comparison the
+    reference script parsed out of its statistics log ("[inside / total]
+    from the ground truth were also in the search results"); without,
+    inside = keys the filters reported, total = keys queried.
+
+    Driver-side by design: one scalar row per state file — the
+    distributed work already happened in the searches that produced
+    these documents."""
+    import glob
+    import os
+
+    rows = []
+    for path in sorted(glob.glob(os.path.join(result_dir, "*.json"))):
+        with open(path) as f:
+            doc = json.load(f)
+        day = os.path.basename(path)
+        for suf in (".hs.json", ".json"):
+            if day.endswith(suf):
+                day = day[: -len(suf)]
+                break
+        hostnames = doc.get("hostnames", [])
+        if truth_keys is not None:
+            cmpres = compare_groundtruth(doc, truth_keys)
+            rows.append(
+                (day, cmpres["true_positives"], cmpres["n_truth"])
+            )
+        else:
+            inside = sum(1 for r in hostnames if r.get("hits"))
+            rows.append((day, inside, len(hostnames)))
+    return rows
+
+
+def results_csv(result_dir: str, truth_keys=None) -> str:
+    """Render results_to_csv_rows as the reference script's CSV
+    (header `day,inside,total`)."""
+    lines = ["day,inside,total"]
+    for day, inside, total in results_to_csv_rows(result_dir, truth_keys):
+        lines.append(f"{day},{inside},{total}")
+    return "\n".join(lines) + "\n"
+
+
+def diff_results(path_a: str, path_b: str) -> dict:
+    """Difference between two search-result JSONs: keys whose hit
+    status changed, appeared, or disappeared.  The shape of the
+    reference's daily change detector (scripts/crm_diff.py:39-50 —
+    'did the latest two differ? then act'), applied to result
+    documents: an empty diff means the downstream consumer can skip
+    regeneration."""
+    def load(p):
+        with open(p) as f:
+            doc = json.load(f)
+        return {r["key"]: r.get("hits", 0) for r in doc.get("hostnames", [])}
+
+    a, b = load(path_a), load(path_b)
+    added = sorted(set(b) - set(a))
+    removed = sorted(set(a) - set(b))
+    changed = sorted(
+        k for k in set(a) & set(b) if a[k] != b[k]
+    )
+    return {
+        "added": added,
+        "removed": removed,
+        "changed": [
+            {"key": k, "hits_a": a[k], "hits_b": b[k]} for k in changed
+        ],
+        "identical": not (added or removed or changed),
+    }

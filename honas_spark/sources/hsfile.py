@@ -42,6 +42,12 @@ HLL_DENSE_SIZE = ((K.HLL_REGISTERS * 6 + 7) // 8) + 1  # 12289
 _HEADER_FMT = "<8sII" + "IIIIIII" + "IIII" + "QQQQQ" + "II"
 _HEADER_SIZE = struct.calcsize(_HEADER_FMT)  # 108
 
+# enough bytes for the fixed header PLUS filter_bits_set at the maximum
+# num_filters the validator accepts (4096) — callers reading a prefix of
+# a state file must use this, not a round number: an 8 KiB prefix only
+# covers 2021 filters and made valid wide states raise "truncated"
+HEADER_READ_SIZE = _HEADER_SIZE + 4 * 4096
+
 
 def _roundup(v: int, page: int = PAGE) -> int:
     return (v + page - 1) & ~(page - 1)

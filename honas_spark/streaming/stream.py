@@ -190,13 +190,17 @@ class StreamingSketchBuilder:
         tmp_root = os.path.join(root, f"all.tmp-{epoch_id}")
         if os.path.isdir(tmp_root):
             shutil.rmtree(tmp_root)
+        # the partition key MUST byte-match the Python-side _window_key
+        # used to locate the dirs below — so it IS _window_key, applied
+        # driver-side per touched window and shipped as a literal map
+        # (windows per batch are bounded; a string-cast re-derivation in
+        # SQL diverges on fractional-second window starts)
+        wkey_map = F.create_map(
+            *[x for w in touched
+              for x in (F.lit(w), F.lit(self._window_key(w)))]
+        )
         (
-            merged.withColumn(
-                "_wkey",
-                F.translate(
-                    F.col(self.window_col).cast("string"), " :", "T-"
-                ),
-            )
+            merged.withColumn("_wkey", wkey_map[F.col(self.window_col)])
             .write.mode("overwrite")
             .partitionBy("_wkey")
             .parquet(tmp_root)
@@ -212,6 +216,11 @@ class StreamingSketchBuilder:
         for w in todo:
             wk = self._window_key(w)
             tmp = os.path.join(tmp_root, f"_wkey={wk}")
+            if not os.path.isdir(tmp):
+                # a todo window that merged to zero rows writes no
+                # partition dir — nothing to publish (and a missing dir
+                # must not fail the whole batch)
+                continue
             # per-window lineage manifest (north rule): which epoch last
             # touched this window, when, and how many sketch rows it holds
             with open(os.path.join(tmp, "_manifest.json"), "w") as f:

@@ -306,3 +306,144 @@ def test_query_all_scenarios_incremental(spark, tmp_path, capsys):
     assert main(["query-all", "--conf", str(conf),
                  "--archive", str(tmp_path / "archive")]) == 0
     assert "ran 0 searches" in capsys.readouterr().out
+
+
+def test_sector_rollup_matches_reference_script(spark, tmp_path):
+    """Run the ACTUAL reference scripts/entities_to_sector.py on fixture
+    CSVs and assert sector_rollup produces identical per-sector sums
+    (including skipping entities absent from the mapping)."""
+    import csv
+    import subprocess
+    import sys
+
+    from honas_spark.search import (
+        read_sector_mapping_csv,
+        sector_csv,
+        sector_rollup,
+    )
+
+    results = [(5, "Uni A"), (3, "Uni B"), (7, "Hogeschool C"),
+               (2, "Unmapped D")]
+    mapping = [("Uni A", "WO"), ("Uni B", "WO"), ("Hogeschool C", "HBO"),
+               ("Extra E", "MBO")]
+    rf, mf, of = (tmp_path / n for n in
+                  ("results.csv", "mapping.csv", "out.csv"))
+    with open(rf, "w", newline="") as f:
+        w = csv.writer(f)
+        for c, e in results:
+            w.writerow([c, e])
+    with open(mf, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["Volledige naam klant", "DoelgroepCode"])
+        for e, s in mapping:
+            w.writerow([e, s])
+    subprocess.run(
+        [sys.executable, "/root/reference/scripts/entities_to_sector.py",
+         "-r", str(rf), "-m", str(mf), "-w", str(of)],
+        check=True, capture_output=True,
+    )
+    with open(of) as f:
+        expected = {
+            row["sector"]: int(row["count"]) for row in csv.DictReader(f)
+        }
+    assert expected  # the reference run actually produced sectors
+
+    counts = spark.createDataFrame(
+        [(e, c) for c, e in results], "entity string, count long"
+    )
+    mdf = read_sector_mapping_csv(spark, str(mf))
+    rolled = sector_rollup(counts, mdf)
+    got = {r["sector"]: r["count"] for r in rolled.collect()}
+    assert got == expected
+    txt = sector_csv(rolled)
+    assert txt.splitlines()[0] == "sector,count"
+    assert set(txt.strip().splitlines()[1:]) == {
+        f"{s},{c}" for s, c in expected.items()
+    }
+
+
+def test_search_sectors_flag_end_to_end(spark, corpus_dir, tmp_path):
+    """gather with an entity column -> search with entity@key probes ->
+    --sectors rolls per-entity hits up to the mapping's sectors."""
+    ck = str(tmp_path / "eck")
+    assert main([
+        "gather", "--input", corpus_dir, "--output", ck,
+        "--m-bits", str(1 << 16), "--k", "5", "--window", "1 hour",
+        "--client-col", "repo", "--entity-col", "lang",
+    ]) == 0
+    row = spark.read.parquet(corpus_dir).select("path", "lang").first()
+    member, ent = row["path"].lower(), row["lang"]
+    langs = sorted(
+        r["lang"] for r in
+        spark.read.parquet(corpus_dir).select("lang").distinct().collect()
+    )
+    kf = tmp_path / "keys.txt"
+    kf.write_text(member + "\n")
+    ef = tmp_path / "entities.csv"
+    ef.write_text("".join(f"{l}\n" for l in langs))
+    mf = tmp_path / "mapping.csv"
+    mf.write_text(
+        '"Volledige naam klant","DoelgroepCode"\n'
+        + "".join(f'"{l}","SEC_{l}"\n' for l in langs)
+    )
+    so = tmp_path / "sectors.csv"
+    assert main([
+        "search", "--state", ck, "--keys", str(kf),
+        "--entities", str(ef), "--out", str(tmp_path / "res.json"),
+        "--sectors", str(mf), "--sectors-out", str(so),
+    ]) == 0
+    lines = so.read_text().strip().splitlines()
+    assert lines[0] == "sector,count"
+    sectors = dict(l.split(",") for l in lines[1:])
+    # the member's true entity must be credited to its mapped sector
+    assert f"SEC_{ent}" in sectors and int(sectors[f"SEC_{ent}"]) >= 1
+
+
+def test_export_csv_and_diff_results(tmp_path, capsys):
+    """export-csv (experiment_to_csv.py shape) + diff-results
+    (crm_diff.py exit-code contract) over fixture result documents."""
+    rd = tmp_path / "results"
+    rd.mkdir()
+
+    def doc(hits_by_key):
+        return json.dumps({
+            "hostnames": [
+                {"key": k, "hits": h} for k, h in hits_by_key.items()
+            ],
+            "groups": [],
+        })
+
+    (rd / "2018-07-01.hs.json").write_text(
+        doc({"evil.example": 2, "clean.example": 0}))
+    (rd / "2018-07-02.hs.json").write_text(
+        doc({"evil.example": 2, "clean.example": 1}))
+
+    out = tmp_path / "exp.csv"
+    assert main(["export-csv", "--results", str(rd),
+                 "--out", str(out)]) == 0
+    assert out.read_text() == (
+        "day,inside,total\n2018-07-01,1,2\n2018-07-02,2,2\n"
+    )
+
+    # ground-truth mode: inside/total = the reference's "[x / y] from
+    # the ground truth were also in the search results"
+    tf = tmp_path / "truth.txt"
+    tf.write_text("evil.example\nnever.seen\n")
+    assert main(["export-csv", "--results", str(rd), "--truth", str(tf),
+                 "--out", str(out)]) == 0
+    assert out.read_text() == (
+        "day,inside,total\n2018-07-01,1,2\n2018-07-02,1,2\n"
+    )
+
+    a, b = rd / "2018-07-01.hs.json", rd / "2018-07-02.hs.json"
+    capsys.readouterr()  # drain the export-csv prints
+    assert main(["diff-results", str(a), str(b)]) == 1
+    d = json.loads(capsys.readouterr().out)
+    assert d["changed"] == [
+        {"key": "clean.example", "hits_a": 0, "hits_b": 1}
+    ]
+    assert not d["added"] and not d["removed"]
+    assert main(["diff-results", str(a), str(a)]) == 0
+    # directory mode: latest two by mtime
+    os.utime(a, (1, 1))
+    assert main(["diff-results", str(rd)]) == 1

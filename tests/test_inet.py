@@ -290,3 +290,62 @@ def test_ip6_aton_mixed_batch_keeps_limb_precision(spark):
     got = {r["ip"]: r["l"] for r in df.collect()}
     assert got[big]["hi"] == -2 and got[big]["lo"] == 1
     assert got["not-an-ip"]["hi"] is None
+
+
+def test_lpm_big_dim_takes_fallback_and_matches_fast_path(spark):
+    """A 5,000-entry dim must take the broadcast+max_by fallback under
+    the default CASE cap: the CASE chain is not merely slow there — a
+    5,000-deep nested expression tree StackOverflows the driver during
+    Column->Catalyst conversion.  The fallback's answers are checked
+    against a Python-computed longest-prefix ground truth, and the two
+    physical paths are checked equal on a dim that both can run."""
+    from pyspark.sql import functions as F
+
+    from honas_spark.operators.prefix_join import longest_prefix_join
+
+    dim_rows = [(f"p{i:04d}", f"e{i}") for i in range(5000)]
+    dim_rows += [("p0", "short0"), ("p001", "mid001")]
+    dim = spark.createDataFrame(dim_rows, "prefix string, entity string")
+    fact = spark.range(300).select(
+        F.col("id").alias("row_id"),
+        F.concat(
+            F.lit("p"), F.lpad((F.col("id") % 600).cast("string"), 4, "0"),
+            F.lit("xyz"),
+        ).alias("key"),
+    ).unionByName(
+        spark.createDataFrame(
+            [(9001, "p001zzz"), (9002, "q-no-match")],
+            "row_id long, key string",
+        )
+    )
+    slow = longest_prefix_join(fact, dim, "key")  # default cap: fallback
+    assert "BroadcastHashJoin" in (
+        slow._jdf.queryExecution().executedPlan().toString()
+    )
+    by_len = sorted(dim_rows, key=lambda x: -len(x[0]))
+
+    def expect(key):
+        return next(
+            (e for pfx, e in by_len if key.startswith(pfx)), None
+        )
+
+    got = {r["row_id"]: r["matched_entity"] for r in slow.collect()}
+    want = {
+        r["row_id"]: expect(r["key"]) for r in fact.collect()
+    }
+    assert got == want
+    assert got[12] == "e12" and got[9001] == "mid001"
+    assert got[9002] is None
+
+    # both physical paths agree where both are runnable (400-entry dim)
+    small = spark.createDataFrame(
+        dim_rows[:400] + [("p0", "short0")], "prefix string, entity string"
+    )
+    fast = longest_prefix_join(fact, small, "key")          # <= 500: CASE
+    forced = longest_prefix_join(
+        fact, small, "key", max_case_entries=0
+    )
+    assert sorted((r["row_id"], r["matched_entity"])
+                  for r in fast.collect()) == \
+           sorted((r["row_id"], r["matched_entity"])
+                  for r in forced.collect())
