@@ -33,6 +33,30 @@ def _fake_decode_image(raw: bytes) -> tuple[int, int, int, np.ndarray]:
     return w, h, 3, hist / total
 
 
+def _pil_decoder():
+    """Resolve the REAL image decoder: PIL-backed when importable, else
+    None (callers fall back to the deterministic fake).  Resolved inside
+    each task so a cluster with PIL on the executors uses it even if the
+    driver lacks it.  This round's autodetect check: the sandbox has no
+    PIL (and installs are off), so the fake path is what runs here; the
+    real path is unit-tested against a synthetic PIL module."""
+    try:
+        from io import BytesIO
+
+        from PIL import Image
+    except ImportError:
+        return None
+
+    def decode(raw):
+        img = Image.open(BytesIO(raw))
+        a = np.asarray(img, dtype=np.uint8).reshape(-1)
+        hist = np.bincount(a >> 5, minlength=_N_FEATURES).astype(float)
+        return (img.width, img.height, len(img.getbands()),
+                hist / max(hist.sum(), 1.0))
+
+    return decode
+
+
 def extract_image_features(
     df: DataFrame, bin_col: str, id_col: str
 ) -> DataFrame:
@@ -45,18 +69,7 @@ def extract_image_features(
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        try:
-            from PIL import Image
-            from io import BytesIO
-
-            def decode(raw):
-                img = Image.open(BytesIO(raw))
-                a = np.asarray(img, dtype=np.uint8).reshape(-1)
-                hist = np.bincount(a >> 5, minlength=_N_FEATURES).astype(float)
-                return (img.width, img.height, len(img.getbands()),
-                        hist / max(hist.sum(), 1.0))
-        except ImportError:
-            decode = None  # no codec in this container -> deterministic fake
+        decode = _pil_decoder()  # None -> deterministic fake
         for pdf in batches:
             if pdf.empty:
                 continue

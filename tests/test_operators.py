@@ -521,3 +521,41 @@ def test_contamination_flags_hand_computed(spark):
         docs, bench, "doc_id", "text", "text", n=2
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_pil_decoder_autodetect_both_ways(monkeypatch):
+    """The real-decode wiring must activate when PIL is importable and
+    stand down to the deterministic fake when it is not.  The sandbox
+    has no PIL, so the 'present' side is exercised with a synthetic PIL
+    module shaped like the real API (Image.open -> width/height/bands +
+    ndarray conversion)."""
+    import sys
+    import types
+
+    from honas_spark.functions import multimodal as M
+
+    # absent (the sandbox reality): resolver returns None -> fake path
+    assert M._pil_decoder() is None
+
+    class _FakeImg:
+        width, height = 32, 16
+
+        def getbands(self):
+            return ("R", "G", "B")
+
+        def __array__(self, dtype=None, copy=None):
+            return np.full((16, 32, 3), 200, dtype=np.uint8)
+
+    fake_pil = types.ModuleType("PIL")
+    fake_image_mod = types.ModuleType("PIL.Image")
+    fake_image_mod.open = lambda fp: _FakeImg()
+    fake_pil.Image = fake_image_mod
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", fake_image_mod)
+
+    decode = M._pil_decoder()
+    assert decode is not None
+    w, h, c, feats = decode(b"irrelevant-raw-bytes")
+    assert (w, h, c) == (32, 16, 3)
+    # 200 >> 5 == 6: all histogram mass in bucket 6
+    assert feats[6] == 1.0 and feats.sum() == 1.0
