@@ -820,6 +820,16 @@ def _q_search_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_span_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document span-level duplication (C4 repeated-span /
+    RefinedWeb line-dedup signal) over non-overlapping 8-token spans:
+    (doc_id, n_spans, n_dup_spans) in exact integers."""
+    from honas_spark.operators.quality import span_dup_stats
+
+    docs = _docs(spark, sf_dir)
+    return span_dup_stats(docs, "doc_id", "text", k=8).orderBy("doc_id")
+
+
 def _q_sector_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity->sector result rollup (scripts/entities_to_sector.py:44-59):
     per-entity counts joined onto a sector dim (broadcast), summed per
@@ -1118,6 +1128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_e2e": _q_search_e2e,
         "pareto_coverage": _q_pareto_coverage,
         "sector_rollup": _q_sector_rollup,
+        "span_dup": _q_span_dup,
         "bpe_pieces": _q_bpe_pieces,
         "embedding_near_dup": _q_embedding_near_dup,
         "sizing_advice": _q_sizing_advice,
@@ -1436,6 +1447,43 @@ def oracle_sql() -> dict[str, str]:
                 FROM orders
             ) WHERE rnk <= 3
             ORDER BY o_orderpriority, rnk
+        """,
+        "span_dup": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(text, '\s+'),
+                                   x -> x <> '') AS toks
+                FROM documents
+            ),
+            sp AS (
+                SELECT doc_id,
+                       substr(md5(array_to_string(
+                           toks[(CAST(i AS INT) - 1) * 8 + 1
+                                : CAST(i AS INT) * 8], ' ')), 1, 16) AS s
+                FROM t,
+                     unnest(range(1,
+                         CAST(ceil(len(toks) / 8.0) AS INT) + 1)) AS u(i)
+                WHERE len(toks) > 0
+            ),
+            sizes AS (
+                SELECT doc_id, count(*) AS n_spans FROM sp GROUP BY doc_id
+            ),
+            shared AS (
+                SELECT s FROM sp GROUP BY s
+                HAVING count(DISTINCT doc_id) >= 2
+            ),
+            dups AS (
+                SELECT sp.doc_id, count(*) AS n_dup_spans
+                FROM sp JOIN shared USING (s)
+                GROUP BY sp.doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(sizes.n_spans, 0) AS n_spans,
+                   COALESCE(dups.n_dup_spans, 0) AS n_dup_spans
+            FROM documents d
+            LEFT JOIN sizes ON sizes.doc_id = d.doc_id
+            LEFT JOIN dups ON dups.doc_id = d.doc_id
+            ORDER BY d.doc_id
         """,
         "sector_rollup": """
             WITH counts AS (

@@ -265,7 +265,10 @@ def cmd_search(args) -> int:
     else:
         with open(args.job) as f:
             job = json.load(f)
-    key_df, group_df = run_search(table, spec, job, group_cols)
+    key_df, group_df = run_search(
+        table, spec, job, group_cols,
+        flatten_on=getattr(args, "flatten_on", "clients"),
+    )
     if args.state.endswith(".hs"):
         # single-state search: render the reference binary's exact
         # document (README.md:341-454) from the state header
@@ -513,6 +516,11 @@ def main(argv=None) -> int:
                    "up to per-sector counts")
     s.add_argument("--sectors-out", help="write the sector rollup CSV "
                    "here (default: print)")
+    s.add_argument("--flatten-on", dest="flatten_on", default="clients",
+                   choices=["clients", "hostnames"],
+                   help="which estimate the privacy flatten compares: "
+                   "clients (documented intent, default) or hostnames "
+                   "(the reference binary's exact compare, Quirk Q2)")
     s.set_defaults(fn=cmd_search)
 
     qa = sub.add_parser("query-all")

@@ -137,3 +137,69 @@ def ngram_repetition(
             F.coalesce("dup_occ", F.lit(0)).alias("dup_occ"),
         )
     )
+
+
+def spans(col, k: int = 8):
+    """Non-overlapping k-token spans of a text column ('paragraph'
+    units for corpora without structural newlines; with newline-split
+    text, pre-split and pass one line per row instead).  The last span
+    may be shorter.  Empty array for zero-token docs."""
+    toks = tokens(col)
+    n_spans = F.ceil(F.size(toks) / F.lit(k)).cast("int")
+    return F.when(
+        F.size(toks) > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_spans - 1),
+            lambda i: F.array_join(
+                F.slice(toks, i * k + 1, k), " "
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def span_dup_stats(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8
+) -> DataFrame:
+    """Cross-document span-level duplication (the C4 'three-sentence
+    span occurring more than once' / RefinedWeb line-dedup signal,
+    Raffel et al. 2020 §2.2) over non-overlapping k-token spans:
+
+      n_spans      spans in the document
+      n_dup_spans  spans whose fingerprint occurs in >= 2 DISTINCT docs
+
+    Downstream removal/filtering derives the dup fraction; exact
+    integers keep the oracle byte-stable.
+
+    Scale shape: spans fold to md5 fingerprints before any exchange
+    (shuffle carries 16-char hashes + ids, never text); the shared-span
+    set comes from a map-side-partial count_distinct aggregation and
+    filters back via a shuffle_hash semi-join — the same de-skewed cap
+    pattern as the LSH/DF caps (no window sort, no driver collect)."""
+    sp = _resplit_small(df).select(
+        F.col(id_col).alias("_id"),
+        F.explode(spans(F.col(text_col), k)).alias("span"),
+    ).select("_id", F.substring(F.md5(F.col("span")), 1, 16).alias("s"))
+    sizes = sp.groupBy("_id").agg(F.count(F.lit(1)).alias("n_spans"))
+    shared = (
+        sp.groupBy("s")
+        .agg(F.countDistinct("_id").alias("_nd"))
+        .filter(F.col("_nd") >= 2)
+        .select("s")
+    )
+    dups = (
+        sp.join(shared.hint("shuffle_hash"), "s", "left_semi")
+        .groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("n_dup_spans"))
+    )
+    base = df.select(F.col(id_col))
+    out = (
+        base.join(sizes, base[id_col] == sizes["_id"], "left")
+        .drop("_id")
+        .join(dups, F.col(id_col) == dups["_id"], "left")
+        .select(
+            id_col,
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+        )
+    )
+    return out

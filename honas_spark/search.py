@@ -170,14 +170,26 @@ def run_search(
     spec: SketchSpec,
     job: "dict | str",
     group_cols: Sequence[str],
+    flatten_on: str = "clients",
 ) -> tuple[DataFrame, DataFrame]:
-    """-> (per-key hits DF, per-group DF) with full honas semantics."""
+    """-> (per-key hits DF, per-group DF) with full honas semantics.
+
+    flatten_on: which estimate the privacy flatten compares against
+    `flatten_threshold`.  "clients" (default) follows the documented
+    intent — the threshold is described as a client-count privacy bound
+    (README.md:607-614); "hostnames" reproduces the reference BINARY's
+    actual compare (honas_search.c:378 uses
+    estimated_number_of_host_names — Quirk Q2) for byte-level parity on
+    states whose two estimates straddle the threshold."""
+    if flatten_on not in ("clients", "hostnames"):
+        raise ValueError(f"flatten_on must be clients|hostnames: {flatten_on}")
     group_cols = list(group_cols)
     queries = parse_search_job(job)
     probed = probe_sketches(sketch_df, spec, queries, group_cols)
 
     u_lit = F.lit(spec.filters_per_user)
-    flattened = F.col("est_clients") < F.lit(spec.flatten_threshold)
+    est_col = "est_clients" if flatten_on == "clients" else "est_items"
+    flattened = F.col(est_col) < F.lit(spec.flatten_threshold)
     # Flatten clamp per the reference (honas_search.c:200-201):
     # hits = hits < filters_per_user ? 0 : 1 — NOT least(hits, 1), which
     # would report 1 for a key whose raw hits are in [1, u-1].
@@ -310,6 +322,7 @@ def search_result_json_reference(
     spec: SketchSpec,
     header: dict,
     indent: "int | None" = None,
+    flatten_on: str = "clients",
 ) -> str:
     """Render the reference's search-result document for a
     single-state (.hs) search (README.md:341-454, honas_search.c
@@ -324,7 +337,8 @@ def search_result_json_reference(
     follows the documented intent and compares est_clients.  For states
     whose client and hostname estimates straddle the threshold, the
     `flattened_results` flag (and clamped hits) differ from the
-    reference binary's byte output.
+    reference binary's byte output.  Pass flatten_on="hostnames" (here
+    AND to run_search, which produces key_df) for strict byte parity.
 
     key_df/group_df come from `run_search` over the imported state (the
     engine path — this is a sink, not a second implementation); `header`
@@ -363,7 +377,11 @@ def search_result_json_reference(
             for b in header["filter_bits_set"]
         ],
         "flattened_results": bool(
-            int(header["estimated_number_of_clients"])
+            int(
+                header["estimated_number_of_clients"]
+                if flatten_on == "clients"
+                else header["estimated_number_of_host_names"]
+            )
             < spec.flatten_threshold
         ),
     }

@@ -559,3 +559,27 @@ def test_pil_decoder_autodetect_both_ways(monkeypatch):
     assert (w, h, c) == (32, 16, 3)
     # 200 >> 5 == 6: all histogram mass in bucket 6
     assert feats[6] == 1.0 and feats.sum() == 1.0
+
+
+def test_span_dup_stats_hand_computed(spark):
+    """C4-style cross-doc span duplication on hand-countable docs with
+    k=2 token spans."""
+    from honas_spark.operators.quality import span_dup_stats
+
+    rows = [
+        (0, "a b c d e"),        # spans: "a b", "c d", "e"
+        (1, "a b x y"),          # spans: "a b", "x y"
+        (2, "c d c d"),          # spans: "c d", "c d" (both shared w/ 0)
+        (3, "zz"),               # spans: "zz" (unique)
+        (4, ""),                 # no spans
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_spans"], r["n_dup_spans"])
+        for r in span_dup_stats(df, "doc_id", "text", k=2).collect()
+    }
+    # "a b" in docs 0+1; "c d" in docs 0+2 -> doc0: 2 of 3 spans shared;
+    # doc2 repeats "c d" twice, both instances count
+    assert got == {
+        0: (3, 2), 1: (2, 1), 2: (2, 2), 3: (1, 0), 4: (0, 0),
+    }

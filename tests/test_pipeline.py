@@ -249,6 +249,39 @@ def test_flatten_semantics(spark):
     assert rows[0]["hits"] == 1  # clamped from u=4
 
 
+def test_flatten_on_hostnames_reproduces_reference_compare(spark):
+    """Quirk Q2 strict-parity knob: flatten_on='hostnames' compares the
+    HOSTNAME estimate like the reference binary (honas_search.c:378),
+    while the default compares the client estimate per the documented
+    privacy intent.  A state with 1 client but many hostnames straddles
+    a threshold between the two, so the modes must disagree."""
+    from honas_spark.search import make_search_job, run_search
+
+    spec = SketchSpec(
+        m_bits=1 << 16, k=5, num_filters=4, filters_per_user=4,
+        flatten_threshold=50, cms_width=1024, kll_k=64,
+    )
+    rows = [
+        ("r1", f"many/keys/{i}", "2024-01-01 00:05:00") for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, ts_s string"
+    ).withColumn("commit_ts", F.to_timestamp("ts_s"))
+    keyed = sha256_key(with_window(df, "commit_ts", spec.window), "path")
+    sk = build_sketches(
+        keyed, spec, group_cols=["window_start"], client_col="repo",
+        ts_col="commit_ts",
+    )
+    job = make_search_job({1: ["many/keys/0"]})
+    by_clients, _ = run_search(sk, spec, job, ["window_start"])
+    by_hosts, _ = run_search(
+        sk, spec, job, ["window_start"], flatten_on="hostnames"
+    )
+    rc, rh = by_clients.first(), by_hosts.first()
+    assert rc["flattened"] is True and rc["hits"] == 1   # 1 client < 50
+    assert rh["flattened"] is False and rh["hits"] == 4  # ~200 names > 50
+
+
 def test_verify_content_sha_guard(spark):
     """North-rule ingest guard: recomputed sha2 equality flags/drops/fails
     on corrupted rows."""
