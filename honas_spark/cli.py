@@ -477,6 +477,56 @@ def cmd_diff_results(args) -> int:
     return 0 if d["identical"] else 1
 
 
+def cmd_gen_subnets(args) -> int:
+    """scripts/subnet_definitions_generator.py: CRM CSV -> the
+    subnet-activity JSON config + entities_out list (the file
+    diff-results/crm_diff gates regeneration of)."""
+    from .sources.config import generate_subnet_definitions
+
+    doc, entities = generate_subnet_definitions(args.input)
+    out = json.dumps(doc, ensure_ascii=False)
+    if args.out:
+        with open(args.out, "w", encoding="utf-8") as f:
+            print(out, file=f)
+        print(f"Wrote JSON output to {args.out}")
+    else:
+        print(out)
+    if args.entities_out:
+        with open(args.entities_out, "w", encoding="utf-8") as f:
+            for e in entities:
+                f.write(e + "\n")
+    return 0
+
+
+def cmd_fpr_report(args) -> int:
+    """scripts/honas_actual_theoretical_fp.py: per archived daily
+    state, the actual FPR + fill rate series as time,actfpr,fillrate
+    CSV (first filter, like the reference's honas-info grep)."""
+    from .info import fpr_report_csv
+
+    csv_text = fpr_report_csv(args.states, args.pattern)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(csv_text)
+        print(f"wrote {args.out}")
+    else:
+        print(csv_text, end="")
+    return 0
+
+
+def cmd_occurrences(args) -> int:
+    """scripts/occurrence_finder_ndn.py: which keys recur across result
+    documents (top-N by number of files), with entity-label
+    exclusions."""
+    from .search import result_occurrences
+
+    excl = [e for e in (args.exclude or "").split(",") if e]
+    rows = result_occurrences(args.results, exclusions=excl)
+    for key, n in rows[: args.top]:
+        print(f"{n} {key}")
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="honas_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -568,6 +618,33 @@ def main(argv=None) -> int:
     d.add_argument("paths", nargs="+",
                    help="two result files, or one directory")
     d.set_defaults(fn=cmd_diff_results)
+
+    gs = sub.add_parser("gen-subnets", help="CRM CSV -> subnet-activity "
+                        "JSON + entities list "
+                        "(subnet_definitions_generator.py)")
+    gs.add_argument("--input", required=True, help="CRM CSV with "
+                    "Prefix / Volledige naam klant columns")
+    gs.add_argument("--out", help="JSON output path (default: print)")
+    gs.add_argument("--entities-out", help="write the entity list here "
+                    "(the reference's entities_out.csv)")
+    gs.set_defaults(fn=cmd_gen_subnets)
+
+    fp = sub.add_parser("fpr-report", help="actual FPR + fill rate per "
+                        "archived state as CSV "
+                        "(honas_actual_theoretical_fp.py)")
+    fp.add_argument("--states", required=True,
+                    help="directory of .hs state files with date stems")
+    fp.add_argument("--pattern", default="*.hs")
+    fp.add_argument("--out", help="CSV output path (default: print)")
+    fp.set_defaults(fn=cmd_fpr_report)
+
+    oc = sub.add_parser("occurrences", help="keys recurring across "
+                        "result documents (occurrence_finder_ndn.py)")
+    oc.add_argument("--results", required=True)
+    oc.add_argument("--exclude", help="comma-separated entity labels "
+                    "to skip in entity@key compounds")
+    oc.add_argument("--top", type=int, default=10)
+    oc.set_defaults(fn=cmd_occurrences)
 
     args = p.parse_args(argv)
     return args.fn(args)

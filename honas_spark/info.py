@@ -235,3 +235,50 @@ def write_plotmode_csv(
             w.writeheader()
             for r in rows:
                 w.writerow(r.asDict())
+
+
+def fpr_report_rows(states_dir: str, pattern: str = "*.hs"):
+    """Actual-vs-theoretical FPR series over archived daily states
+    (scripts/honas_actual_theoretical_fp.py:27-49): per state file,
+    (unix timestamp from the filename date, actual FPR, fill rate) of
+    the first filter — exactly the two floats the reference script
+    regexes out of honas-info's first 'Fill Rate:' line.  Filenames
+    must carry an ISO date/datetime stem like the reference archive
+    (2018-07-01.hs or 2018-07-01T04-00-00.hs)."""
+    import glob
+    import os
+    from datetime import datetime
+
+    from . import kernels as K
+    from .sources.hsfile import HEADER_READ_SIZE, read_hs_header
+
+    rows = []
+    for path in sorted(glob.glob(os.path.join(states_dir, pattern))):
+        stem = os.path.basename(path)[: -len(".hs")]
+        ts = None
+        for fmt in ("%Y-%m-%d", "%Y-%m-%dT%H-%M-%S", "%Y-%m-%dT%H:%M:%S"):
+            try:
+                ts = int(datetime.strptime(stem, fmt).timestamp())
+                break
+            except ValueError:
+                continue
+        with open(path, "rb") as f:
+            h = read_hs_header(f.read(HEADER_READ_SIZE))
+        if ts is None:  # non-date stem: fall back to the header period
+            ts = int(h["period_begin"])
+        bits = int(h["filter_bits_set"][0])
+        rows.append((
+            ts,
+            K.actual_fpr(h["m_bits"], h["k"], bits),
+            K.fill_rate(h["m_bits"], bits),
+        ))
+    return rows
+
+
+def fpr_report_csv(states_dir: str, pattern: str = "*.hs") -> str:
+    """Render fpr_report_rows as the reference script's
+    act_vs_theor_fpr.csv (header `time,actfpr,fillrate`)."""
+    lines = ["time,actfpr,fillrate"]
+    for ts, fpr, fr in fpr_report_rows(states_dir, pattern):
+        lines.append(f"{ts},{fpr:.10f},{fr:.10f}")
+    return "\n".join(lines) + "\n"

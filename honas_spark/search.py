@@ -571,3 +571,42 @@ def diff_results(path_a: str, path_b: str) -> dict:
         ],
         "identical": not (added or removed or changed),
     }
+
+
+def result_occurrences(
+    result_dir: str,
+    exclusions: Sequence[str] = (),
+    pattern: str = "*.json",
+) -> list[tuple[str, int]]:
+    """Keys occurring across many result documents
+    (scripts/occurrence_finder_ndn.py:26-56): for every key reported in
+    a result's groups, count in how many files it appears; `entity@key`
+    compounds whose entity is in `exclusions` are skipped, exactly like
+    the reference's label exclusion list.  Sorted by count desc, then
+    key.  Accepts both result shapes: the reference document's
+    per-group {key: hits} maps and the sketch-table document's
+    hostnames list (keys with hits > 0)."""
+    import glob
+    import os
+
+    excl = set(exclusions)
+    counts: dict = {}
+    for path in sorted(glob.glob(os.path.join(result_dir, pattern))):
+        with open(path) as f:
+            doc = json.load(f)
+        keys = set()
+        for grp in doc.get("groups", []):
+            hostnames = grp.get("hostnames")
+            if isinstance(hostnames, dict):
+                keys.update(hostnames)
+        if not keys:
+            keys = {
+                r["key"] for r in doc.get("hostnames", [])
+                if r.get("hits")
+            }
+        for k in keys:
+            at = k.find("@")
+            if at != -1 and k[:at] in excl:
+                continue
+            counts[k] = counts.get(k, 0) + 1
+    return sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))

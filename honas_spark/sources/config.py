@@ -60,13 +60,21 @@ def entity_dim_from_json(
 ) -> DataFrame:
     """Entity->prefix-list JSON -> (prefix, entity) broadcast dim.
 
-    Accepts the subnet-definitions shape
-    `{"entities": [{"entity": name, "prefixes": [p, ...]}, ...]}` or a
-    plain `{entity: [prefixes]}` mapping."""
+    Accepts the reference's subnet_activity shape
+    (etc/example_subnet_definitions.json: `{"subnet_activity":
+    [{"entity": e, "prefixes": [{addr: plen}, ...]}]}` — prefixes
+    become "addr/plen" strings), the simplified `{"entities":
+    [{"entity": name, "prefixes": [p, ...]}, ...]}` shape, or a plain
+    `{entity: [prefixes]}` mapping."""
     if isinstance(doc, str):
         doc = json.loads(doc)
     rows = []
-    if "entities" in doc:
+    if "subnet_activity" in doc:
+        for e in doc["subnet_activity"]:
+            for p in e.get("prefixes", []):
+                for addr, plen in p.items():
+                    rows.append((f"{addr}/{plen}", str(e["entity"])))
+    elif "entities" in doc:
         for e in doc["entities"]:
             for p in e.get("prefixes", []):
                 rows.append((str(p), str(e["entity"])))
@@ -75,3 +83,35 @@ def entity_dim_from_json(
             for p in prefixes:
                 rows.append((str(p), str(entity)))
     return spark.createDataFrame(rows, "prefix string, entity string")
+
+
+def generate_subnet_definitions(
+    csv_path: str,
+    prefix_field: str = "Prefix",
+    entity_field: str = "Volledige naam klant",
+) -> "tuple[dict, list[str]]":
+    """CRM CSV -> subnet-activity JSON mappings + the entity list
+    (scripts/subnet_definitions_generator.py:30-76 — the generator
+    crm_diff triggers on CRM changes).  Output format matches the
+    reference byte-for-byte semantics: `{"subnet_activity": [{"entity":
+    e, "prefixes": [{network_address: prefixlen}, ...]}]}` with CSV
+    insertion order preserved, and the entity list is what the
+    reference writes to entities_out.csv (one per line)."""
+    import csv
+    import ipaddress
+
+    entities: dict = {}
+    mappings: dict = {}
+    with open(csv_path, encoding="utf-8", newline="") as f:
+        for row in csv.DictReader(f):
+            entities[row[entity_field]] = 0
+            mappings[row[prefix_field]] = row[entity_field]
+    doc: dict = {"subnet_activity": []}
+    for e in entities:
+        prefixes = []
+        for p, pe in mappings.items():
+            if pe == e:
+                net = ipaddress.ip_network(p)
+                prefixes.append({str(net.network_address): net.prefixlen})
+        doc["subnet_activity"].append({"entity": e, "prefixes": prefixes})
+    return doc, list(entities)

@@ -447,3 +447,102 @@ def test_export_csv_and_diff_results(tmp_path, capsys):
     # directory mode: latest two by mtime
     os.utime(a, (1, 1))
     assert main(["diff-results", str(rd)]) == 1
+
+
+def test_gen_subnets_matches_reference_format(tmp_path, capsys):
+    """gen-subnets reproduces subnet_definitions_generator.py's exact
+    JSON shape (subnet_activity list, {network_address: prefixlen}
+    prefix dicts, insertion order) + the entities_out list, and the
+    output round-trips through entity_dim_from_json."""
+    crm = tmp_path / "crm.csv"
+    crm.write_text(
+        '"Prefix","Volledige naam klant"\n'
+        '"192.87.0.0/16","SURFnet"\n'
+        '"145.0.0.0/8","SURFnet"\n'
+        '"2001:67c:6ec::/48","netSURF"\n'
+        '"192.42.113.5/32","netSURF"\n'
+    )
+    oj = tmp_path / "subnets.json"
+    oe = tmp_path / "entities_out.csv"
+    assert main(["gen-subnets", "--input", str(crm), "--out", str(oj),
+                 "--entities-out", str(oe)]) == 0
+    doc = json.loads(oj.read_text())
+    assert doc == {"subnet_activity": [
+        {"entity": "SURFnet",
+         "prefixes": [{"192.87.0.0": 16}, {"145.0.0.0": 8}]},
+        {"entity": "netSURF",
+         "prefixes": [{"2001:67c:6ec::": 48}, {"192.42.113.5": 32}]},
+    ]}
+    assert oe.read_text() == "SURFnet\nnetSURF\n"
+
+
+def test_entity_dim_reads_reference_subnet_activity_shape(spark):
+    from honas_spark.sources.config import entity_dim_from_json
+
+    doc = {"subnet_activity": [
+        {"entity": "SURFnet", "prefixes": [{"192.87.0.0": 16}]},
+        {"entity": "netSURF", "prefixes": [{"2001:67c:6ec::": 48}]},
+    ]}
+    rows = {(r["prefix"], r["entity"])
+            for r in entity_dim_from_json(spark, doc).collect()}
+    assert rows == {("192.87.0.0/16", "SURFnet"),
+                    ("2001:67c:6ec::/48", "netSURF")}
+
+
+def test_fpr_report_over_exported_states(spark, ckpt_dir, tmp_path, capsys):
+    """fpr-report: export the checkpoint to .hs files, rename to date
+    stems like the reference archive, and check the CSV against the
+    kernels' own fill/FPR math."""
+    import numpy as np
+
+    from honas_spark import kernels as K
+    from honas_spark.sources.hsfile import (
+        HEADER_READ_SIZE, read_hs_header,
+    )
+
+    hs_dir = tmp_path / "hs"
+    assert main(["export-hs", "--state", ckpt_dir,
+                 "--output", str(hs_dir)]) == 0
+    files = sorted(hs_dir.glob("*.hs"))
+    assert files
+    arch = tmp_path / "arch"
+    arch.mkdir()
+    renamed = arch / "2018-07-01.hs"
+    renamed.write_bytes(files[0].read_bytes())
+
+    capsys.readouterr()  # drain the export-hs prints
+    assert main(["fpr-report", "--states", str(arch)]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[0] == "time,actfpr,fillrate"
+    ts, fpr, fr = out[1].split(",")
+    with open(renamed, "rb") as f:
+        h = read_hs_header(f.read(HEADER_READ_SIZE))
+    bits = int(h["filter_bits_set"][0])
+    assert abs(float(fpr) - K.actual_fpr(h["m_bits"], h["k"], bits)) < 1e-10
+    assert abs(float(fr) - K.fill_rate(h["m_bits"], bits)) < 1e-10
+    import datetime
+    assert int(ts) == int(
+        datetime.datetime(2018, 7, 1).timestamp()
+    )
+
+
+def test_occurrences_counts_across_results(tmp_path, capsys):
+    rd = tmp_path / "res"
+    rd.mkdir()
+
+    def ref_doc(hostmap):
+        return json.dumps({
+            "groups": [{"id": 1, "hostnames": hostmap,
+                        "hits_by_all_hostnames": 0}],
+        })
+
+    (rd / "2018-07-01.hs.json").write_text(ref_doc(
+        {"evil.example": 2, "netSURF@evil.example": 2, "a.example": 1}))
+    (rd / "2018-07-02.hs.json").write_text(ref_doc(
+        {"evil.example": 2, "b.example": 1}))
+    assert main(["occurrences", "--results", str(rd),
+                 "--exclude", "netSURF,Nuffic", "--top", "5"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[0] == "2 evil.example"
+    assert set(out[1:]) == {"1 a.example", "1 b.example"}
+    assert not any("netSURF@" in l for l in out)
