@@ -820,6 +820,42 @@ def _q_search_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (functions/text.scrub_pii): the corpus has no PII,
+    so the gate injects deterministic emails/IPs/phones derived from
+    doc_id into BOTH engines, then compares per-kind counts + the md5
+    of the scrubbed text — proving the patterns and replacement order
+    behave identically in Java regex and RE2."""
+    from honas_spark.functions.text import scrub_pii
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    salted = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.lit(" mail user"), F.col("doc_id").cast("string"),
+                         F.lit("@example.com now")),
+            ).when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.lit(" from 10.0."),
+                         (F.col("doc_id") % 256).cast("string"),
+                         F.lit(".7 and +31 (0)20-123456"
+                               " end")),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return (
+        scrub_pii(salted, "text")
+        .select(
+            "doc_id", "n_email", "n_ipv4", "n_phone",
+            F.md5(F.col("text_scrubbed")).alias("scrub_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _q_span_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document span-level duplication (C4 repeated-span /
     RefinedWeb line-dedup signal) over non-overlapping 8-token spans:
@@ -1129,6 +1165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pareto_coverage": _q_pareto_coverage,
         "sector_rollup": _q_sector_rollup,
         "span_dup": _q_span_dup,
+        "pii_scrub": _q_pii_scrub,
         "bpe_pieces": _q_bpe_pieces,
         "embedding_near_dup": _q_embedding_near_dup,
         "sizing_advice": _q_sizing_advice,
@@ -1447,6 +1484,35 @@ def oracle_sql() -> dict[str, str]:
                 FROM orders
             ) WHERE rnk <= 3
             ORDER BY o_orderpriority, rnk
+        """,
+        "pii_scrub": r"""
+            WITH salted AS (
+                SELECT doc_id,
+                       text || CASE
+                           WHEN doc_id % 5 = 0 THEN
+                               ' mail user' || doc_id || '@example.com now'
+                           WHEN doc_id % 7 = 0 THEN
+                               ' from 10.0.' || (doc_id % 256)
+                               || '.7 and +31 (0)20-123456 end'
+                           ELSE ''
+                       END AS text
+                FROM documents
+            )
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                       AS n_email,
+                   len(regexp_extract_all(text,
+                       '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS n_ipv4,
+                   len(regexp_extract_all(text,
+                       '\+[0-9][0-9()\- ]{6,}[0-9]')) AS n_phone,
+                   md5(regexp_replace(regexp_replace(regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '[EMAIL]', 'g'),
+                       '([0-9]{1,3}\.){3}[0-9]{1,3}', '[IP]', 'g'),
+                       '\+[0-9][0-9()\- ]{6,}[0-9]', '[PHONE]', 'g'))
+                       AS scrub_md5
+            FROM salted ORDER BY doc_id
         """,
         "span_dup": r"""
             WITH t AS (

@@ -173,3 +173,41 @@ def fingerprint(col: Column) -> Column:
     """Document fingerprint: MD5 of the whitespace-normalized, lowercased
     text — the exact-dedup key (rolling-hash analog, deterministic)."""
     return F.md5(F.trim(F.regexp_replace(F.lower(col), r"\s+", " ")))
+
+
+# PII scrubbing — a standard pretraining-pipeline redaction stage.
+# Patterns are deliberately restricted to syntax with IDENTICAL
+# semantics in Java regex (Spark codegen) and RE2 (the DuckDB oracle):
+# character classes, bounded repetition, no lookaround, no \b.
+PII_PATTERNS: "dict[str, tuple[str, str]]" = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+              "[EMAIL]"),
+    "ipv4": (r"([0-9]{1,3}\.){3}[0-9]{1,3}", "[IP]"),
+    "phone": (r"\+[0-9][0-9()\- ]{6,}[0-9]", "[PHONE]"),
+}
+
+
+def pii_counts(col: Column) -> "dict[str, Column]":
+    """Per-kind PII match counts (regexp_extract_all size — JVM-side)."""
+    out = {}
+    for kind, (pat, _) in PII_PATTERNS.items():
+        out[f"n_{kind}"] = F.size(
+            F.regexp_extract_all(col, F.lit(pat), F.lit(0))
+        )
+    return out
+
+
+def scrub_pii(
+    df: DataFrame, text_col: str, out_col: str = "text_scrubbed"
+) -> DataFrame:
+    """Redact emails / IPv4 addresses / international phone numbers to
+    typed placeholders and count each kind — one codegen projection,
+    applied email -> ipv4 -> phone so a redaction never creates a new
+    match for a later pattern.  Counts are computed on the ORIGINAL
+    text (what was present), the scrubbed column is what ships."""
+    scrubbed = F.col(text_col)
+    for kind in ("email", "ipv4", "phone"):
+        pat, repl = PII_PATTERNS[kind]
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    cols = pii_counts(F.col(text_col))
+    return df.withColumns({**cols, out_col: scrubbed})

@@ -583,3 +583,26 @@ def test_span_dup_stats_hand_computed(spark):
     assert got == {
         0: (3, 2), 1: (2, 1), 2: (2, 2), 3: (1, 0), 4: (0, 0),
     }
+
+
+def test_scrub_pii_hand_computed(spark):
+    from honas_spark.functions.text import scrub_pii
+
+    rows = [
+        (0, "reach me at jane.doe+spam@mail.example.org or "
+            "+31 (0)20-1234567 from 192.168.1.254 thanks"),
+        (1, "no pii here at all"),
+        (2, "two mails a@b.io c@d.net one ip 10.0.0.1"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           scrub_pii(df, "text").collect()}
+    assert got[0]["n_email"] == 1 and got[0]["n_ipv4"] == 1
+    assert got[0]["n_phone"] == 1
+    assert got[0]["text_scrubbed"] == (
+        "reach me at [EMAIL] or [PHONE] from [IP] thanks"
+    )
+    assert (got[1]["n_email"], got[1]["n_ipv4"], got[1]["n_phone"]) == (0, 0, 0)
+    assert got[1]["text_scrubbed"] == "no pii here at all"
+    assert got[2]["n_email"] == 2 and got[2]["n_ipv4"] == 1
+    assert got[2]["text_scrubbed"] == "two mails [EMAIL] [EMAIL] one ip [IP]"

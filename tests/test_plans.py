@@ -166,3 +166,24 @@ def test_minhash_lsh_capped_path_avoids_window_sort(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_sector_rollup_broadcasts_mapping(spark):
+    import __spark_entry__ as E
+
+    df = E.queries()["sector_rollup"](spark, SF)
+    s = plan_summary(df)
+    assert s["n_broadcasts"] >= 1, "sector dim must broadcast"
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+
+
+def test_span_dup_no_window_no_cartesian(spark):
+    """span_dup's shared-span cap is a groupBy + semi-join like the
+    LSH/DF caps: no sort-based window, no join explosion."""
+    import __spark_entry__ as E
+
+    df = E.queries()["span_dup"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "Cartesian" not in plan
