@@ -546,3 +546,22 @@ def test_occurrences_counts_across_results(tmp_path, capsys):
     assert out[0] == "2 evil.example"
     assert set(out[1:]) == {"1 a.example", "1 b.example"}
     assert not any("netSURF@" in l for l in out)
+
+
+def test_iceberg_fallback_roundtrip(spark, tmp_path):
+    """No Iceberg jar in this sandbox: iceberg_available is False and
+    the source falls back to plain parquet read/write with the same
+    schema, keeping every operator storage-agnostic."""
+    from honas_spark.sources.iceberg import (
+        iceberg_available,
+        read_corpus_table,
+        write_sketch_table,
+    )
+
+    assert iceberg_available(spark) is False
+    df = generate_corpus(spark, 50, n_hours=1)
+    out = str(tmp_path / "corpus.parquet")
+    write_sketch_table(df, out)
+    back = read_corpus_table(spark, out)
+    assert back.count() == 50
+    assert set(back.columns) == set(df.columns)

@@ -151,3 +151,38 @@ def test_merge_many_equals_sequential_fold(key_lists, clients):
     assert seq.first_ts == vec.first_ts or (
         seq.first_ts is None and vec.first_ts is None
     )
+
+
+def test_pareto_coverage_property(spark):
+    """Property: for random count tables at random parallelism, the
+    distributed Pareto head equals the local sort+cumsum."""
+    import random
+
+    from honas_spark.operators.pareto import pareto_coverage
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = rng.randint(1, 120)
+        rows = [
+            (f"k{i:03d}", rng.randint(1, 50)) for i in range(n)
+        ]
+        pct = rng.choice([50, 80, 95])
+        parts = rng.choice([2, 5, 9])
+        counts = spark.createDataFrame(
+            rows, "token string, n long"
+        ).repartition(rng.choice([1, 4, 13]))
+        got = {
+            r["rank"]: (r["token"], r["n"], r["cum_n"])
+            for r in pareto_coverage(
+                counts, "token", "n", coverage_pct=pct,
+                num_partitions=parts,
+            ).collect()
+        }
+        srt = sorted(rows, key=lambda r: (-r[1], r[0]))
+        total = sum(c for _, c in rows)
+        cum, want = 0, {}
+        for rank, (t, c) in enumerate(srt, start=1):
+            if cum * 100 < total * pct:
+                want[rank] = (t, c, cum + c)
+            cum += c
+        assert got == want, (trial, n, pct, parts)
