@@ -379,6 +379,26 @@ def _q_token_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster formation: connected components over the exact
+    Jaccard pair graph (doc_id < 200) — the step that turns candidate
+    pairs into dedup groups.  Component = min reachable doc_id; the
+    DuckDB oracle recomputes it as a recursive-CTE transitive closure
+    over the same edges."""
+    from honas_spark.operators.dedup import connected_components
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    edges = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=1, min_num=1, min_den=2,
+        max_shingle_freq=None,
+    )
+    return (
+        connected_components(edges, "id_a", "id_b")
+        .withColumnRenamed("node", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
 def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidate pairs (shingle->minhash->band->bucket-join);
     deterministic but xxhash64-based -> rows-only oracle."""
@@ -1151,6 +1171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_exact_groups": _q_dedup_exact_groups,
         "token_jaccard_pairs": _q_token_jaccard_pairs,
+        "dedup_clusters": _q_dedup_clusters,
         "minhash_lsh": _q_minhash_lsh,
         "minhash_sigs_md5": _q_minhash_sigs_md5,
         "simhash": _q_simhash,
@@ -1338,6 +1359,39 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS rep_id
             FROM corpus
             GROUP BY 1 HAVING count(*) >= 2 ORDER BY 1
+        """,
+        "dedup_clusters": """
+            WITH RECURSIVE sh AS (
+                SELECT DISTINCT doc_id AS id, t.token AS sh
+                FROM documents,
+                     unnest(string_split(text, ' ')) AS t(token)
+                WHERE doc_id < 200 AND t.token <> ''
+            ),
+            sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+            inter AS (
+                SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+                FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+                GROUP BY 1, 2
+            ),
+            edges AS (
+                SELECT i.id_a, i.id_b
+                FROM inter i
+                JOIN sizes sa ON sa.id = i.id_a
+                JOIN sizes sb ON sb.id = i.id_b
+                WHERE i.inter * 2 >= (sa.n_sh + sb.n_sh - i.inter) * 1
+            ),
+            bidir AS (
+                SELECT id_a AS s, id_b AS d FROM edges
+                UNION
+                SELECT id_b, id_a FROM edges
+            ),
+            reach(n, m) AS (
+                SELECT s, s FROM bidir
+                UNION
+                SELECT r.n, b.d FROM reach r JOIN bidir b ON b.s = r.m
+            )
+            SELECT n AS doc_id, min(m) AS component
+            FROM reach GROUP BY n ORDER BY n
         """,
         "token_jaccard_pairs": """
             WITH sh AS (

@@ -367,3 +367,89 @@ def simhash_near_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Near-duplicate CLUSTER formation: connected components over a
+    candidate-pair graph — the step that turns minhash_lsh_candidates /
+    simhash_near_pairs / ngram_jaccard_pairs output into dedup groups
+    (keep min-id per component, drop the rest).
+
+    Output: (node, component) for every node appearing in `edges`,
+    component = the smallest node id reachable from it.
+
+    Algorithm: min-label propagation with pointer jumping — each round
+    takes the min over neighbors' labels, then contracts label chains
+    by one label->label lookup (comp = comp(comp)).  Pointer jumping
+    makes convergence O(log diameter) rounds, so a 100M-node pair graph
+    needs ~a dozen joins, not diameter-many; every round is two hash
+    joins + one aggregation on (node, label) pairs only.  Rounds stop
+    early at the first fixpoint (a count of changed labels per round —
+    a scalar driver check, not a collect of data)."""
+    bidir = edges.select(
+        F.col(a_col).alias("s"), F.col(b_col).alias("d")
+    ).unionByName(
+        edges.select(F.col(b_col).alias("s"), F.col(a_col).alias("d"))
+    )
+    labels = (
+        bidir.select(F.col("s").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+    )
+    bidir = bidir.persist()
+    labels = labels.persist()
+    for _ in range(max_iter):
+        nbr_min = (
+            bidir.join(
+                labels.withColumnRenamed("node", "d_node"),
+                F.col("d") == F.col("d_node"),
+            )
+            .groupBy(F.col("s").alias("node"))
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        stepped = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
+                ).alias("comp"),
+            )
+        )
+        # pointer jumping: follow the label's own label one hop
+        jump = stepped.select(
+            F.col("node").alias("j_node"), F.col("comp").alias("j_comp")
+        )
+        # localCheckpoint, not persist: the per-round plan would otherwise
+        # nest (each label frame is built from the previous one), and
+        # Catalyst re-analysis cost compounds per round; checkpointing
+        # truncates the lineage so every round plans against a flat scan.
+        # (On a multi-executor cluster prefer reliable checkpointing for
+        # executor-loss tolerance; semantics are identical.)
+        new_labels = (
+            stepped.join(jump, stepped["comp"] == jump["j_node"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce("j_comp", F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        n_changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if n_changed == 0:
+            break
+    bidir.unpersist()
+    return labels.select(F.col("node"), F.col("comp").alias("component"))

@@ -606,3 +606,21 @@ def test_scrub_pii_hand_computed(spark):
     assert got[1]["text_scrubbed"] == "no pii here at all"
     assert got[2]["n_email"] == 2 and got[2]["n_ipv4"] == 1
     assert got[2]["text_scrubbed"] == "two mails [EMAIL] [EMAIL] one ip [IP]"
+
+
+def test_connected_components_hand_built(spark):
+    """Chain, triangle, pair, and a long path (pointer-jumping must
+    contract it within the round budget)."""
+    from honas_spark.operators.dedup import connected_components
+
+    edges = [(1, 2), (2, 3),          # chain   -> comp 1
+             (10, 11), (11, 12), (10, 12),  # triangle -> comp 10
+             (20, 21)]                # pair    -> comp 20
+    edges += [(100 + i, 101 + i) for i in range(30)]  # 31-node path
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["node"]: r["component"]
+           for r in connected_components(df).collect()}
+    assert {got[1], got[2], got[3]} == {1}
+    assert {got[10], got[11], got[12]} == {10}
+    assert {got[20], got[21]} == {20}
+    assert {got[100 + i] for i in range(31)} == {100}
