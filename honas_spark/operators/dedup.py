@@ -453,3 +453,56 @@ def connected_components(
             break
     bidir.unpersist()
     return labels.select(F.col("node"), F.col("comp").alias("component"))
+
+
+def near_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    n: int = 3,
+    bands: int = 16,
+    min_num: int = 4,
+    min_den: int = 5,
+    max_bucket_size: int | None = 200,
+) -> DataFrame:
+    """The full near-dedup pipeline in one call: MinHash signatures ->
+    banded LSH candidates -> exact Jaccard verification of candidates
+    only -> connected components -> representative selection.
+
+    Output: every input row's (id, component, keep) where component is
+    the min id of its near-dup cluster (its own id if unclustered) and
+    keep marks the one representative per cluster — filter on keep to
+    deduplicate, or join component back for provenance.
+
+    Scale shape: all-pairs never happens (banding + bucket caps bound
+    candidate generation); verification touches candidate pairs only
+    (shingle sets are recomputed just for those docs via a semi-join);
+    clustering runs on the verified edge list with pointer jumping."""
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, n)
+    cands = minhash_lsh_candidates(
+        sig, id_col, num_hashes, bands, max_bucket_size
+    )
+    cand_ids = (
+        cands.select(F.col("id_a").alias("_cid"))
+        .unionByName(cands.select(F.col("id_b").alias("_cid")))
+        .distinct()
+    )
+    cand_docs = df.join(
+        cand_ids, df[id_col] == cand_ids["_cid"], "left_semi"
+    )
+    verified = ngram_jaccard_pairs(
+        cand_docs, id_col, text_col, n, min_num, min_den,
+        max_shingle_freq=None,
+    ).join(cands.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi")
+    comp = connected_components(verified, "id_a", "id_b")
+    base = df.select(F.col(id_col))
+    out = base.join(
+        comp, base[id_col] == comp["node"], "left"
+    ).select(
+        id_col,
+        F.coalesce("component", F.col(id_col)).alias("component"),
+    )
+    return out.withColumn(
+        "keep", (F.col(id_col) == F.col("component")).cast("int")
+    )

@@ -624,3 +624,20 @@ def test_connected_components_hand_built(spark):
     assert {got[10], got[11], got[12]} == {10}
     assert {got[20], got[21]} == {20}
     assert {got[100 + i] for i in range(31)} == {100}
+
+
+def test_near_dedup_end_to_end(spark, docs):
+    """One-call pipeline: docs 0/2/4 are exact dups and 1 a near-dup ->
+    one cluster keeping doc 0; doc 3 survives untouched."""
+    from honas_spark.operators.dedup import near_dedup
+
+    out = {r["doc_id"]: (r["component"], r["keep"])
+           for r in near_dedup(
+               docs, "doc_id", "text", num_hashes=32, n=2,
+               bands=8, min_num=1, min_den=2,
+           ).collect()}
+    assert out[0] == (0, 1)
+    assert out[2] == (0, 0) and out[4] == (0, 0)
+    assert out[1][0] == 0 and out[1][1] == 0   # near-dup joins cluster 0
+    assert out[3] == (3, 1)                    # unrelated: own cluster
+    assert sum(k for _, k in out.values()) == 2
