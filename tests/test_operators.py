@@ -641,3 +641,47 @@ def test_near_dedup_end_to_end(spark, docs):
     assert out[1][0] == 0 and out[1][1] == 0   # near-dup joins cluster 0
     assert out[3] == (3, 1)                    # unrelated: own cluster
     assert sum(k for _, k in out.values()) == 2
+
+
+def test_streaming_fractional_second_window_publishes(spark, tmp_path):
+    """Sub-second windows produce fractional-second window starts whose
+    Spark string rendering ('...00.5') differs from Python str()
+    ('...00.500000') — the publish path must still locate every tmp
+    partition dir because both keys now derive from _window_key."""
+    from pyspark.sql import functions as F
+
+    from honas_spark.spec import SketchSpec
+    from honas_spark.operators import sha256_key, with_window
+    from honas_spark.sources.corpus import generate_corpus
+    from honas_spark.streaming.stream import StreamingSketchBuilder
+
+    spec = SketchSpec(m_bits=1 << 14, k=5, window="500 milliseconds",
+                      cms_width=256, kll_k=64)
+    src_dir = str(tmp_path / "landing")
+    corpus = generate_corpus(spark, 60, n_hours=1).withColumn(
+        # spread commit_ts over a few sub-second windows
+        "commit_ts",
+        F.timestamp_millis(
+            F.unix_timestamp("commit_ts") * 1000
+            + (F.col("row_id") % 4) * 500
+        ),
+    )
+    keyed = sha256_key(
+        with_window(corpus, "commit_ts", spec.window), "path"
+    ).select("window_start", "key_sha", "repo", "commit_ts")
+    keyed.write.mode("overwrite").parquet(src_dir)
+
+    stream = spark.readStream.schema(keyed.schema).parquet(src_dir)
+    builder = StreamingSketchBuilder(
+        spec, str(tmp_path / "store"), group_cols=[],
+        client_col="repo", ts_col="commit_ts",
+    )
+    q = builder.start(stream, checkpoint_dir=str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    got = builder.read_store(spark)
+    rows = got.collect()
+    # at least one fractional-second window must exist AND be published
+    starts = {r["window_start"] for r in rows}
+    assert any(s.microsecond == 500000 for s in starts), starts
+    assert sum(r["n_rows"] for r in rows) == 60
