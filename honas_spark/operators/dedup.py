@@ -22,6 +22,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, functions as F
 
 from ..functions.text import fingerprint, tokens
+from .common import resplit_small
 
 
 def shingles(col, n: int = 3):
@@ -152,9 +153,7 @@ def minhash_signatures(
     def mk(i):  # bind i; a 2-arg lambda would receive the element INDEX
         return lambda s: h(s, i)
 
-    para = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < para:
-        df = df.repartition(para)
+    df = resplit_small(df)
     # zero-shingle docs are dropped, not emitted: array_min over an empty
     # array is null, and null signatures would band-hash identically,
     # pairing ALL blank/short docs at max confidence downstream.  The
@@ -295,9 +294,7 @@ def simhash(
         def h(t):
             return F.xxhash64(t)
 
-    para = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < para:
-        df = df.repartition(para)
+    df = resplit_small(df)
     # zero-token docs are dropped: their vote vector is all-zero, so the
     # fingerprint collapses to 0 and every blank doc pairs at hamming 0.
     # rlike('\\S') == size(tokens) > 0, evaluated pre-projection so

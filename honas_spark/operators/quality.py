@@ -17,15 +17,7 @@ from pyspark.sql import DataFrame, functions as F
 from ..functions.text import tokens
 
 
-def _resplit_small(df: DataFrame) -> DataFrame:
-    """Same rule as minhash_signatures/simhash: a small input with fewer
-    partitions than cores (e.g. one parquet row group) is re-split so
-    the gram explosion parallelizes; a real many-split corpus never
-    triggers this."""
-    para = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < para:
-        return df.repartition(para)
-    return df
+from .common import resplit_small as _resplit_small  # shared rule
 
 
 def ngrams(col, n: int = 2):
