@@ -503,3 +503,26 @@ def near_dedup(
     return out.withColumn(
         "keep", (F.col(id_col) == F.col("component")).cast("int")
     )
+
+
+def lsh_params(
+    threshold: float, num_hashes: int = 64
+) -> "tuple[int, int]":
+    """Pick (bands, rows_per_band) for a target Jaccard threshold —
+    the standard S-curve tuning: candidate probability for similarity s
+    is 1-(1-s^r)^b; choose the divisor pair whose curve threshold
+    (1/b)^(1/r) sits closest to the target, preferring the
+    higher-recall side on ties.  Deterministic, driver-side, O(divisors
+    of num_hashes)."""
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0,1): {threshold}")
+    best = None
+    for b in range(1, num_hashes + 1):
+        if num_hashes % b:
+            continue
+        r = num_hashes // b
+        t = (1.0 / b) ** (1.0 / r)
+        key = (abs(t - threshold), t > threshold)
+        if best is None or key < best[0]:
+            best = (key, b, r)
+    return best[1], best[2]

@@ -685,3 +685,21 @@ def test_streaming_fractional_second_window_publishes(spark, tmp_path):
     starts = {r["window_start"] for r in rows}
     assert any(s.microsecond == 500000 for s in starts), starts
     assert sum(r["n_rows"] for r in rows) == 60
+
+
+def test_lsh_params_s_curve():
+    from honas_spark.operators.dedup import lsh_params
+
+    b, r = lsh_params(0.5, 64)
+    assert b * r == 64
+    # the chosen curve threshold brackets the target sensibly
+    t = (1.0 / b) ** (1.0 / r)
+    assert abs(t - 0.5) < 0.15
+    # high threshold -> few wide bands; low threshold -> many narrow
+    b_hi, r_hi = lsh_params(0.9, 64)
+    b_lo, r_lo = lsh_params(0.2, 64)
+    assert r_hi > r_lo and b_lo > b_hi
+    import pytest
+
+    with pytest.raises(ValueError):
+        lsh_params(1.5)
