@@ -703,3 +703,43 @@ def test_lsh_params_s_curve():
 
     with pytest.raises(ValueError):
         lsh_params(1.5)
+
+
+def test_dedup_caps_survive_universal_shingle_skew(spark):
+    """Pathological skew: every doc shares one universal token.  The
+    DF cap must keep the Jaccard inverted-index join from exploding
+    (without it the hot posting list alone creates ~2M pairs), and the
+    LSH hot-bucket cap must drop degenerate buckets — both finishing
+    quickly with bounded output."""
+    import time
+
+    from honas_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
+
+    n = 2000
+    rows = [(i, f"common filler{i % 400} word{i} tail{i * 7 % 991}")
+            for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    t0 = time.time()
+    pairs = ngram_jaccard_pairs(
+        df, "doc_id", "text", n=1, min_num=1, min_den=4,
+        max_shingle_freq=50,
+    ).count()
+    jt = time.time() - t0
+    # 'common' (df=2000) and every fillerX (df=5) survive or die by the
+    # cap: posting lists are <= 50, so pairs stay far below quadratic
+    assert pairs < 50_000, pairs
+    assert jt < 60, jt
+
+    sig = minhash_signatures(df, "doc_id", "text", num_hashes=16, n=1)
+    t0 = time.time()
+    cands = minhash_lsh_candidates(
+        sig, "doc_id", num_hashes=16, bands=4, max_bucket_size=30
+    ).count()
+    lt = time.time() - t0
+    assert cands < 30 * 30 * 4 * 80, cands  # bucket-capped, not quadratic
+    assert lt < 60, lt
