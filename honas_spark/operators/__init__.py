@@ -5,6 +5,13 @@ from .sketch_agg import (
 from .probe import probe_sketches, cms_probe
 from .prefix_join import longest_prefix_join, cidr_longest_prefix_join
 from .sampling import hash_sample, stratified_hash_sample, top_k_by_hash
+from .dedup import (
+    connected_components, exact_duplicates, lsh_params,
+    minhash_lsh_candidates, minhash_signatures, near_dedup,
+    ngram_jaccard_pairs, simhash, simhash_near_pairs,
+)
+from .pareto import pareto_coverage
+from .quality import contamination_flags, ngram_repetition, span_dup_stats
 
 __all__ = [
     "build_sketches", "rollup_sketches", "finalize_stats",
@@ -12,4 +19,9 @@ __all__ = [
     "probe_sketches", "cms_probe",
     "longest_prefix_join", "cidr_longest_prefix_join",
     "hash_sample", "stratified_hash_sample", "top_k_by_hash",
+    "connected_components", "exact_duplicates", "lsh_params",
+    "minhash_lsh_candidates", "minhash_signatures", "near_dedup",
+    "ngram_jaccard_pairs", "simhash", "simhash_near_pairs",
+    "pareto_coverage",
+    "contamination_flags", "ngram_repetition", "span_dup_stats",
 ]
