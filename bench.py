@@ -256,10 +256,16 @@ def run_queries(spark) -> dict:
         "knn_bruteforce", "knn_ivf", "pricing_summary",
         "daily_rollup_counters", "search_e2e", "repetition_stats",
         "decontaminate",
+        # added round 4 (totals are not like-for-like across rounds;
+        # compare per-query)
+        "pareto_coverage", "span_dup", "pii_scrub", "dedup_clusters",
     ]
     qs = E.queries()
     out = {}
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    # min-of-3 by default: the heaviest-codegen queries (32-wide
+    # signature projections) need two runs just to finish JIT warmup on
+    # this box, so min-of-2 can record a still-cold number
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     for name in names:
         # min over reps: this virtualized box shows +-50% per-query noise
         # from neighboring load; the minimum is the engine's sustained
