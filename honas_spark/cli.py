@@ -527,6 +527,74 @@ def cmd_occurrences(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    """The training-data pipeline end-to-end over a document corpus:
+    quality features + language ID + PII scrubbing + repetition signals
+    + near-dedup (and optional benchmark decontamination), written as
+    one annotated parquet table plus a run summary — every stage is an
+    existing gated operator, composed.
+
+    Output columns added to the input: n_chars_q/n_tokens/
+    n_unique_tokens/n_stopwords/n_punct, lang_guess, n_email/n_ipv4/
+    n_phone + text_scrubbed, n_grams/n_uniq/max_gram/dup_occ,
+    component/keep (near-dup cluster + representative flag), and
+    contaminated when --eval is given.  Filter keep=1 AND
+    contaminated=0 downstream to materialize the curated corpus."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from .functions.text import language_guess, quality_features, scrub_pii
+    from .operators.dedup import near_dedup
+    from .operators.quality import contamination_flags, ngram_repetition
+
+    spark = _spark()
+    docs = spark.read.parquet(args.input)
+    id_col, text_col = args.id_col, args.text_col
+
+    annotated = quality_features(docs, text_col).withColumn(
+        "lang_guess", language_guess(F.col(text_col))
+    )
+    annotated = scrub_pii(annotated, text_col)
+    rep = ngram_repetition(docs, id_col, text_col, n=2)
+    dd = near_dedup(
+        docs, id_col, text_col, num_hashes=args.num_hashes,
+        n=args.shingle_n,
+    )
+    annotated = annotated.join(rep, id_col).join(dd, id_col)
+    if args.eval:
+        bench = spark.read.parquet(args.eval)
+        annotated = annotated.join(
+            contamination_flags(
+                docs, bench, id_col, text_col, n=args.decontam_n
+            ).select(id_col, "contaminated"),
+            id_col,
+        )
+    annotated.write.mode("overwrite").parquet(args.output)
+
+    back = spark.read.parquet(args.output)
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("keep").alias("n_kept"),
+        F.sum(F.col("n_email") + F.col("n_ipv4") + F.col("n_phone"))
+        .alias("n_pii_matches"),
+    ]
+    if args.eval:
+        aggs.append(F.sum("contaminated").alias("n_contaminated"))
+    row = back.agg(*aggs).collect()[0].asDict()
+    summary = {k: int(v or 0) for k, v in row.items()}
+    summary["langs"] = {
+        r["lang_guess"]: r["n"]
+        for r in back.groupBy("lang_guess").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    with open(os.path.join(args.output, "_curate_summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps(summary))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="honas_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -645,6 +713,21 @@ def main(argv=None) -> int:
                     "to skip in entity@key compounds")
     oc.add_argument("--top", type=int, default=10)
     oc.set_defaults(fn=cmd_occurrences)
+
+    cu = sub.add_parser("curate", help="end-to-end training-data "
+                        "pipeline: quality + langid + PII scrub + "
+                        "repetition + near-dedup [+ decontamination] "
+                        "-> annotated parquet + summary")
+    cu.add_argument("--input", required=True)
+    cu.add_argument("--output", required=True)
+    cu.add_argument("--id-col", default="doc_id")
+    cu.add_argument("--text-col", default="text")
+    cu.add_argument("--eval", help="benchmark/eval parquet for "
+                    "decontamination flags")
+    cu.add_argument("--num-hashes", type=int, default=64)
+    cu.add_argument("--shingle-n", type=int, default=3)
+    cu.add_argument("--decontam-n", type=int, default=13)
+    cu.set_defaults(fn=cmd_curate)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -565,3 +565,45 @@ def test_iceberg_fallback_roundtrip(spark, tmp_path):
     back = read_corpus_table(spark, out)
     assert back.count() == 50
     assert set(back.columns) == set(df.columns)
+
+
+def test_curate_pipeline_end_to_end(spark, tmp_path):
+    """curate: the whole training-data pipeline in one command over a
+    corpus with known dups, PII, and eval overlap."""
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog today"),
+        (1, "the quick brown fox jumps over the lazy dog today"),  # dup
+        (2, "write to alice@example.com about el gato y el perro"),
+        (3, "completely different content with nothing shared at all"),
+    ]
+    src = tmp_path / "docs"
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(src)
+    )
+    ev = tmp_path / "eval"
+    spark.createDataFrame(
+        [(0, "completely different content with nothing shared at all "
+             "plus some eval framing text around it to reach thirteen "
+             "grams easily in this sentence",)],
+        "eid long, text string",
+    ).write.parquet(str(ev))
+    out = tmp_path / "curated"
+    assert main([
+        "curate", "--input", str(src), "--output", str(out),
+        "--eval", str(ev), "--shingle-n", "2", "--num-hashes", "32",
+        "--decontam-n", "8",
+    ]) == 0
+    back = {r["doc_id"]: r for r in spark.read.parquet(str(out)).collect()}
+    assert back[0]["component"] == 0 and back[0]["keep"] == 1
+    assert back[1]["component"] == 0 and back[1]["keep"] == 0
+    assert back[2]["n_email"] == 1
+    assert back[2]["text_scrubbed"].startswith("write to [EMAIL] about")
+    assert back[2]["lang_guess"] == "es"
+    assert back[3]["contaminated"] == 1 and back[0]["contaminated"] == 0
+    assert back[0]["n_tokens"] == 10
+
+    summary = json.load(open(out / "_curate_summary.json"))
+    assert summary["n_docs"] == 4 and summary["n_kept"] == 3
+    assert summary["n_pii_matches"] == 1
+    assert summary["n_contaminated"] == 1
+    assert summary["langs"]["es"] == 1
