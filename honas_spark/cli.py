@@ -276,7 +276,10 @@ def cmd_search(args) -> int:
 
         with open(args.state, "rb") as f:
             h = read_hs_header(f.read(HEADER_READ_SIZE))
-        out = search_result_json_reference(key_df, group_df, spec, h)
+        out = search_result_json_reference(
+            key_df, group_df, spec, h,
+            flatten_on=getattr(args, "flatten_on", "clients"),
+        )
     else:
         out = search_result_json(
             key_df, group_df, group_cols, sketch_df=table, spec=spec

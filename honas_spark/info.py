@@ -254,7 +254,10 @@ def fpr_report_rows(states_dir: str, pattern: str = "*.hs"):
 
     rows = []
     for path in sorted(glob.glob(os.path.join(states_dir, pattern))):
-        stem = os.path.basename(path)[: -len(".hs")]
+        # stem = basename up to the first dot (date stems contain no
+        # dots) — NOT a fixed-length ".hs" slice, which silently chops
+        # the wrong characters for other --pattern suffixes
+        stem = os.path.basename(path).split(".", 1)[0]
         ts = None
         for fmt in ("%Y-%m-%d", "%Y-%m-%dT%H-%M-%S", "%Y-%m-%dT%H:%M:%S"):
             try:

@@ -472,27 +472,60 @@ def near_dedup(
     keep marks the one representative per cluster — filter on keep to
     deduplicate, or join component back for provenance.
 
+    Exact duplicates are folded in via fingerprint edges (rep -> member
+    per normalized-text group), which also catches the docs the
+    signature path cannot compare: blank/whitespace-only documents
+    carry no shingles and never become LSH candidates, but identical
+    blanks still collapse to one representative here.
+
     Scale shape: all-pairs never happens (banding + bucket caps bound
-    candidate generation); verification touches candidate pairs only
-    (shingle sets are recomputed just for those docs via a semi-join);
-    clustering runs on the verified edge list with pointer jumping."""
+    candidate generation); verification computes the exact Jaccard of
+    CANDIDATE PAIRS ONLY — each pair joins its two (distinct-shingle)
+    arrays and takes array_intersect/sizes in a projection, so there is
+    no inverted-index self-join anywhere in the verify path (an
+    uncapped posting-list join over the candidate docs would re-create
+    the quadratic blowup banding exists to avoid); clustering runs on
+    the verified + exact edge list with pointer jumping."""
     sig = minhash_signatures(df, id_col, text_col, num_hashes, n)
     cands = minhash_lsh_candidates(
         sig, id_col, num_hashes, bands, max_bucket_size
+    ).select("id_a", "id_b")
+    sh_df = df.select(
+        F.col(id_col).alias("_sid"),
+        shingles(F.col(text_col), n).alias("_sh"),
     )
-    cand_ids = (
-        cands.select(F.col("id_a").alias("_cid"))
-        .unionByName(cands.select(F.col("id_b").alias("_cid")))
-        .distinct()
+    a_sh = sh_df.select(
+        F.col("_sid").alias("id_a"), F.col("_sh").alias("_sh_a")
     )
-    cand_docs = df.join(
-        cand_ids, df[id_col] == cand_ids["_cid"], "left_semi"
+    b_sh = sh_df.select(
+        F.col("_sid").alias("id_b"), F.col("_sh").alias("_sh_b")
     )
-    verified = ngram_jaccard_pairs(
-        cand_docs, id_col, text_col, n, min_num, min_den,
-        max_shingle_freq=None,
-    ).join(cands.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi")
-    comp = connected_components(verified, "id_a", "id_b")
+    verified = (
+        cands.join(a_sh, "id_a").join(b_sh, "id_b")
+        .withColumn(
+            "_inter", F.size(F.array_intersect("_sh_a", "_sh_b"))
+        )
+        .withColumn(
+            "_uni",
+            F.size("_sh_a") + F.size("_sh_b") - F.col("_inter"),
+        )
+        .filter(F.col("_inter") * min_den >= F.col("_uni") * min_num)
+        .select("id_a", "id_b")
+    )
+    # exact-duplicate edges: rep -> every other member of the
+    # normalized-fingerprint group (includes zero-shingle docs)
+    fp_df = df.select(
+        F.col(id_col), fingerprint(F.col(text_col)).alias("_fp")
+    )
+    reps = fp_df.groupBy("_fp").agg(F.min(id_col).alias("id_a"))
+    exact_edges = (
+        fp_df.join(reps, "_fp")
+        .filter(F.col(id_col) != F.col("id_a"))
+        .select("id_a", F.col(id_col).alias("id_b"))
+    )
+    comp = connected_components(
+        verified.unionByName(exact_edges), "id_a", "id_b"
+    )
     base = df.select(F.col(id_col))
     out = base.join(
         comp, base[id_col] == comp["node"], "left"

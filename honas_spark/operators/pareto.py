@@ -58,10 +58,15 @@ def pareto_coverage(
         ).limit(0)
 
     p = num_partitions or spark.sparkContext.defaultParallelism
+    # localCheckpoint, not persist: partition ids must be one stable
+    # materialization for BOTH the offsets job and the final query, and
+    # checkpoint blocks are dropped by the ContextCleaner once the
+    # returned frame is garbage-collected — a persist() here would leak
+    # one cached copy of the count table per invocation with no owner
+    # to unpersist it.
     ranged = counts.repartitionByRange(
         p, F.desc(n_col), F.asc(key_col)
-    ).withColumn("_pid", F.spark_partition_id())
-    ranged.persist()
+    ).withColumn("_pid", F.spark_partition_id()).localCheckpoint()
 
     parts = (
         ranged.groupBy("_pid")

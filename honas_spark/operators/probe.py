@@ -163,7 +163,10 @@ def cms_probe(
                 {token_col: pdf[token_col], out_col: ests.astype("int64")}
             )
 
-    hashed = candidates_df.select(
+    # null candidates are dropped, not hashed: sha2(NULL) is NULL and a
+    # null key has no meaningful CMS count (the old per-row Python path
+    # silently hashed the string "None", which was worse)
+    hashed = candidates_df.filter(F.col(token_col).isNotNull()).select(
         F.col(token_col),
         F.unhex(F.sha2(F.col(token_col), 256)).alias("_sha"),
     )

@@ -440,11 +440,20 @@ def read_sector_mapping_csv(
     """Sector mapping dim (scripts/entities_to_sector.py:36-38): a
     quoted, headered CSV mapping entity -> sector.  Returns a 2-column
     (entity, sector) DataFrame; the field names default to the
-    reference's Dutch column headers."""
-    df = spark.read.option("header", True).option("quote", '"').csv(path)
-    return df.select(
-        F.col(f"`{entity_field}`").alias("entity"),
-        F.col(f"`{sector_field}`").alias("sector"),
+    reference's Dutch column headers.
+
+    Read driver-side on purpose: the mapping is a small dim (it is
+    broadcast downstream) and the reference's dict assignment makes the
+    LAST row win for a duplicated entity — file order is only
+    observable from a sequential read, not from spark.read.csv."""
+    import csv
+
+    mapping: dict = {}
+    with open(path, encoding="utf-8", newline="") as f:
+        for row in csv.DictReader(f):
+            mapping[row[entity_field]] = row[sector_field]
+    return spark.createDataFrame(
+        list(mapping.items()), "entity string, sector string"
     )
 
 

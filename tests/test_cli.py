@@ -607,3 +607,59 @@ def test_curate_pipeline_end_to_end(spark, tmp_path):
     assert summary["n_pii_matches"] == 1
     assert summary["n_contaminated"] == 1
     assert summary["langs"]["es"] == 1
+
+
+def test_sector_mapping_duplicate_entity_last_wins(spark, tmp_path):
+    """The reference's dict assignment makes the LAST CSV row win for a
+    duplicated entity — the driver-side ordered read preserves that."""
+    from honas_spark.search import read_sector_mapping_csv, sector_rollup
+
+    mf = tmp_path / "m.csv"
+    mf.write_text(
+        '"Volledige naam klant","DoelgroepCode"\n'
+        '"Uni A","WO"\n'
+        '"Uni A","HBO"\n'
+    )
+    mdf = read_sector_mapping_csv(spark, str(mf))
+    assert mdf.collect() == [("Uni A", "HBO")] or \
+        [tuple(r) for r in mdf.collect()] == [("Uni A", "HBO")]
+    counts = spark.createDataFrame(
+        [("Uni A", 5)], "entity string, count long"
+    )
+    rolled = {r["sector"]: r["count"]
+              for r in sector_rollup(counts, mdf).collect()}
+    assert rolled == {"HBO": 5}
+
+
+def test_reference_renderer_flatten_on_knob(spark):
+    """search_result_json_reference's flattened_results must follow the
+    same flatten_on knob as run_search (cmd_search forwards it)."""
+    import json as _json
+
+    from honas_spark.search import search_result_json_reference
+    from honas_spark.spec import SketchSpec
+
+    spec = SketchSpec(m_bits=1 << 14, k=5, num_filters=2,
+                      flatten_threshold=50, cms_width=256, kll_k=64)
+    header = {
+        "major": 1, "minor": 0, "period_begin": 0, "period_end": 3600,
+        "first_request": 0, "last_request": 0, "number_of_requests": 0,
+        "estimated_number_of_clients": 1,      # < 50 -> clients flatten
+        "estimated_number_of_host_names": 200,  # > 50 -> hostnames don't
+        "m_bits": spec.m_bits, "k": spec.k,
+        "filters_per_user": 1, "num_filters": 2,
+        "flatten_threshold": 50,
+        "filter_bits_set": [0, 0],
+    }
+    empty_keys = spark.createDataFrame(
+        [], "group_id long, key string, hits long"
+    )
+    empty_groups = spark.createDataFrame(
+        [], "group_id long, hits_by_all_hostnames long"
+    )
+    d_clients = _json.loads(search_result_json_reference(
+        empty_keys, empty_groups, spec, header))
+    d_hosts = _json.loads(search_result_json_reference(
+        empty_keys, empty_groups, spec, header, flatten_on="hostnames"))
+    assert d_clients["flattened_results"] is True
+    assert d_hosts["flattened_results"] is False

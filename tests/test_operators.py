@@ -743,3 +743,39 @@ def test_dedup_caps_survive_universal_shingle_skew(spark):
     lt = time.time() - t0
     assert cands < 30 * 30 * 4 * 80, cands  # bucket-capped, not quadratic
     assert lt < 60, lt
+
+
+def test_cms_probe_drops_null_tokens(spark):
+    from honas_spark.operators.probe import cms_probe
+    from honas_spark.spec import SketchSpec
+
+    spec = SketchSpec(m_bits=1 << 14, k=5, cms_depth=4, cms_width=256)
+    cms_bytes = bytes(8 * spec.cms_depth * spec.cms_width)
+    cands = spark.createDataFrame(
+        [("alpha",), (None,), ("beta",)], "token string"
+    )
+    rows = cms_probe(cands, cms_bytes, spec).collect()
+    assert {r["token"] for r in rows} == {"alpha", "beta"}
+
+
+def test_near_dedup_collapses_blank_and_exact_dups(spark):
+    """Blank docs carry no shingles (no LSH path), but identical blanks
+    must still collapse via the exact-fingerprint edges; exact text dups
+    likewise."""
+    from honas_spark.operators.dedup import near_dedup
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "THE  quick brown fox jumps over the lazy dog"),  # exact (norm)
+        (2, ""),
+        (3, "   \t "),     # normalized-identical to 2
+        (4, "totally different text lives here unbothered"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["component"], r["keep"])
+           for r in near_dedup(
+               df, "doc_id", "text", num_hashes=16, n=2, bands=4
+           ).collect()}
+    assert got[0] == (0, 1) and got[1] == (0, 0)
+    assert got[2] == (2, 1) and got[3] == (2, 0)  # blanks collapse
+    assert got[4] == (4, 1)
