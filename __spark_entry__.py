@@ -842,6 +842,20 @@ def _q_search_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_srp_sign16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized SRP (random-hyperplane) cosine-LSH signatures over the
+    embeddings table: 16 integer planes, exact integer dot products, so
+    the DuckDB oracle recomputes the identical bit pattern."""
+    from honas_spark.operators.knn import srp_signatures
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return (
+        srp_signatures(emb, "vec_id", "embedding", bits=16, dim=64)
+        .withColumnRenamed("srp", "srp16")
+        .orderBy("vec_id")
+    )
+
+
 def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction (functions/text.scrub_pii): the corpus has no PII,
     so the gate injects deterministic emails/IPs/phones derived from
@@ -1189,6 +1203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sector_rollup": _q_sector_rollup,
         "span_dup": _q_span_dup,
         "pii_scrub": _q_pii_scrub,
+        "srp_sign16": _q_srp_sign16,
         "bpe_pieces": _q_bpe_pieces,
         "embedding_near_dup": _q_embedding_near_dup,
         "sizing_advice": _q_sizing_advice,
@@ -1240,8 +1255,31 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, CAST({_fold} AS BIGINT) AS simhash16
         FROM v ORDER BY doc_id
     """
+    # quantized-SRP oracle: the SAME integer planes (srp_planes seed 42)
+    # inlined as SQL arrays; integer dot products make the sign exact in
+    # both engines
+    from honas_spark.operators.knn import srp_planes
+
+    _planes = srp_planes(16, 64, seed=42)
+    _srp_terms = " + ".join(
+        "(CASE WHEN list_dot_product(q, ["
+        + ", ".join(str(int(w)) for w in _planes[p])
+        + f"]) > 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(16)
+    )
+    srp_sign16_sql = f"""
+        WITH qv AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                       x -> CAST(round(x * 1000) AS BIGINT)) AS q
+            FROM embeddings
+        )
+        SELECT vec_id, CAST({_srp_terms} AS BIGINT) AS srp16
+        FROM qv ORDER BY vec_id
+    """
     return {
         "simhash_md5": simhash_md5_sql,
+        "srp_sign16": srp_sign16_sql,
         "bloom_membership": f"""
             WITH probes(probe_id, ptext) AS (
                 SELECT doc_id, text FROM documents WHERE doc_id < 15

@@ -243,3 +243,68 @@ def embedding_near_dup_pairs(
         .filter(F.col("sim") >= min_sim)
         .select("id_a", "id_b", "sim")
     )
+
+
+def srp_planes(bits: int, dim: int, seed: int = 42) -> np.ndarray:
+    """Deterministic integer random-hyperplane matrix for SRP-LSH:
+    standard normals from a seeded RNG, scaled and rounded to integers
+    in roughly [-300, 300] so every engine computes the same dot-product
+    SIGN in exact arithmetic (no float-summation-order ambiguity)."""
+    rng = np.random.default_rng(seed)
+    return np.round(rng.standard_normal((bits, dim)) * 100).astype(
+        np.int64
+    )
+
+
+def srp_signatures(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 16,
+    dim: "int | None" = None,
+    seed: int = 42,
+    scale: int = 1000,
+) -> DataFrame:
+    """Signed-random-projection (SRP / random-hyperplane) LSH signature
+    for COSINE similarity (Charikar 2002's simhash-for-vectors): bit p
+    = sign(<v, plane_p>); the expected Hamming distance between two
+    signatures is bits * angle/pi, so banding the signature (reuse
+    simhash_near_pairs) finds angular near-neighbors without any
+    vector ever shuffling — the scale path that complements the IVF
+    bucketing in embedding_near_dup_pairs.
+
+    QUANTIZED on purpose: the vector is rounded to integers
+    (round(x * scale)) and the planes are integer-valued
+    (`srp_planes`), so the dot product is exact integer math and a SQL
+    oracle recomputes the identical signature — no cross-engine
+    float-summation-order hazard.  Quantization can only flip bits for
+    vectors nearly orthogonal to a plane (|<v,p>| < dim/scale-ish),
+    which perturbs Hamming distances by at most those boundary bits.
+
+    Output: (id, srp long) — one codegen projection, zero shuffle."""
+    if dim is None:
+        dim = df.select(F.size(F.col(vec_col))).first()[0]
+    planes = srp_planes(bits, dim, seed)
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x * scale).cast("long"),
+    )
+    base = df.select(F.col(id_col), q.alias("_q"))
+    terms = []
+    for p in range(bits):
+        plane = F.array(*[F.lit(int(w)) for w in planes[p]])
+        dot = F.aggregate(
+            F.zip_with(F.col("_q"), plane, lambda x, w: x * w),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        )
+        val = (1 << p) if p < 63 else -(1 << 63)
+        terms.append(
+            F.when(dot > 0, F.lit(val).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    sig = terms[0]
+    for t in terms[1:]:
+        sig = sig + t
+    return base.select(F.col(id_col), sig.alias("srp"))

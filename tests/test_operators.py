@@ -779,3 +779,37 @@ def test_near_dedup_collapses_blank_and_exact_dups(spark):
     assert got[0] == (0, 1) and got[1] == (0, 0)
     assert got[2] == (2, 1) and got[3] == (2, 0)  # blanks collapse
     assert got[4] == (4, 1)
+
+
+def test_srp_hamming_tracks_angle(spark):
+    """SRP property: E[hamming] = bits * angle/pi — a tiny perturbation
+    of a vector lands within a few bits, an independent random vector
+    near bits/2; and the signature column composes with the simhash
+    banding machinery for candidate pairs."""
+    from honas_spark.operators.dedup import simhash_near_pairs
+    from honas_spark.operators.knn import srp_signatures
+
+    rng = np.random.default_rng(3)
+    v = rng.standard_normal(64)
+    rows = [
+        (0, [float(x) for x in v]),
+        (1, [float(x) for x in v + rng.standard_normal(64) * 0.01]),
+        (2, [float(x) for x in rng.standard_normal(64)]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    sig = srp_signatures(df, bits=64, dim=64)
+    got = {r["vec_id"]: r["srp"] for r in sig.collect()}
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(got[0], got[1]) <= 8          # near-identical direction
+    assert ham(got[0], got[2]) >= 16         # unrelated direction
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_near_pairs(
+            sig.withColumnRenamed("srp", "simhash"), "vec_id",
+            max_hamming=8,
+        ).collect()
+    }
+    assert (0, 1) in pairs and (0, 2) not in pairs
