@@ -285,6 +285,9 @@ def simhash(
     64-sum groupBy shipped one row per token through an exchange.
     Small inputs with fewer splits than cores re-split first (same rule
     as minhash_signatures)."""
+    if not 1 <= bits <= 64:
+        # bit 63 is the two's-complement sign bit; more would alias
+        raise ValueError(f"bits must be in [1, 64]: {bits}")
     if hash_fn == "md5":
         def h(t):
             return F.conv(
@@ -490,7 +493,17 @@ def near_dedup(
     cands = minhash_lsh_candidates(
         sig, id_col, num_hashes, bands, max_bucket_size
     ).select("id_a", "id_b")
-    sh_df = df.select(
+    # candidates are typically a tiny fraction of the corpus: semi-join
+    # BEFORE computing shingle arrays so the verify step tokenizes and
+    # ships arrays for candidate docs only, not the whole corpus
+    cand_ids = (
+        cands.select(F.col("id_a").alias("_cid"))
+        .unionByName(cands.select(F.col("id_b").alias("_cid")))
+        .distinct()
+    )
+    sh_df = df.join(
+        cand_ids, df[id_col] == cand_ids["_cid"], "left_semi"
+    ).select(
         F.col(id_col).alias("_sid"),
         shingles(F.col(text_col), n).alias("_sh"),
     )

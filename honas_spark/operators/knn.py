@@ -282,8 +282,17 @@ def srp_signatures(
     which perturbs Hamming distances by at most those boundary bits.
 
     Output: (id, srp long) — one codegen projection, zero shuffle."""
+    if not 1 <= bits <= 64:
+        # plane 63 maps to the two's-complement sign bit; more planes
+        # would alias onto it (and their sum overflows under ANSI mode)
+        raise ValueError(f"bits must be in [1, 64]: {bits}")
     if dim is None:
-        dim = df.select(F.size(F.col(vec_col))).first()[0]
+        row = df.select(F.size(F.col(vec_col))).first()
+        if row is None:
+            raise ValueError(
+                "cannot infer dim from an empty DataFrame; pass dim="
+            )
+        dim = row[0]
     planes = srp_planes(bits, dim, seed)
     q = F.transform(
         F.col(vec_col),

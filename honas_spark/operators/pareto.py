@@ -23,9 +23,11 @@ The distributed plan here:
    range partitioner's balance, and no single-task sort appears
    anywhere in the physical plan.
 
-The ranged frame is persisted so the partition ids observed by the
-offsets job and by the final query are the same materialization (range
-boundary sampling happens once per underlying RDD).
+The ranged frame is localCheckpoint-ed so the partition ids observed by
+the offsets job and by the final query are the same materialization
+(range boundary sampling happens once), and the blocks are freed by the
+ContextCleaner when the result is garbage-collected — see the inline
+comment for why an unowned persist() would leak instead.
 """
 
 from __future__ import annotations

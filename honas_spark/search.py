@@ -445,13 +445,32 @@ def read_sector_mapping_csv(
     Read driver-side on purpose: the mapping is a small dim (it is
     broadcast downstream) and the reference's dict assignment makes the
     LAST row win for a duplicated entity — file order is only
-    observable from a sequential read, not from spark.read.csv."""
+    observable from a sequential read, not from spark.read.csv.
+    Non-local URIs (hdfs://, s3a://, ...) stream through the Hadoop
+    FileSystem so cluster-resident mapping files keep working."""
     import csv
+    import io
 
+    if "://" in path and not path.startswith("file://"):
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(conf)
+        stream = fs.open(p)
+        try:
+            data = bytes(
+                jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+            )
+        finally:
+            stream.close()
+        text = data.decode("utf-8")
+    else:
+        with open(path.removeprefix("file://"), encoding="utf-8",
+                  newline="") as f:
+            text = f.read()
     mapping: dict = {}
-    with open(path, encoding="utf-8", newline="") as f:
-        for row in csv.DictReader(f):
-            mapping[row[entity_field]] = row[sector_field]
+    for row in csv.DictReader(io.StringIO(text)):
+        mapping[row[entity_field]] = row[sector_field]
     return spark.createDataFrame(
         list(mapping.items()), "entity string, sector string"
     )

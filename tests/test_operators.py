@@ -813,3 +813,22 @@ def test_srp_hamming_tracks_angle(spark):
         ).collect()
     }
     assert (0, 1) in pairs and (0, 2) not in pairs
+
+
+def test_srp_and_simhash_bits_guards(spark):
+    import pytest
+
+    from honas_spark.operators.dedup import simhash
+    from honas_spark.operators.knn import srp_signatures
+
+    df = spark.createDataFrame(
+        [(0, [1.0] * 4)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError):
+        srp_signatures(df, bits=128, dim=4)
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError):
+        srp_signatures(empty)  # dim inference on empty input
+    tdf = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        simhash(tdf, "doc_id", "text", bits=65)
