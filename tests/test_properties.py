@@ -186,3 +186,43 @@ def test_pareto_coverage_property(spark):
                 want[rank] = (t, c, cum + c)
             cum += c
         assert got == want, (trial, n, pct, parts)
+
+
+def test_connected_components_property(spark):
+    """Random graphs vs a local union-find: component labels must be
+    the min reachable node for every node, at any shape (stars, chains,
+    cliques, singleton edges)."""
+    import random
+
+    from honas_spark.operators.dedup import connected_components
+
+    rng = random.Random(11)
+    for trial in range(3):
+        n_nodes = rng.randint(5, 60)
+        n_edges = rng.randint(1, 80)
+        edges = [
+            (rng.randrange(n_nodes), rng.randrange(n_nodes))
+            for _ in range(n_edges)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            continue
+        parent = list(range(n_nodes))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        in_graph = {a for a, _ in edges} | {b for _, b in edges}
+        want = {v: find(v) for v in in_graph}
+
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {r["node"]: r["component"]
+               for r in connected_components(df).collect()}
+        assert got == want, (trial, n_nodes, len(edges))
