@@ -403,7 +403,7 @@ def connected_components(
     )
     bidir = bidir.persist()
     labels = labels.persist()
-    for _ in range(max_iter):
+    for it in range(max_iter):
         nbr_min = (
             bidir.join(
                 labels.withColumnRenamed("node", "d_node"),
@@ -441,12 +441,17 @@ def connected_components(
             )
             .localCheckpoint()
         )
-        n_changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
+        # the first round always changes labels (every node starts as
+        # its own component) — skip its convergence count job
+        if it == 0:
+            n_changed = 1
+        else:
+            n_changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.comp") != F.col("o.comp"))
+                .count()
+            )
         labels.unpersist()
         labels = new_labels
         if n_changed == 0:
