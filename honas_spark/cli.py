@@ -540,6 +540,7 @@ def cmd_curate(args) -> int:
     Output columns added to the input: n_chars_q/n_tokens/
     n_unique_tokens/n_stopwords/n_punct, lang_guess, n_email/n_ipv4/
     n_phone + text_scrubbed, n_grams/n_uniq/max_gram/dup_occ,
+    n_spans/n_dup_spans (cross-doc repeated-span signal),
     component/keep (near-dup cluster + representative flag), and
     contaminated when --eval is given.  Filter keep=1 AND
     contaminated=0 downstream to materialize the curated corpus."""
@@ -549,7 +550,11 @@ def cmd_curate(args) -> int:
 
     from .functions.text import language_guess, quality_features, scrub_pii
     from .operators.dedup import near_dedup
-    from .operators.quality import contamination_flags, ngram_repetition
+    from .operators.quality import (
+        contamination_flags,
+        ngram_repetition,
+        span_dup_stats,
+    )
 
     spark = _spark()
     docs = spark.read.parquet(args.input)
@@ -560,11 +565,14 @@ def cmd_curate(args) -> int:
     )
     annotated = scrub_pii(annotated, text_col)
     rep = ngram_repetition(docs, id_col, text_col, n=2)
+    spans = span_dup_stats(docs, id_col, text_col, k=args.span_k)
     dd = near_dedup(
         docs, id_col, text_col, num_hashes=args.num_hashes,
         n=args.shingle_n,
     )
-    annotated = annotated.join(rep, id_col).join(dd, id_col)
+    annotated = (
+        annotated.join(rep, id_col).join(spans, id_col).join(dd, id_col)
+    )
     if args.eval:
         bench = spark.read.parquet(args.eval)
         annotated = annotated.join(
@@ -730,6 +738,9 @@ def main(argv=None) -> int:
     cu.add_argument("--num-hashes", type=int, default=64)
     cu.add_argument("--shingle-n", type=int, default=3)
     cu.add_argument("--decontam-n", type=int, default=13)
+    cu.add_argument("--span-k", type=int, default=8,
+                    help="token span width for the cross-doc repeated-"
+                    "span (C4) signal")
     cu.set_defaults(fn=cmd_curate)
 
     args = p.parse_args(argv)

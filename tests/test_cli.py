@@ -591,7 +591,7 @@ def test_curate_pipeline_end_to_end(spark, tmp_path):
     assert main([
         "curate", "--input", str(src), "--output", str(out),
         "--eval", str(ev), "--shingle-n", "2", "--num-hashes", "32",
-        "--decontam-n", "8",
+        "--decontam-n", "8", "--span-k", "2",
     ]) == 0
     back = {r["doc_id"]: r for r in spark.read.parquet(str(out)).collect()}
     assert back[0]["component"] == 0 and back[0]["keep"] == 1
@@ -601,6 +601,9 @@ def test_curate_pipeline_end_to_end(spark, tmp_path):
     assert back[2]["lang_guess"] == "es"
     assert back[3]["contaminated"] == 1 and back[0]["contaminated"] == 0
     assert back[0]["n_tokens"] == 10
+    # cross-doc repeated spans: docs 0/1 share all their 2-token spans
+    assert back[0]["n_dup_spans"] == back[0]["n_spans"] > 0
+    assert back[3]["n_dup_spans"] == 0
 
     summary = json.load(open(out / "_curate_summary.json"))
     assert summary["n_docs"] == 4 and summary["n_kept"] == 3
