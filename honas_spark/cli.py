@@ -181,9 +181,13 @@ def _load_sketch_table(args, spark):
     return spec, df, group_cols
 
 
-def _search_hs_file(spark, hs_path: str, job) -> str:
+def _search_hs_file(
+    spark, hs_path: str, job, flatten_on: str = "clients"
+) -> str:
     """Run one search job against one .hs state and render the
-    reference's result document."""
+    reference's result document.  flatten_on: same knob as `search`
+    (clients = documented intent, hostnames = reference-binary byte
+    parity, Quirk Q2)."""
     import argparse as _ap
 
     from .search import run_search, search_result_json_reference
@@ -192,10 +196,14 @@ def _search_hs_file(spark, hs_path: str, job) -> str:
     spec, table, group_cols = _load_sketch_table(
         _ap.Namespace(state=hs_path), spark
     )
-    key_df, group_df = run_search(table, spec, job, group_cols)
+    key_df, group_df = run_search(
+        table, spec, job, group_cols, flatten_on=flatten_on
+    )
     with open(hs_path, "rb") as f:
         h = read_hs_header(f.read(HEADER_READ_SIZE))
-    return search_result_json_reference(key_df, group_df, spec, h)
+    return search_result_json_reference(
+        key_df, group_df, spec, h, flatten_on=flatten_on
+    )
 
 
 def cmd_query_all(args) -> int:
@@ -235,7 +243,10 @@ def cmd_query_all(args) -> int:
                 continue
             if job is None:  # parse the blacklist once per search job
                 job = job_from_key_file(sjob["blacklist"], entities=entities)
-            out = _search_hs_file(spark, sf, job)
+            out = _search_hs_file(
+                spark, sf, job,
+                flatten_on=getattr(args, "flatten_on", "clients"),
+            )
             with open(os.path.join(outdir, base + ".json"), "w") as f:
                 f.write(out)
             n_run += 1
@@ -469,8 +480,11 @@ def cmd_diff_results(args) -> int:
             glob.glob(os.path.join(paths[0], "*.json")), key=os.path.getmtime
         )
         if len(files) < 2:
+            # exit 2 (usage/setup error), NOT 1: a cron wrapper gating
+            # regeneration on "exit 1 == results changed" must not
+            # mistake a half-empty directory for a diff
             print("at least two result files are required")
-            return 1
+            return 2
         paths = files[-2:]
     if len(paths) != 2:
         print("pass two result files or one directory")
@@ -507,7 +521,10 @@ def cmd_fpr_report(args) -> int:
     CSV (first filter, like the reference's honas-info grep)."""
     from .info import fpr_report_csv
 
-    csv_text = fpr_report_csv(args.states, args.pattern)
+    csv_text = fpr_report_csv(
+        args.states, args.pattern,
+        utc=not getattr(args, "local_time", False),
+    )
     if args.out:
         with open(args.out, "w") as f:
             f.write(csv_text)
@@ -657,6 +674,10 @@ def main(argv=None) -> int:
                     help="periodic_search_jobs.conf (reference shape)")
     qa.add_argument("--archive", required=True,
                     help="state-file archive dir (recursive *.hs glob)")
+    qa.add_argument("--flatten-on", dest="flatten_on", default="clients",
+                    choices=["clients", "hostnames"],
+                    help="same knob as `search` (hostnames = reference-"
+                    "binary byte parity, Quirk Q2)")
     qa.set_defaults(fn=cmd_query_all)
 
     i = sub.add_parser("info")
@@ -715,6 +736,12 @@ def main(argv=None) -> int:
                     help="directory of .hs state files with date stems")
     fp.add_argument("--pattern", default="*.hs")
     fp.add_argument("--out", help="CSV output path (default: print)")
+    fp.add_argument("--local-time", dest="local_time",
+                    action="store_true",
+                    help="interpret filename date stems in the local "
+                    "timezone (the reference script's quirk) instead "
+                    "of UTC — only for diffing against an archive "
+                    "built by the reference on a known-TZ host")
     fp.set_defaults(fn=cmd_fpr_report)
 
     oc = sub.add_parser("occurrences", help="keys recurring across "

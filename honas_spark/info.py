@@ -237,17 +237,27 @@ def write_plotmode_csv(
                 w.writerow(r.asDict())
 
 
-def fpr_report_rows(states_dir: str, pattern: str = "*.hs"):
+def fpr_report_rows(
+    states_dir: str, pattern: str = "*.hs", utc: bool = True
+):
     """Actual-vs-theoretical FPR series over archived daily states
     (scripts/honas_actual_theoretical_fp.py:27-49): per state file,
     (unix timestamp from the filename date, actual FPR, fill rate) of
     the first filter — exactly the two floats the reference script
     regexes out of honas-info's first 'Fill Rate:' line.  Filenames
     must carry an ISO date/datetime stem like the reference archive
-    (2018-07-01.hs or 2018-07-01T04-00-00.hs)."""
+    (2018-07-01.hs or 2018-07-01T04-00-00.hs).
+
+    utc=True (default) interprets the date stem as UTC, so the CSV is
+    byte-identical on any machine; utc=False reproduces the reference
+    script's quirk of using the local timezone (its naive
+    time.mktime-style conversion), which makes the time column depend
+    on where the report is generated — only for bit-parity diffing
+    against an archive built by the reference script on a known-TZ
+    host."""
     import glob
     import os
-    from datetime import datetime
+    from datetime import datetime, timezone
 
     from . import kernels as K
     from .sources.hsfile import HEADER_READ_SIZE, read_hs_header
@@ -261,7 +271,10 @@ def fpr_report_rows(states_dir: str, pattern: str = "*.hs"):
         ts = None
         for fmt in ("%Y-%m-%d", "%Y-%m-%dT%H-%M-%S", "%Y-%m-%dT%H:%M:%S"):
             try:
-                ts = int(datetime.strptime(stem, fmt).timestamp())
+                dt = datetime.strptime(stem, fmt)
+                if utc:
+                    dt = dt.replace(tzinfo=timezone.utc)
+                ts = int(dt.timestamp())
                 break
             except ValueError:
                 continue
@@ -278,10 +291,12 @@ def fpr_report_rows(states_dir: str, pattern: str = "*.hs"):
     return rows
 
 
-def fpr_report_csv(states_dir: str, pattern: str = "*.hs") -> str:
+def fpr_report_csv(
+    states_dir: str, pattern: str = "*.hs", utc: bool = True
+) -> str:
     """Render fpr_report_rows as the reference script's
     act_vs_theor_fpr.csv (header `time,actfpr,fillrate`)."""
     lines = ["time,actfpr,fillrate"]
-    for ts, fpr, fr in fpr_report_rows(states_dir, pattern):
+    for ts, fpr, fr in fpr_report_rows(states_dir, pattern, utc):
         lines.append(f"{ts},{fpr:.10f},{fr:.10f}")
     return "\n".join(lines) + "\n"

@@ -187,6 +187,15 @@ def minhash_lsh_candidates(
     band value shared by thousands of documents signals a near-universal
     shingle pattern, not near-duplication, and would turn the join
     quadratic — the standard LSH hot-bucket cap at corpus scale."""
+    if bands < 1 or num_hashes % bands:
+        # rows_per_band would floor to 0 (or misalign): every band hashes
+        # an empty/truncated signature slice and ALL docs collapse into
+        # one bucket — silently degenerate recall, so fail loudly.  Use
+        # lsh_params(threshold, num_hashes) to derive a valid pair.
+        raise ValueError(
+            f"bands ({bands}) must evenly divide num_hashes "
+            f"({num_hashes}); see lsh_params()"
+        )
     rows_per_band = num_hashes // bands
     banded = sig_df.select(
         F.col(id_col).alias("_id"),
@@ -332,23 +341,83 @@ def simhash(
 
 def simhash_near_pairs(
     sim_df: DataFrame, id_col: str, max_hamming: int = 3,
-    bands: int = 4,
+    bands: int = 4, max_bucket_size: int | None = 200,
+    sim_col: str = "simhash",
 ) -> DataFrame:
-    """Candidate pairs by 16-bit band equality (any pair within hamming
+    """Candidate pairs by band equality (any pair within hamming
     distance <= bands-1 shares a band), verified with bit_count.
-    Output: (id_a, id_b, hamming)."""
+    Output: (id_a, id_b, hamming).
+
+    max_bucket_size caps degenerate buckets before pair generation:
+    band values are width-bit chunks, so there are at most 2^width
+    distinct bucket keys per band (~65k for the default 16-bit bands) —
+    past ~10^8 docs the expected bucket holds thousands of rows and an
+    uncapped band self-join goes quadratic-in-bucket.  Same defusal as
+    minhash_lsh_candidates: bucket sizes from a groupBy on the band key
+    (map-side partial, ReusedExchange under AQE), oversized buckets
+    dropped via semi-join, pairs generated INSIDE each surviving bucket
+    from a collect_list — no self-join anywhere on the capped path.  A
+    bucket that large signals a degenerate fingerprint region (e.g.
+    boilerplate-dominated docs), not near-duplication.  Pass None to
+    restore the uncapped self-join (caller vouches for bucket sizes).
+
+    sim_col: the fingerprint column ("simhash" here, "srp" when called
+    from knn.srp_near_pairs — the SRP scale path reuses this banding)."""
     width = 64 // bands
     banded = sim_df.select(
         F.col(id_col).alias("_id"),
-        F.col("simhash"),
+        F.col(sim_col).alias("_sim"),
         F.posexplode(
             F.array(*[
-                F.shiftrightunsigned(F.col("simhash"), i * width)
+                F.shiftrightunsigned(F.col(sim_col), i * width)
                 .bitwiseAND(F.lit((1 << width) - 1))
                 for i in range(bands)
             ])
         ).alias("band", "bh"),
     )
+    if max_bucket_size is not None:
+        good = (
+            banded.groupBy("band", "bh")
+            .agg(F.count(F.lit(1)).alias("_bsz"))
+            .filter(
+                (F.col("_bsz") <= max_bucket_size) & (F.col("_bsz") >= 2)
+            )
+            .select("band", "bh")
+        )
+        banded = banded.join(
+            good.hint("shuffle_hash"), ["band", "bh"], "left_semi"
+        )
+        # buckets are now <= max_bucket_size: pair generation is a pure
+        # projection over a collect_list per bucket (bounded memory),
+        # hamming computed in the same pass from the carried fingerprints
+        members = F.array_sort(F.col("members"))
+        n = F.size(members)
+        pair_array = F.flatten(
+            F.transform(
+                members,
+                lambda x, i: F.transform(
+                    F.slice(members, i + 2, n - i - 1),
+                    lambda y: F.struct(
+                        x["_id"].alias("id_a"),
+                        y["_id"].alias("id_b"),
+                        F.bit_count(
+                            x["_sim"].bitwiseXOR(y["_sim"])
+                        ).alias("hamming"),
+                    ),
+                ),
+            )
+        )
+        return (
+            banded.groupBy("band", "bh")
+            .agg(
+                F.collect_list(F.struct("_id", "_sim")).alias("members")
+            )
+            .select(F.explode(pair_array).alias("p"))
+            .select("p.id_a", "p.id_b", "p.hamming")
+            .filter(F.col("hamming") <= max_hamming)
+            .distinct()
+        )
+    # uncapped path (caller vouches for bucket sizes): bucket self-join
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -361,7 +430,7 @@ def simhash_near_pairs(
             F.col("a._id").alias("id_a"),
             F.col("b._id").alias("id_b"),
             F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+                F.col("a._sim").bitwiseXOR(F.col("b._sim"))
             ).alias("hamming"),
         )
         .distinct()
@@ -403,6 +472,7 @@ def connected_components(
     )
     bidir = bidir.persist()
     labels = labels.persist()
+    converged = False
     for it in range(max_iter):
         nbr_min = (
             bidir.join(
@@ -455,8 +525,22 @@ def connected_components(
         labels.unpersist()
         labels = new_labels
         if n_changed == 0:
+            converged = True
             break
     bidir.unpersist()
+    if not converged:
+        # pointer jumping converges in O(log diameter) rounds, so 25
+        # covers any graph up to diameter ~2^25 — hitting the cap means
+        # the labels are WRONG (unmerged components), not just slow;
+        # returning them silently would corrupt downstream dedup.
+        import warnings
+
+        warnings.warn(
+            f"connected_components did not converge in {max_iter} "
+            "iterations; labels may be unmerged — raise max_iter",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(F.col("node"), F.col("comp").alias("component"))
 
 
@@ -494,6 +578,13 @@ def near_dedup(
     uncapped posting-list join over the candidate docs would re-create
     the quadratic blowup banding exists to avoid); clustering runs on
     the verified + exact edge list with pointer jumping."""
+    if bands < 1 or num_hashes % bands:
+        # fail BEFORE the signature pass (minhash_lsh_candidates would
+        # catch it too, but only after computing every signature)
+        raise ValueError(
+            f"bands ({bands}) must evenly divide num_hashes "
+            f"({num_hashes}); see lsh_params()"
+        )
     sig = minhash_signatures(df, id_col, text_col, num_hashes, n)
     cands = minhash_lsh_candidates(
         sig, id_col, num_hashes, bands, max_bucket_size

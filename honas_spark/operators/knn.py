@@ -132,12 +132,19 @@ def ivf_index(
     vectors: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_centroids: int = 16,
+    n_centroids: Optional[int] = 16,
     sample_stride: Optional[int] = None,
     kmeans_iters: int = 0,
     train_sample_pct: Optional[int] = None,
 ) -> tuple[DataFrame, np.ndarray]:
     """Bucket every vector to its nearest centroid.
+
+    n_centroids=None applies the sqrt-N rule: C = clamp(sqrt(N), 16,
+    4096), which keeps both the expected bucket size AND the centroid
+    count at O(sqrt N) — the balance point for in-bucket all-pairs work
+    (embedding_near_dup_pairs) and for the O(C x D) driver traffic in
+    kmeans_refine.  A fixed small C at corpus scale makes buckets O(N/C)
+    and the in-bucket compare quadratic.
 
     Centroid init is a deterministic stratified sample of the data
     (stride over ids); `kmeans_iters > 0` refines them with distributed
@@ -145,6 +152,8 @@ def ivf_index(
     `train_sample_pct` to train on a deterministic hash sample while
     still assigning the FULL table.  Returns (bucketed df, centroids)."""
     total = vectors.count()
+    if n_centroids is None:
+        n_centroids = int(min(max(total ** 0.5, 16), 4096))
     stride = sample_stride or max(total // n_centroids, 1)
     cents = (
         vectors.filter((F.col(id_col) % stride) == 0)
@@ -215,29 +224,179 @@ def ivf_topk(
     )
 
 
+def _spherical_kmeans_local(
+    X: np.ndarray, k: int, iters: int = 10
+) -> np.ndarray:
+    """Driver-side spherical k-means on a (small, sampled) matrix —
+    trains the sub-centroids for hot-bucket re-splitting.  Plain
+    nearest-of-sampled-rows concentrates on the most-central sample in
+    a tight directional blob (one sub-bucket swallows the mass); Lloyd
+    iterations spread the centroids over the blob.  Deterministic:
+    init is the first k rows, argmax ties break low."""
+    Xn = X / np.maximum(
+        np.linalg.norm(X, axis=1, keepdims=True), 1e-12
+    )
+    C = Xn[:k].copy()
+    for _ in range(iters):
+        a = np.argmax(Xn @ C.T, axis=1)
+        for j in range(k):
+            m = Xn[a == j]
+            if len(m):
+                mu = m.mean(axis=0)
+                C[j] = mu / max(np.linalg.norm(mu), 1e-12)
+    return C
+
+
+def _sub_assign_udf(sub_cents: "dict[int, np.ndarray]"):
+    """Per-bucket nearest-sub-centroid assignment for hot-bucket
+    re-splitting: rows whose bucket has no sub-centroids keep sub=0.
+    Vectorized per (Arrow batch x hot bucket) — one matmul per group."""
+
+    @F.pandas_udf(IntegerType())
+    def assign(buckets: pd.Series, vecs: pd.Series) -> pd.Series:
+        out = np.zeros(len(buckets), dtype=np.int32)
+        for b in buckets.unique():
+            cn = sub_cents.get(int(b))
+            if cn is None:
+                continue
+            idx = (buckets == b).to_numpy()
+            m = np.stack(vecs[idx].to_numpy())
+            m = m / np.maximum(
+                np.linalg.norm(m, axis=1, keepdims=True), 1e-12
+            )
+            out[idx] = np.argmax(m @ cn.T, axis=1).astype(np.int32)
+        return pd.Series(out)
+
+    return assign
+
+
 def embedding_near_dup_pairs(
     vectors: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_centroids: int = 16,
+    n_centroids: Optional[int] = None,
     min_sim: float = 0.95,
+    max_bucket_size: Optional[int] = 2000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: bucket by IVF centroid,
     compare only within buckets (plus nothing across — recall/cost
-    trade-off documented), keep pairs with cosine >= min_sim."""
-    bucketed, _ = ivf_index(vectors, id_col, vec_col, n_centroids)
+    trade-off documented), keep pairs with cosine >= min_sim.
+
+    Scale shape: n_centroids defaults to the sqrt-N rule (ivf_index),
+    so the EXPECTED bucket is O(sqrt N); max_bucket_size then bounds
+    the worst case — embedding spaces are skewed and one dense centroid
+    can attract most of a corpus, turning the in-bucket all-pairs join
+    O(N^2/C).  Oversized buckets get ONE extra split level: sub-
+    centroids are stride-sampled from inside each hot bucket (a single
+    broadcast-joined hash-sample job for ALL hot buckets, driver
+    traffic O(sub_k) rows per bucket) and rows re-assigned by a
+    vectorized per-bucket matmul; the pair join then keys on
+    (bucket, sub).  A bucket still oversized after re-splitting is a
+    degenerate mass of (near-)identical vectors — its OUTPUT is
+    inherently quadratic, so it is kept (correctness) but warned about:
+    run exact dedup first.  max_bucket_size=None restores the plain
+    one-level bucketing."""
+    bucketed, cents = ivf_index(vectors, id_col, vec_col, n_centroids)
+    key = ["bucket"]
+    if max_bucket_size is not None:
+        # the capped path reads the bucketed table several times (size
+        # census, hot-bucket sample, residual check, both join sides) —
+        # persist so the assignment UDF runs once, not per pass
+        bucketed = bucketed.persist()
+        sizes = {
+            r["bucket"]: r["n"]
+            for r in bucketed.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        hot = {
+            b: n for b, n in sizes.items() if n > max_bucket_size
+        }
+        if hot:
+            spark = vectors.sparkSession
+            # one sampling job for every hot bucket: per-bucket modulus
+            # K targets ~8x the sub-centroid count, broadcast as a tiny
+            # (bucket, K) dim table
+            plan = []
+            for b, nsz in hot.items():
+                # 8x headroom over ceil(n/cap): nearest-centroid
+                # assignment inside a dense blob is uneven, so the
+                # average sub-bucket must sit well under the cap
+                sub_k = min(max(-(-nsz // max_bucket_size) * 8, 2), 256)
+                plan.append(
+                    (int(b), int(sub_k), max(nsz // (sub_k * 8), 1))
+                )
+            plandf = spark.createDataFrame(
+                plan, "bucket int, sub_k int, modk long"
+            )
+            samp = (
+                bucketed.join(F.broadcast(plandf), "bucket")
+                .filter(
+                    F.pmod(
+                        F.xxhash64(F.col(id_col).cast("string")),
+                        F.col("modk"),
+                    )
+                    == 0
+                )
+                .select("bucket", id_col, vec_col)
+                .collect()
+            )
+            by_bucket: dict[int, list] = {}
+            for r in samp:
+                by_bucket.setdefault(r["bucket"], []).append(
+                    (r[id_col], r[vec_col])
+                )
+            sub_cents = {}
+            for b, sub_k, _ in plan:
+                rows = sorted(by_bucket.get(b, []))
+                if len(rows) >= 2:
+                    # train on the FULL sample (~8x sub_k rows), not
+                    # just the first sub_k: Lloyd on the sample spreads
+                    # the sub-centroids over the blob (nearest-of-raw-
+                    # samples concentrates on the most central one)
+                    sub_cents[b] = _spherical_kmeans_local(
+                        np.array(
+                            [v for _, v in rows], dtype=np.float64
+                        ),
+                        min(sub_k, len(rows)),
+                    )
+            bucketed = bucketed.withColumn(
+                "sub",
+                _sub_assign_udf(sub_cents)(
+                    F.col("bucket"), F.col(vec_col)
+                ),
+            )
+            key = ["bucket", "sub"]
+            residual = (
+                bucketed.groupBy(*key)
+                .agg(F.count(F.lit(1)).alias("n"))
+                .filter(F.col("n") > max_bucket_size)
+                .count()
+            )
+            if residual:
+                import warnings
+
+                warnings.warn(
+                    f"{residual} bucket(s) remain over "
+                    f"max_bucket_size={max_bucket_size} after "
+                    "re-splitting (degenerate near-identical mass); "
+                    "their pair output is inherently quadratic — run "
+                    "exact dedup first",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
     a = bucketed.select(
-        F.col("bucket"),
+        *key,
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("va"),
     )
     b = bucketed.select(
-        F.col("bucket"),
+        *key,
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("vb"),
     )
     return (
-        a.join(b, "bucket")
+        a.join(b, key)
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("sim", cosine_sim(F.col("va"), F.col("vb")))
         .filter(F.col("sim") >= min_sim)
@@ -317,3 +476,34 @@ def srp_signatures(
     for t in terms[1:]:
         sig = sig + t
     return base.select(F.col(id_col), sig.alias("srp"))
+
+
+def srp_near_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 64,
+    max_hamming: int = 8,
+    bands: int = 4,
+    max_bucket_size: "int | None" = 200,
+    seed: int = 42,
+    scale: int = 1000,
+) -> DataFrame:
+    """Angular (cosine) near-neighbor candidate pairs at corpus scale:
+    SRP signatures + the capped simhash banding — the path the
+    srp_signatures docstring routes scale users to, with the hot-bucket
+    cap threaded through (an uncapped 16-bit band self-join goes
+    quadratic past ~10^8 docs; see simhash_near_pairs).
+
+    Output: (id_a, id_b, hamming) — expected hamming tracks
+    bits * angle/pi, so filter/verify downstream with exact cosine on
+    the candidate pairs only.  Vectors themselves never shuffle: only
+    the 8-byte signature enters the banding exchange."""
+    from .dedup import simhash_near_pairs
+
+    sig = srp_signatures(df, id_col, vec_col, bits, seed=seed,
+                         scale=scale)
+    return simhash_near_pairs(
+        sig, id_col, max_hamming=max_hamming, bands=bands,
+        max_bucket_size=max_bucket_size, sim_col="srp",
+    )

@@ -307,6 +307,26 @@ def test_query_all_scenarios_incremental(spark, tmp_path, capsys):
                  "--archive", str(tmp_path / "archive")]) == 0
     assert "ran 0 searches" in capsys.readouterr().out
 
+    # the Quirk-Q2 byte-parity knob threads through query-all too: a
+    # fresh result dir queried with --flatten-on hostnames still
+    # produces the same hits here (both estimates sit on the same side
+    # of the default threshold), proving the path accepts the knob
+    outdir2 = tmp_path / "results2"
+    conf2 = tmp_path / "jobs2.conf"
+    conf2.write_text(json.dumps({
+        "entities_file": str(ents),
+        "searchjobs": [{
+            "name": "Test2", "blacklist": str(bl),
+            "result_directory": str(outdir2),
+        }],
+    }))
+    assert main(["query-all", "--conf", str(conf2),
+                 "--archive", str(tmp_path / "archive"),
+                 "--flatten-on", "hostnames"]) == 0
+    capsys.readouterr()
+    res1b = json.load(open(outdir2 / "2024-01-01.hs.json"))
+    assert res1b["groups"][0]["hostnames"] == hostnames
+
 
 def test_sector_rollup_matches_reference_script(spark, tmp_path):
     """Run the ACTUAL reference scripts/entities_to_sector.py on fixture
@@ -447,6 +467,12 @@ def test_export_csv_and_diff_results(tmp_path, capsys):
     # directory mode: latest two by mtime
     os.utime(a, (1, 1))
     assert main(["diff-results", str(rd)]) == 1
+    # a directory with <2 results is a setup error (exit 2), NOT a
+    # "results changed" (exit 1) — cron wrappers gate on the latter
+    lone = tmp_path / "lonely"
+    lone.mkdir()
+    (lone / "only.hs.json").write_text(a.read_text())
+    assert main(["diff-results", str(lone)]) == 2
 
 
 def test_gen_subnets_matches_reference_format(tmp_path, capsys):
@@ -521,8 +547,13 @@ def test_fpr_report_over_exported_states(spark, ckpt_dir, tmp_path, capsys):
     assert abs(float(fpr) - K.actual_fpr(h["m_bits"], h["k"], bits)) < 1e-10
     assert abs(float(fr) - K.fill_rate(h["m_bits"], bits)) < 1e-10
     import datetime
+    # the date stem is interpreted as UTC by default so the CSV is
+    # machine-independent (--local-time restores the reference script's
+    # naive local-TZ conversion)
     assert int(ts) == int(
-        datetime.datetime(2018, 7, 1).timestamp()
+        datetime.datetime(
+            2018, 7, 1, tzinfo=datetime.timezone.utc
+        ).timestamp()
     )
 
 

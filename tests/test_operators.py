@@ -815,6 +815,136 @@ def test_srp_hamming_tracks_angle(spark):
     assert (0, 1) in pairs and (0, 2) not in pairs
 
 
+def test_simhash_capped_equals_uncapped_when_no_hot_buckets(spark, docs):
+    """With every bucket under the cap, the collect_list pair path must
+    produce exactly the self-join path's pairs."""
+    sim = simhash(docs, "doc_id", "text")
+    capped = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_near_pairs(
+            sim, "doc_id", max_hamming=16, max_bucket_size=200
+        ).collect()
+    }
+    uncapped = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_near_pairs(
+            sim, "doc_id", max_hamming=16, max_bucket_size=None
+        ).collect()
+    }
+    assert capped == uncapped and (0, 4, 0) in capped
+
+
+def test_simhash_bucket_cap_bounds_degenerate_mass(spark):
+    """10k docs sharing one degenerate fingerprint region (the ~65k
+    distinct 16-bit band keys saturate) must NOT go quadratic: the
+    hot-bucket cap drops the mass while a genuine near-dup pair in a
+    small bucket still surfaces."""
+    import time
+
+    # 10k docs whose fingerprints share all four 16-bit bands (simhash
+    # exactly 0 -> one bucket per band holds all of them), plus a
+    # near-dup pair far away in fingerprint space
+    rows = [(i, 0) for i in range(10_000)]
+    rows += [(20_001, 0x1234_5678_9ABC_DEF0),
+             (20_002, 0x1234_5678_9ABC_DEF1)]  # hamming 1
+    sim = spark.createDataFrame(rows, "doc_id long, simhash long")
+    t0 = time.time()
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_pairs(
+            sim, "doc_id", max_hamming=3, max_bucket_size=100
+        ).collect()
+    }
+    dt = time.time() - t0
+    assert pairs == {(20_001, 20_002): 1}   # mass dropped, signal kept
+    assert dt < 60, dt
+
+
+def test_srp_near_pairs_caps_and_finds(spark):
+    """The SRP scale path (signatures + capped banding in one call):
+    finds the near-identical direction, skips the unrelated one, and
+    the cap knob threads through."""
+    from honas_spark.operators.knn import srp_near_pairs
+
+    rng = np.random.default_rng(3)
+    v = rng.standard_normal(64)
+    rows = [
+        (0, [float(x) for x in v]),
+        (1, [float(x) for x in v + rng.standard_normal(64) * 0.01]),
+        (2, [float(x) for x in rng.standard_normal(64)]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in srp_near_pairs(
+            df, bits=64, max_hamming=8, max_bucket_size=50
+        ).collect()
+    }
+    assert (0, 1) in pairs and (0, 2) not in pairs
+
+
+def test_embedding_near_dup_skew_resplit(spark):
+    """One centroid attracts ~90% of the vectors: the hot-bucket
+    re-split must bring every final bucket under the cap (asserted by
+    promoting the residual RuntimeWarning to an error) while an
+    identical-vector pair still surfaces at sim ~1."""
+    import time
+    import warnings
+
+    from honas_spark.operators.knn import embedding_near_dup_pairs
+
+    rng = np.random.default_rng(7)
+    d = rng.standard_normal(8)
+    d = d / np.linalg.norm(d)
+    rows = []
+    for i in range(1800):          # 90% mass around one direction
+        v = d + rng.standard_normal(8) * 0.3
+        rows.append((i, [float(x) for x in v]))
+    for i in range(1800, 2000):    # 10% spread
+        rows.append((i, [float(x) for x in rng.standard_normal(8)]))
+    twin = [float(x) for x in d * 2.0]
+    rows += [(3000, twin), (3001, twin)]   # identical direction pair
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    t0 = time.time()
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        pairs = {
+            (r["id_a"], r["id_b"]): r["sim"]
+            for r in embedding_near_dup_pairs(
+                df, n_centroids=4, min_sim=0.999, max_bucket_size=200
+            ).collect()
+        }
+    dt = time.time() - t0
+    assert (3000, 3001) in pairs
+    assert pairs[(3000, 3001)] > 0.999
+    # bounded: nothing remotely like the ~1.6M uncapped in-bucket pairs
+    assert len(pairs) < 20_000, len(pairs)
+    assert dt < 120, dt
+
+
+def test_lsh_bands_must_divide_num_hashes(spark, docs):
+    """bands not dividing num_hashes would silently collapse every doc
+    into one bucket (rows_per_band floors to 0) — must raise."""
+    from honas_spark.operators.dedup import near_dedup
+
+    sig = minhash_signatures(docs, "doc_id", "text", num_hashes=8, n=2)
+    with pytest.raises(ValueError, match="evenly divide"):
+        minhash_lsh_candidates(sig, "doc_id", num_hashes=8, bands=16)
+    with pytest.raises(ValueError, match="evenly divide"):
+        near_dedup(docs, "doc_id", "text", num_hashes=8, bands=3)
+
+
+def test_connected_components_warns_when_unconverged(spark):
+    from honas_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(20)], "id_a long, id_b long"
+    )
+    with pytest.warns(RuntimeWarning, match="did not converge"):
+        connected_components(edges, max_iter=1).collect()
+
+
 def test_srp_and_simhash_bits_guards(spark):
     import pytest
 

@@ -168,6 +168,30 @@ def test_minhash_lsh_capped_path_avoids_window_sort(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_simhash_capped_path_no_self_join(spark):
+    """The simhash/SRP banding cap mirrors the LSH cap: bucket sizes
+    from a groupBy-count semi-join (no sort-based window), pairs from a
+    projection over collected buckets (no band self-join anywhere)."""
+    from honas_spark.operators.dedup import simhash, simhash_near_pairs
+
+    df = spark.createDataFrame(
+        [(i, f"words to hash number {i % 9} body") for i in range(50)],
+        "doc_id long, text string",
+    )
+    sim = simhash(df, "doc_id", "text")
+    out = simhash_near_pairs(sim, "doc_id", max_bucket_size=20)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+    # the only join on the capped path is the LeftSemi bucket filter
+    join_lines = [
+        ln for ln in plan.splitlines() if "Join" in ln
+    ]
+    assert join_lines and all(
+        "LeftSemi" in ln for ln in join_lines
+    ), join_lines
+
+
 def test_sector_rollup_broadcasts_mapping(spark):
     import __spark_entry__ as E
 
