@@ -902,6 +902,40 @@ def _q_span_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_dup_stats(docs, "doc_id", "text", k=8).orderBy("doc_id")
 
 
+def _q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curate pipeline END-TO-END under the exact gate: the same
+    curate_annotations composition the CLI materializes (quality +
+    langid + PII counts + Gopher repetition + C4 span-dup + near-dedup
+    + decontamination) per document over doc_id < 200, with the
+    near-dedup stage in its portable configuration — hash_fn="md5"
+    minhash signatures (the DuckDB oracle recomputes the identical
+    banding collisions as signature-slice equality), bands=4 x 4 rows,
+    exact-Jaccard verify at 1/2, exact-fingerprint edges, transitive
+    closure as a recursive CTE.  The per-operator gates pin each stage;
+    this row pins their COMPOSITION (join fan-out, column provenance,
+    keep/component semantics).  n_punct and text_scrubbed are gated by
+    textstats/pii_scrub and excluded here (Java-vs-RE2 punctuation
+    class and scrub text are covered there via md5 twins)."""
+    from honas_spark.curate import curate_annotations
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200).select(
+        "doc_id", "text"
+    )
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    out = curate_annotations(
+        docs, "doc_id", "text", eval_df=bench,
+        num_hashes=16, shingle_n=2, bands=4, min_num=1, min_den=2,
+        span_k=8, rep_n=2, decontam_n=4, max_bucket_size=None,
+        hash_fn="md5",
+    )
+    return out.select(
+        "doc_id", "n_chars_q", "n_tokens", "n_unique_tokens",
+        "n_stopwords", "lang_guess", "n_email", "n_ipv4", "n_phone",
+        "n_grams", "n_uniq", "max_gram", "dup_occ",
+        "n_spans", "n_dup_spans", "component", "keep", "contaminated",
+    ).orderBy("doc_id")
+
+
 def _q_sector_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity->sector result rollup (scripts/entities_to_sector.py:44-59):
     per-entity counts joined onto a sector dim (broadcast), summed per
@@ -1221,6 +1255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": _q_hash_sample,
         "search_semantics": _q_search_semantics,
         "sha_guard": _q_sha_guard,
+        "curate": _q_curate,
     }.items()}
 
 
@@ -1277,8 +1312,224 @@ def oracle_sql() -> dict[str, str]:
         SELECT vec_id, CAST({_srp_terms} AS BIGINT) AS srp16
         FROM qv ORDER BY vec_id
     """
+    # curate: the WHOLE pipeline composed from the per-operator oracle
+    # shapes (textstats/langid/pii/repetition/span_dup/decontaminate/
+    # minhash_sigs_md5/dedup_exact/dedup_clusters), with the near-dedup
+    # stage's banding recomputed as signature-slice equality (bands=4 x
+    # 4 rows of the md5 minhash family — hash equality == slice
+    # equality), exact-Jaccard verify at 1/2 on distinct 2-gram
+    # shingles, exact-fingerprint edges, recursive-CTE closure.
+    _sig_mins = ",\n".join(
+        f"       min(CAST(concat('0x', substr(md5('{i}' || s), 1, 15))"
+        f" AS BIGINT)) AS s{i}"
+        for i in range(16)
+    )
+    _band_eq = " OR\n            ".join(
+        "(" + " AND ".join(
+            f"a.s{b * 4 + r}=b.s{b * 4 + r}" for r in range(4)
+        ) + ")"
+        for b in range(4)
+    )
+    curate_sql = f"""
+        WITH RECURSIVE corpus AS (
+            SELECT doc_id, text FROM documents WHERE doc_id < 200
+        ), t AS (
+            SELECT doc_id, text,
+                   list_filter(string_split_regex(text, '\\s+'),
+                               x -> x <> '') AS tk
+            FROM corpus
+        ), qf AS (
+            SELECT doc_id,
+                   length(text) AS n_chars_q,
+                   len(tk) AS n_tokens,
+                   len(list_distinct(tk)) AS n_unique_tokens,
+                   len(list_filter(string_split_regex(lower(text),
+                       '\\s+'),
+                       x -> x IN ('the','a','an','and','or','of','to',
+                                  'in','is','it','for','on','with','as',
+                                  'by','at','from'))) AS n_stopwords
+            FROM t
+        ), ltok AS (
+            SELECT doc_id,
+                   unnest(list_filter(
+                       string_split_regex(lower(text), '\\s+'),
+                       x -> x <> '')) AS w
+            FROM corpus
+        ), sc AS (
+            SELECT doc_id,
+                sum(CASE WHEN w IN ('the','and','of','is')
+                         THEN 1 ELSE 0 END) AS s_en,
+                sum(CASE WHEN w IN ('el','la','los','que','y')
+                         THEN 1 ELSE 0 END) AS s_es,
+                sum(CASE WHEN w IN ('le','la','les','et','est')
+                         THEN 1 ELSE 0 END) AS s_fr,
+                sum(CASE WHEN w IN ('der','die','das','und','ist')
+                         THEN 1 ELSE 0 END) AS s_de,
+                sum(CASE WHEN w IN ('de5','shi4','he2')
+                         THEN 1 ELSE 0 END) AS s_zh
+            FROM ltok GROUP BY doc_id
+        ), lang AS (
+            SELECT d.doc_id,
+                CASE
+                  WHEN coalesce(s_zh, 0) = m THEN 'zh'
+                  WHEN coalesce(s_fr, 0) = m THEN 'fr'
+                  WHEN coalesce(s_es, 0) = m THEN 'es'
+                  WHEN coalesce(s_en, 0) = m THEN 'en'
+                  ELSE 'de' END AS lang_guess
+            FROM corpus d LEFT JOIN sc USING (doc_id),
+                 LATERAL (SELECT greatest(
+                     coalesce(s_en, 0), coalesce(s_es, 0),
+                     coalesce(s_fr, 0), coalesce(s_de, 0),
+                     coalesce(s_zh, 0)) AS m)
+        ), pii AS (
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}'))
+                       AS n_email,
+                   len(regexp_extract_all(text,
+                       '([0-9]{{1,3}}\\.){{3}}[0-9]{{1,3}}')) AS n_ipv4,
+                   len(regexp_extract_all(text,
+                       '\\+[0-9][0-9()\\- ]{{6,}}[0-9]')) AS n_phone
+            FROM corpus
+        ), g2 AS (
+            SELECT doc_id,
+                   substr(md5(tk[CAST(i AS INT)] || ' '
+                          || tk[CAST(i AS INT) + 1]), 1, 16) AS g
+            FROM t, unnest(range(1, len(tk))) AS u(i)
+            WHERE len(tk) >= 2
+        ), pg AS (
+            SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g
+        ), rep AS (
+            SELECT doc_id,
+                   CAST(sum(c) AS BIGINT) AS n_grams,
+                   CAST(count(*) AS BIGINT) AS n_uniq,
+                   CAST(max(c) AS BIGINT) AS max_gram,
+                   CAST(coalesce(
+                       sum(CASE WHEN c > 1 THEN c END), 0
+                   ) AS BIGINT) AS dup_occ
+            FROM pg GROUP BY doc_id
+        ), sp AS (
+            SELECT doc_id,
+                   substr(md5(array_to_string(
+                       tk[(CAST(i AS INT) - 1) * 8 + 1
+                          : CAST(i AS INT) * 8], ' ')), 1, 16) AS s
+            FROM t,
+                 unnest(range(1,
+                     CAST(ceil(len(tk) / 8.0) AS INT) + 1)) AS u(i)
+            WHERE len(tk) > 0
+        ), spsz AS (
+            SELECT doc_id, count(*) AS n_spans FROM sp GROUP BY doc_id
+        ), shared AS (
+            SELECT s FROM sp GROUP BY s
+            HAVING count(DISTINCT doc_id) >= 2
+        ), spd AS (
+            SELECT sp.doc_id, count(*) AS n_dup_spans
+            FROM sp JOIN shared USING (s)
+            GROUP BY sp.doc_id
+        ), g4 AS (
+            SELECT doc_id,
+                   substr(md5(
+                       tk[CAST(i AS INT)] || ' '
+                       || tk[CAST(i AS INT) + 1] || ' '
+                       || tk[CAST(i AS INT) + 2] || ' '
+                       || tk[CAST(i AS INT) + 3]), 1, 16) AS g
+            FROM t, unnest(range(1, len(tk) - 2)) AS u(i)
+            WHERE len(tk) >= 4
+        ), bset AS (
+            SELECT DISTINCT g FROM g4 WHERE doc_id % 97 = 0
+        ), hit AS (
+            SELECT doc_id, count(*) AS nh
+            FROM g4 JOIN bset USING (g) GROUP BY doc_id
+        ), sh2 AS (
+            SELECT doc_id,
+                   tk[CAST(i AS INT)] || ' '
+                     || tk[CAST(i AS INT) + 1] AS s
+            FROM t, unnest(range(1, len(tk))) AS u(i)
+            WHERE len(tk) >= 2
+            UNION ALL
+            SELECT doc_id, array_to_string(tk, ' ') AS s
+            FROM t WHERE len(tk) = 1
+        ), shd AS (
+            SELECT DISTINCT doc_id, s FROM sh2
+        ), sig AS (
+            SELECT doc_id,
+{_sig_mins}
+            FROM sh2 GROUP BY doc_id
+        ), cand AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND (
+            {_band_eq})
+        ), ssz AS (
+            SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id
+        ), sint AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   count(*) AS i
+            FROM shd a JOIN shd b
+              ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ), ver AS (
+            SELECT c.id_a, c.id_b
+            FROM cand c
+            JOIN sint ON sint.id_a = c.id_a AND sint.id_b = c.id_b
+            JOIN ssz sa ON sa.doc_id = c.id_a
+            JOIN ssz sb ON sb.doc_id = c.id_b
+            WHERE sint.i * 2 >= (sa.n + sb.n - sint.i) * 1
+        ), fps AS (
+            SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text), '\\s+', ' ',
+                       'g'))) AS f
+            FROM corpus
+        ), reps AS (
+            SELECT f, min(doc_id) AS rep FROM fps GROUP BY f
+        ), fpe AS (
+            SELECT r.rep AS id_a, p.doc_id AS id_b
+            FROM fps p JOIN reps r ON r.f = p.f
+            WHERE p.doc_id <> r.rep
+        ), edges AS (
+            SELECT id_a, id_b FROM ver
+            UNION
+            SELECT id_a, id_b FROM fpe
+        ), bidir AS (
+            SELECT id_a AS s, id_b AS d FROM edges
+            UNION
+            SELECT id_b, id_a FROM edges
+        ), reach(n, m) AS (
+            SELECT s, s FROM bidir
+            UNION
+            SELECT r.n, b.d FROM reach r JOIN bidir b ON b.s = r.m
+        ), comp AS (
+            SELECT n AS doc_id, min(m) AS component
+            FROM reach GROUP BY n
+        )
+        SELECT c.doc_id,
+               qf.n_chars_q, qf.n_tokens, qf.n_unique_tokens,
+               qf.n_stopwords,
+               lang.lang_guess,
+               pii.n_email, pii.n_ipv4, pii.n_phone,
+               coalesce(rep.n_grams, 0) AS n_grams,
+               coalesce(rep.n_uniq, 0) AS n_uniq,
+               coalesce(rep.max_gram, 0) AS max_gram,
+               coalesce(rep.dup_occ, 0) AS dup_occ,
+               coalesce(spsz.n_spans, 0) AS n_spans,
+               coalesce(spd.n_dup_spans, 0) AS n_dup_spans,
+               coalesce(comp.component, c.doc_id) AS component,
+               CAST(coalesce(comp.component, c.doc_id) = c.doc_id
+                    AS INT) AS keep,
+               CAST(coalesce(hit.nh, 0) > 0 AS INT) AS contaminated
+        FROM corpus c
+        JOIN qf USING (doc_id)
+        JOIN lang USING (doc_id)
+        JOIN pii USING (doc_id)
+        LEFT JOIN rep USING (doc_id)
+        LEFT JOIN spsz USING (doc_id)
+        LEFT JOIN spd USING (doc_id)
+        LEFT JOIN comp USING (doc_id)
+        LEFT JOIN hit USING (doc_id)
+        ORDER BY c.doc_id
+    """
     return {
         "simhash_md5": simhash_md5_sql,
+        "curate": curate_sql,
         "srp_sign16": srp_sign16_sql,
         "bloom_membership": f"""
             WITH probes(probe_id, ptext) AS (

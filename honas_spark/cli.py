@@ -565,39 +565,18 @@ def cmd_curate(args) -> int:
 
     from pyspark.sql import functions as F
 
-    from .functions.text import language_guess, quality_features, scrub_pii
-    from .operators.dedup import near_dedup
-    from .operators.quality import (
-        contamination_flags,
-        ngram_repetition,
-        span_dup_stats,
-    )
+    from .curate import curate_annotations
 
     spark = _spark()
     docs = spark.read.parquet(args.input)
     id_col, text_col = args.id_col, args.text_col
 
-    annotated = quality_features(docs, text_col).withColumn(
-        "lang_guess", language_guess(F.col(text_col))
+    annotated = curate_annotations(
+        docs, id_col, text_col,
+        eval_df=spark.read.parquet(args.eval) if args.eval else None,
+        num_hashes=args.num_hashes, shingle_n=args.shingle_n,
+        span_k=args.span_k, decontam_n=args.decontam_n,
     )
-    annotated = scrub_pii(annotated, text_col)
-    rep = ngram_repetition(docs, id_col, text_col, n=2)
-    spans = span_dup_stats(docs, id_col, text_col, k=args.span_k)
-    dd = near_dedup(
-        docs, id_col, text_col, num_hashes=args.num_hashes,
-        n=args.shingle_n,
-    )
-    annotated = (
-        annotated.join(rep, id_col).join(spans, id_col).join(dd, id_col)
-    )
-    if args.eval:
-        bench = spark.read.parquet(args.eval)
-        annotated = annotated.join(
-            contamination_flags(
-                docs, bench, id_col, text_col, n=args.decontam_n
-            ).select(id_col, "contaminated"),
-            id_col,
-        )
     annotated.write.mode("overwrite").parquet(args.output)
 
     back = spark.read.parquet(args.output)

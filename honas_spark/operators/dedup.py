@@ -554,10 +554,16 @@ def near_dedup(
     min_num: int = 4,
     min_den: int = 5,
     max_bucket_size: int | None = 200,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """The full near-dedup pipeline in one call: MinHash signatures ->
     banded LSH candidates -> exact Jaccard verification of candidates
     only -> connected components -> representative selection.
+
+    hash_fn: the minhash hash family ("xxhash64" default; "md5" is the
+    portable family a SQL engine can recompute — it determines which
+    signature slices collide, so cross-engine verification of the WHOLE
+    pipeline needs it; see minhash_signatures).
 
     Output: every input row's (id, component, keep) where component is
     the min id of its near-dup cluster (its own id if unclustered) and
@@ -585,7 +591,8 @@ def near_dedup(
             f"bands ({bands}) must evenly divide num_hashes "
             f"({num_hashes}); see lsh_params()"
         )
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, n)
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, n,
+                             hash_fn=hash_fn)
     cands = minhash_lsh_candidates(
         sig, id_col, num_hashes, bands, max_bucket_size
     ).select("id_a", "id_b")

@@ -226,3 +226,120 @@ def test_connected_components_property(spark):
         got = {r["node"]: r["component"]
                for r in connected_components(df).collect()}
         assert got == want, (trial, n_nodes, len(edges))
+
+
+def _model_near_dedup(rows, num_hashes, n, bands, min_num, min_den):
+    """Exact local model of near_dedup(hash_fn='md5'): the md5-prefix
+    minhash family is portable, so the model reproduces the ENTIRE
+    pipeline including banding misses — signatures, band-slice
+    collisions, exact-Jaccard verify, fingerprint edges, union-find."""
+    import hashlib
+    import re
+
+    def toks(t):
+        return [x for x in re.split(r"\s+", t) if x]
+
+    def shingleset(t):
+        tk = toks(t)
+        if len(tk) >= n:
+            return {" ".join(tk[i:i + n]) for i in range(len(tk) - n + 1)}
+        return {" ".join(tk)} if tk else set()
+
+    def h(i, s):
+        return int(
+            hashlib.md5((str(i) + s).encode()).hexdigest()[:15], 16
+        )
+
+    text = dict(rows)
+    sigs = {}
+    for did, t in rows:
+        ss = shingleset(t)
+        if ss:  # blank docs carry no signature (rlike '\S' filter)
+            sigs[did] = [
+                min(h(i, s) for s in ss) for i in range(num_hashes)
+            ]
+    rpb = num_hashes // bands
+    ids = sorted(sigs)
+    cand = set()
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            sa, sb = sigs[ids[x]], sigs[ids[y]]
+            if any(
+                sa[k * rpb:(k + 1) * rpb] == sb[k * rpb:(k + 1) * rpb]
+                for k in range(bands)
+            ):
+                cand.add((ids[x], ids[y]))
+
+    def jacc_ok(a, b):
+        A, B = shingleset(text[a]), shingleset(text[b])
+        return len(A & B) * min_den >= len(A | B) * min_num
+
+    edges = {p for p in cand if jacc_ok(*p)}
+    # exact-duplicate fingerprint edges (rep -> member)
+    groups = {}
+    for did, t in rows:
+        f = hashlib.md5(
+            re.sub(r"\s+", " ", t.lower()).strip().encode()
+        ).hexdigest()
+        groups.setdefault(f, []).append(did)
+    for g in groups.values():
+        rep = min(g)
+        edges |= {(rep, m) for m in g if m != rep}
+
+    parent = {did: did for did, _ in rows}
+
+    def find(v):
+        while parent[v] != v:
+            parent[v] = parent[parent[v]]
+            v = parent[v]
+        return v
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {did: find(did) for did, _ in rows}
+
+
+def test_near_dedup_matches_local_model(spark):
+    """Random small corpora over a tiny token alphabet (high collision
+    pressure: exact dups, near-dups, blanks) vs the exact local model —
+    component and keep must match for every doc, INCLUDING the cases
+    where banding drops a true pair (the model reproduces the md5
+    signature math bit-for-bit, so misses agree too)."""
+    import random
+
+    from honas_spark.operators.dedup import near_dedup
+
+    alphabet = ["alpha", "beta", "gamma", "delta", "eps"]
+    rng = random.Random(23)
+    for trial in range(4):
+        n_docs = rng.randint(4, 14)
+        rows = []
+        for did in range(n_docs):
+            if rng.random() < 0.15:
+                t = rng.choice(["", "   ", "\t \n"])  # blanks
+            else:
+                t = " ".join(
+                    rng.choice(alphabet)
+                    for _ in range(rng.randint(1, 6))
+                )
+            rows.append((did, t))
+        # sprinkle exact duplicates of earlier docs
+        for _ in range(rng.randint(0, 3)):
+            src = rng.randrange(len(rows))
+            rows.append((len(rows), rows[src][1]))
+
+        want = _model_near_dedup(
+            rows, num_hashes=16, n=2, bands=4, min_num=1, min_den=2
+        )
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: r["component"]
+            for r in near_dedup(
+                df, "doc_id", "text", num_hashes=16, n=2, bands=4,
+                min_num=1, min_den=2, max_bucket_size=None,
+                hash_fn="md5",
+            ).collect()
+        }
+        assert got == want, (trial, rows, got, want)
