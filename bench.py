@@ -261,24 +261,28 @@ def run_queries(spark) -> dict:
         "pareto_coverage", "span_dup", "pii_scrub", "dedup_clusters",
     ]
     qs = E.queries()
-    out = {}
     # min-of-3 by default: the heaviest-codegen queries (32-wide
     # signature projections) need two runs just to finish JIT warmup on
     # this box, so min-of-2 can record a still-cold number
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
-    for name in names:
-        # min over reps: this virtualized box shows +-50% per-query noise
-        # from neighboring load; the minimum is the engine's sustained
-        # speed (and rep 2 also reflects warmed codegen, like any
-        # long-lived cluster job)
-        best = None
-        for _ in range(max(reps, 1)):
+    # INTERLEAVED passes (all queries per pass, min per query across
+    # passes), not per-query consecutive reps: this virtualized box
+    # shows ~2x multi-second noise windows from neighboring load, and
+    # consecutive reps put one query's entire sample inside a single
+    # window (BENCH_r04 recorded minhash_lsh at 3.58 s that way; the
+    # sustained number is 1.5-2.1 s).  Interleaving spreads each
+    # query's samples across the run, pass 0 also serves as the
+    # codegen/JIT warmup for every plan, and the total cost is
+    # identical.
+    best: dict = {}
+    for _ in range(max(reps, 1)):
+        for name in names:
             t0 = time.time()
             qs[name](spark, SF_DIR).collect()
             dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        out[name] = round(best, 3)
-    return out
+            if name not in best or dt < best[name]:
+                best[name] = dt
+    return {name: round(best[name], 3) for name in names}
 
 
 def main_bench() -> dict:
