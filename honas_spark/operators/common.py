@@ -16,7 +16,13 @@ def resplit_small(df: DataFrame) -> DataFrame:
     count before execution in PySpark).  That is a driver-side planning
     cost only — it never touches data — and is paid once per operator
     call, which is why the probe lives here rather than inline at every
-    call site."""
+    call site.
+
+    Streaming DataFrames pass through untouched: `.rdd` is illegal on
+    them, and a stream's parallelism comes from its source + the
+    stateful exchange downstream."""
+    if df.isStreaming:
+        return df
     para = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < para:
         return df.repartition(para)

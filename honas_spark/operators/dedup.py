@@ -342,7 +342,7 @@ def simhash(
 def simhash_near_pairs(
     sim_df: DataFrame, id_col: str, max_hamming: int = 3,
     bands: int = 4, max_bucket_size: int | None = 200,
-    sim_col: str = "simhash",
+    sim_col: str = "simhash", bits: int = 64,
 ) -> DataFrame:
     """Candidate pairs by band equality (any pair within hamming
     distance <= bands-1 shares a band), verified with bit_count.
@@ -362,8 +362,18 @@ def simhash_near_pairs(
     restore the uncapped self-join (caller vouches for bucket sizes).
 
     sim_col: the fingerprint column ("simhash" here, "srp" when called
-    from knn.srp_near_pairs — the SRP scale path reuses this banding)."""
-    width = 64 // bands
+    from knn.srp_near_pairs — the SRP scale path reuses this banding).
+
+    bits: the fingerprint width.  Banding MUST slice within the real
+    fingerprint: a 16-bit fingerprint banded over 64 bits would give
+    three all-zero bands shared by EVERY document — vacuous buckets
+    that the cap would drop wholesale (silent recall loss) and the
+    uncapped path would pair quadratically."""
+    if bands < 1 or bits % bands:
+        raise ValueError(
+            f"bands ({bands}) must evenly divide bits ({bits})"
+        )
+    width = bits // bands
     banded = sim_df.select(
         F.col(id_col).alias("_id"),
         F.col(sim_col).alias("_sim"),

@@ -505,5 +505,5 @@ def srp_near_pairs(
                          scale=scale)
     return simhash_near_pairs(
         sig, id_col, max_hamming=max_hamming, bands=bands,
-        max_bucket_size=max_bucket_size, sim_col="srp",
+        max_bucket_size=max_bucket_size, sim_col="srp", bits=bits,
     )

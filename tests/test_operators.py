@@ -923,6 +923,26 @@ def test_embedding_near_dup_skew_resplit(spark):
     assert dt < 120, dt
 
 
+def test_simhash_banding_respects_fingerprint_width(spark):
+    """A 16-bit fingerprint banded with bits=16 must slice INSIDE the
+    fingerprint; banding it over the default 64 bits would create
+    all-zero vacuous bands shared by every doc (quadratic pairing
+    uncapped, wholesale bucket drops capped) — guarded by the bits
+    divisibility check and exercised here with near/far fingerprints."""
+    rows = [(0, 0x1234), (1, 0x1235), (2, 0x4BD1)]  # 0-1: hamming 1
+    sim = spark.createDataFrame(rows, "doc_id long, simhash long")
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_near_pairs(
+            sim, "doc_id", max_hamming=2, bands=4, bits=16,
+            max_bucket_size=None,
+        ).collect()
+    }
+    assert (0, 1) in pairs and (0, 2) not in pairs
+    with pytest.raises(ValueError, match="evenly divide"):
+        simhash_near_pairs(sim, "doc_id", bands=5, bits=16)
+
+
 def test_lsh_bands_must_divide_num_hashes(spark, docs):
     """bands not dividing num_hashes would silently collapse every doc
     into one bucket (rows_per_band floors to 0) — must raise."""
