@@ -277,10 +277,21 @@ def embedding_near_dup_pairs(
     n_centroids: Optional[int] = None,
     min_sim: float = 0.95,
     max_bucket_size: Optional[int] = 2000,
+    method: str = "ivf",
+    srp_bits: int = 64,
+    srp_max_hamming: int = 8,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: bucket by IVF centroid,
     compare only within buckets (plus nothing across — recall/cost
     trade-off documented), keep pairs with cosine >= min_sim.
+
+    method="srp" routes through the signature path instead: SRP-LSH
+    banded candidate pairs (srp_near_pairs — an 8-byte signature is
+    all that shuffles) verified with exact cosine on the CANDIDATE
+    pairs only.  Choose it when vectors are too wide/numerous for the
+    IVF in-bucket all-pairs even after re-splitting — signature recall
+    follows the SRP hamming curve (bits * angle/pi vs srp_max_hamming)
+    rather than centroid-bucket co-membership.
 
     Scale shape: n_centroids defaults to the sqrt-N rule (ivf_index),
     so the EXPECTED bucket is O(sqrt N); max_bucket_size then bounds
@@ -296,6 +307,26 @@ def embedding_near_dup_pairs(
     inherently quadratic, so it is kept (correctness) but warned about:
     run exact dedup first.  max_bucket_size=None restores the plain
     one-level bucketing."""
+    if method == "srp":
+        cands = srp_near_pairs(
+            vectors, id_col, vec_col, bits=srp_bits,
+            max_hamming=srp_max_hamming,
+            max_bucket_size=max_bucket_size,
+        ).select("id_a", "id_b")
+        va = vectors.select(
+            F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+        )
+        vb = vectors.select(
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+        )
+        return (
+            cands.join(va, "id_a").join(vb, "id_b")
+            .withColumn("sim", cosine_sim(F.col("va"), F.col("vb")))
+            .filter(F.col("sim") >= min_sim)
+            .select("id_a", "id_b", "sim")
+        )
+    if method != "ivf":
+        raise ValueError(f"method must be ivf|srp: {method}")
     bucketed, cents = ivf_index(vectors, id_col, vec_col, n_centroids)
     key = ["bucket"]
     if max_bucket_size is not None:

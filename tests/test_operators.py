@@ -923,6 +923,35 @@ def test_embedding_near_dup_skew_resplit(spark):
     assert dt < 120, dt
 
 
+def test_embedding_near_dup_srp_method(spark):
+    """method='srp' routes through the signature path: candidates from
+    banded SRP signatures, exact-cosine verify on candidates only —
+    near-identical directions surface with sim ~1, unrelated ones
+    never do, and an invalid method raises."""
+    from honas_spark.operators.knn import embedding_near_dup_pairs
+
+    rng = np.random.default_rng(9)
+    v = rng.standard_normal(64)
+    rows = [
+        (0, [float(x) for x in v]),
+        (1, [float(x) for x in v * 1.7]),  # same direction, sim 1.0
+        (2, [float(x) for x in v + rng.standard_normal(64) * 0.02]),
+        (3, [float(x) for x in rng.standard_normal(64)]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["sim"]
+        for r in embedding_near_dup_pairs(
+            df, min_sim=0.99, method="srp"
+        ).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.9999
+    assert (0, 2) in pairs  # tiny perturbation survives banding+verify
+    assert not any(3 in p for p in pairs)
+    with pytest.raises(ValueError, match="ivf\\|srp"):
+        embedding_near_dup_pairs(df, method="nope").collect()
+
+
 def test_simhash_banding_respects_fingerprint_width(spark):
     """A 16-bit fingerprint banded with bits=16 must slice INSIDE the
     fingerprint; banding it over the default 64 bits would create
