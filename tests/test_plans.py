@@ -192,6 +192,20 @@ def test_simhash_capped_path_no_self_join(spark):
     ), join_lines
 
 
+def test_curate_plan_no_cartesian(spark):
+    """The composed curate pipeline must stay equi-join-shaped: no
+    cartesian products or nested-loop joins anywhere in the per-doc
+    join fan-in.  (Exchange SinglePartition DOES appear — it is
+    Spark's own runtime bloom-filter join pruning building its compact
+    filter buffer, an optimization, not a data bottleneck.)"""
+    import __spark_entry__ as E
+
+    df = E.queries()["curate"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
 def test_sector_rollup_broadcasts_mapping(spark):
     import __spark_entry__ as E
 
