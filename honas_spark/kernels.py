@@ -419,6 +419,60 @@ def hll_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return np.maximum(a, b)
 
 
+# Sparse register serialization (the reference's sparse HLL
+# representation, hyperloglog.c:589-830, re-expressed at THIS engine's
+# serialization boundary): the reference keeps a run-length-encoded
+# register array in memory until it densifies; in a two-phase Spark
+# aggregation the analogous win is the SHUFFLE — a partial sketch from
+# a small (window, group) slice has mostly-zero registers, and shipping
+# the dense 16 KiB array per partial row wastes exchange bytes at high
+# group cardinality.  Format: b"\\x01" + uint32 nnz + uint16 idx[nnz] +
+# uint8 val[nnz] (little-endian, indexes sorted) whenever that is
+# smaller than dense; the dense fallback is the raw 16384-byte array.
+# len(sparse) = 5 + 3*nnz can never equal 16384 (16379 % 3 != 0), so
+# the decoder dispatches on length alone.  Estimates, merges, and the
+# `.hs` interop are BIT-IDENTICAL: the encoding only exists between
+# to_fields() and the next unpack.
+
+_HLL_SPARSE_MAGIC = 0x01
+
+
+def hll_pack(regs: np.ndarray) -> bytes:
+    """Serialize a register array: sparse pairs when smaller, dense
+    bytes otherwise."""
+    nnz_idx = np.flatnonzero(regs)
+    if 5 + 3 * nnz_idx.size < HLL_REGISTERS:
+        return (
+            bytes([_HLL_SPARSE_MAGIC])
+            + np.uint32(nnz_idx.size).tobytes()
+            + nnz_idx.astype("<u2").tobytes()
+            + regs[nnz_idx].astype(np.uint8).tobytes()
+        )
+    return regs.astype(np.uint8, copy=False).tobytes()
+
+
+def hll_unpack(buf: bytes) -> np.ndarray:
+    """Inverse of hll_pack — returns a dense uint8[16384] array (a
+    fresh writable array for sparse input, a copy for dense)."""
+    if len(buf) == HLL_REGISTERS:
+        return np.frombuffer(buf, dtype=np.uint8).copy()
+    if not buf or buf[0] != _HLL_SPARSE_MAGIC:
+        raise ValueError(
+            f"not an HLL register buffer (len={len(buf)})"
+        )
+    (nnz,) = np.frombuffer(buf[1:5], dtype="<u4")
+    nnz = int(nnz)
+    if len(buf) != 5 + 3 * nnz:
+        raise ValueError(
+            f"corrupt sparse HLL buffer: nnz={nnz}, len={len(buf)}"
+        )
+    idx = np.frombuffer(buf[5:5 + 2 * nnz], dtype="<u2")
+    val = np.frombuffer(buf[5 + 2 * nnz:], dtype=np.uint8)
+    regs = np.zeros(HLL_REGISTERS, dtype=np.uint8)
+    regs[idx.astype(np.int64)] = val
+    return regs
+
+
 _HLL_PE = 2.0 ** -np.arange(64)
 
 

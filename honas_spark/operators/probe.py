@@ -104,10 +104,10 @@ def probe_sketches(
                     mm |= hit.astype(np.int64) << fi
                     total_bits[i] += K.bloom_bits_set(filters[fi])
                 est_clients[i] = K.hll_count(
-                    np.frombuffer(hllc_col[i], dtype=np.uint8)
+                    K.hll_unpack(hllc_col[i])
                 )
                 est_items[i] = K.hll_count(
-                    np.frombuffer(hlli_col[i], dtype=np.uint8)
+                    K.hll_unpack(hlli_col[i])
                 )
             data = {
                 c: pdf[c].repeat(nq).reset_index(drop=True)

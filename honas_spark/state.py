@@ -151,15 +151,11 @@ class SketchState:
             .reshape(spec.num_filters, spec.filter_bytes)
         )
         out.hll_clients = np.maximum.reduce(
-            np.stack(
-                [np.frombuffer(b, np.uint8) for b in sub["hll_clients"]]
-            ),
+            np.stack([K.hll_unpack(b) for b in sub["hll_clients"]]),
             axis=0,
         )
         out.hll_items = np.maximum.reduce(
-            np.stack(
-                [np.frombuffer(b, np.uint8) for b in sub["hll_items"]]
-            ),
+            np.stack([K.hll_unpack(b) for b in sub["hll_items"]]),
             axis=0,
         )
         out.cms = (
@@ -229,10 +225,17 @@ class SketchState:
     # serialization to/from flat row fields (BinaryType columns)          #
     # ------------------------------------------------------------------ #
     def to_fields(self) -> dict:
+        # HLL registers serialize sparse when mostly zero (K.hll_pack):
+        # a partial sketch from a small (window, group) slice ships a
+        # few dozen (idx, val) pairs through the merge exchange instead
+        # of the dense 16 KiB array — the reference's sparse HLL
+        # (hyperloglog.c:589-830) applied to THIS engine's shuffle
+        # boundary.  Bit-identical after unpack; dense fallback kicks
+        # in automatically as registers fill.
         return {
             "filters": self.filters.tobytes(),
-            "hll_clients": self.hll_clients.tobytes(),
-            "hll_items": self.hll_items.tobytes(),
+            "hll_clients": K.hll_pack(self.hll_clients),
+            "hll_items": K.hll_pack(self.hll_items),
             "cms": self.cms.astype("<i8").tobytes(),
             "kll": self.kll.to_bytes(),
             "n_rows": int(self.n_rows),
@@ -248,10 +251,8 @@ class SketchState:
             .reshape(spec.num_filters, spec.filter_bytes)
             .copy()
         )
-        st.hll_clients = np.frombuffer(
-            row["hll_clients"], dtype=np.uint8
-        ).copy()
-        st.hll_items = np.frombuffer(row["hll_items"], dtype=np.uint8).copy()
+        st.hll_clients = K.hll_unpack(row["hll_clients"])
+        st.hll_items = K.hll_unpack(row["hll_items"])
         st.cms = (
             np.frombuffer(row["cms"], dtype="<i8")
             .reshape(spec.cms_depth, spec.cms_width)

@@ -228,6 +228,70 @@ def test_connected_components_property(spark):
         assert got == want, (trial, n_nodes, len(edges))
 
 
+def test_hll_sparse_pack_roundtrip():
+    """Sparse HLL serialization (the reference's hyperloglog.c sparse
+    form at this engine's shuffle boundary) is bit-exact at every fill
+    level and strictly smaller than dense while sparse."""
+    import numpy as np
+
+    from honas_spark import kernels as K
+
+    rng = np.random.default_rng(5)
+    for nnz in [0, 1, 37, 1000, 5459, 5460, 16384]:
+        regs = K.hll_zero()
+        idx = rng.choice(K.HLL_REGISTERS, size=nnz, replace=False)
+        regs[idx] = rng.integers(1, 51, size=nnz).astype(np.uint8)
+        buf = K.hll_pack(regs)
+        assert np.array_equal(K.hll_unpack(buf), regs), nnz
+        if 5 + 3 * nnz < K.HLL_REGISTERS:
+            assert len(buf) == 5 + 3 * (regs != 0).sum()
+        else:
+            assert len(buf) == K.HLL_REGISTERS
+        # estimates identical through the encoding
+        assert K.hll_count(K.hll_unpack(buf)) == K.hll_count(regs)
+    # real hash adds: a small partial's registers pack tiny
+    regs = K.hll_zero()
+    K.hll_add(regs, rng.integers(0, 2**63, size=200, dtype=np.uint64))
+    assert len(K.hll_pack(regs)) < 700  # ~200 pairs * 3B + header
+    import pytest
+
+    with pytest.raises(ValueError):
+        K.hll_unpack(b"\x02broken")
+
+
+def test_hll_sparse_through_merge_many(spark):
+    """merge_many over a mix of sparse- and dense-serialized partials
+    equals the object-level merge — the shuffle encoding is invisible
+    to the algebra."""
+    import numpy as np
+
+    from honas_spark.spec import SketchSpec
+    from honas_spark.state import SketchState
+
+    spec = SketchSpec(m_bits=1 << 14, k=5, cms_width=64, kll_k=64)
+    rng = np.random.default_rng(7)
+    states = []
+    for n in (5, 50, 20000):  # last one densifies
+        st = SketchState(spec)
+        st.update(
+            __import__("pandas").Series(
+                [rng.bytes(32) for _ in range(n)]
+            ),
+            client_hashes=rng.integers(
+                0, 2**63, size=n, dtype=np.uint64
+            ),
+        )
+        states.append(st)
+    import pandas as pd
+
+    sub = pd.DataFrame([st.to_fields() for st in states])
+    merged = SketchState.merge_many(spec, sub)
+    want = states[0].merge(states[1]).merge(states[2])
+    assert np.array_equal(merged.hll_items, want.hll_items)
+    assert np.array_equal(merged.hll_clients, want.hll_clients)
+    assert np.array_equal(merged.filters, want.filters)
+
+
 def _model_near_dedup(rows, num_hashes, n, bands, min_num, min_den):
     """Exact local model of near_dedup(hash_fn='md5'): the md5-prefix
     minhash family is portable, so the model reproduces the ENTIRE
