@@ -437,6 +437,97 @@ def hll_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 _HLL_SPARSE_MAGIC = 0x01
 
 
+def _pack_nonzero(
+    flat: np.ndarray, idx_dtype: str, val_dtype: str
+) -> "bytes | None":
+    """Generic (idx, val) sparse serialization of a flat array; None
+    when sparse would not be smaller than the dense bytes.  Shared by
+    the Bloom-bitset and CMS-counter variants of the HLL sparse
+    encoding — the one merge protocol's one sparse format."""
+    nz = np.flatnonzero(flat)
+    pair = np.dtype(idx_dtype).itemsize + np.dtype(val_dtype).itemsize
+    if 5 + pair * nz.size >= flat.size * flat.itemsize:
+        return None
+    return (
+        bytes([_HLL_SPARSE_MAGIC])
+        + np.uint32(nz.size).tobytes()
+        + nz.astype(idx_dtype).tobytes()
+        + flat[nz].astype(val_dtype).tobytes()
+    )
+
+
+def _unpack_nonzero(
+    buf: bytes, n: int, idx_dtype: str, val_dtype: str, out_dtype
+) -> np.ndarray:
+    """Inverse of _pack_nonzero into a fresh dense array of n items."""
+    if not buf or buf[0] != _HLL_SPARSE_MAGIC:
+        raise ValueError(f"not a sparse buffer (len={len(buf)})")
+    (nnz,) = np.frombuffer(buf[1:5], dtype="<u4")
+    nnz = int(nnz)
+    iw = np.dtype(idx_dtype).itemsize
+    if len(buf) != 5 + (iw + np.dtype(val_dtype).itemsize) * nnz:
+        raise ValueError(
+            f"corrupt sparse buffer: nnz={nnz}, len={len(buf)}"
+        )
+    idx = np.frombuffer(buf[5:5 + iw * nnz], dtype=idx_dtype)
+    val = np.frombuffer(buf[5 + iw * nnz:], dtype=val_dtype)
+    out = np.zeros(n, dtype=out_dtype)
+    out[idx.astype(np.int64)] = val
+    return out
+
+
+def bloom_pack(filters: np.ndarray) -> bytes:
+    """Serialize the (num_filters, filter_bytes) Bloom bitset matrix:
+    sparse nonzero-byte pairs when smaller (a partial sketch built from
+    a small input slice has almost all bytes zero — at m=2^20 x 4
+    filters the dense row is 512 KiB while a 200-key partial carries
+    ~2k nonzero bytes), dense bytes otherwise.  A sparse buffer is
+    always strictly shorter than dense, so the decoder dispatches on
+    length."""
+    flat = filters.reshape(-1)
+    sp = _pack_nonzero(flat, "<u4", "u1")
+    return sp if sp is not None else flat.tobytes()
+
+
+def bloom_unpack(
+    buf: bytes, num_filters: int, filter_bytes: int
+) -> np.ndarray:
+    """-> fresh (num_filters, filter_bytes) uint8 matrix."""
+    n = num_filters * filter_bytes
+    if len(buf) == n:
+        return (
+            np.frombuffer(buf, dtype=np.uint8)
+            .reshape(num_filters, filter_bytes)
+            .copy()
+        )
+    return _unpack_nonzero(buf, n, "<u4", "u1", np.uint8).reshape(
+        num_filters, filter_bytes
+    )
+
+
+def cms_pack(cms: np.ndarray) -> bytes:
+    """Serialize the (depth, width) CMS counter matrix: sparse
+    (u32 idx, i64 val) pairs when smaller, dense little-endian i64
+    otherwise."""
+    flat = cms.astype("<i8", copy=False).reshape(-1)
+    sp = _pack_nonzero(flat, "<u4", "<i8")
+    return sp if sp is not None else flat.tobytes()
+
+
+def cms_unpack(buf: bytes, depth: int, width: int) -> np.ndarray:
+    """-> fresh (depth, width) int64 matrix."""
+    n = depth * width
+    if len(buf) == n * 8:
+        return (
+            np.frombuffer(buf, dtype="<i8")
+            .reshape(depth, width)
+            .astype(np.int64)
+        )
+    return _unpack_nonzero(buf, n, "<u4", "<i8", np.int64).reshape(
+        depth, width
+    )
+
+
 def hll_pack(regs: np.ndarray) -> bytes:
     """Serialize a register array: sparse pairs when smaller, dense
     bytes otherwise."""

@@ -92,9 +92,9 @@ def probe_sketches(
             for i in range(R):
                 # lightweight parse: the probe needs only the filters and
                 # HLLs — skip CMS/KLL deserialization entirely
-                filters = np.frombuffer(
-                    filt_col[i], dtype=np.uint8
-                ).reshape(spec.num_filters, spec.filter_bytes)
+                filters = K.bloom_unpack(
+                    filt_col[i], spec.num_filters, spec.filter_bytes
+                )
                 hm, mm = hits_mat[i], mask_mat[i]
                 for fi in range(spec.num_filters):
                     hit = K.bloom_probe(
@@ -150,7 +150,7 @@ def cms_probe(
     depth, width = spec.cms_depth, spec.cms_width
 
     def probe(batches):
-        cms = np.frombuffer(cms_bytes, dtype="<i8").reshape(depth, width)
+        cms = K.cms_unpack(cms_bytes, depth, width)
         for pdf in batches:
             if pdf.empty:
                 continue

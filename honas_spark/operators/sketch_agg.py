@@ -372,9 +372,9 @@ def per_filter_stats(
                 actual_false_positive_rate=[],
             )
             for row in pdf.to_dict("records"):
-                filters = np.frombuffer(
-                    row["filters"], dtype=np.uint8
-                ).reshape(spec.num_filters, spec.filter_bytes)
+                filters = K.bloom_unpack(
+                    row["filters"], spec.num_filters, spec.filter_bytes
+                )
                 for fi in range(spec.num_filters):
                     b = K.bloom_bits_set(filters[fi])
                     for c in group_cols:

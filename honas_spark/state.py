@@ -141,14 +141,12 @@ class SketchState:
         import pandas as pd
 
         out = cls(spec)
-        out.filters = (
-            np.bitwise_or.reduce(
-                np.stack(
-                    [np.frombuffer(b, np.uint8) for b in sub["filters"]]
-                ),
-                axis=0,
-            )
-            .reshape(spec.num_filters, spec.filter_bytes)
+        out.filters = np.bitwise_or.reduce(
+            np.stack([
+                K.bloom_unpack(b, spec.num_filters, spec.filter_bytes)
+                for b in sub["filters"]
+            ]),
+            axis=0,
         )
         out.hll_clients = np.maximum.reduce(
             np.stack([K.hll_unpack(b) for b in sub["hll_clients"]]),
@@ -158,16 +156,13 @@ class SketchState:
             np.stack([K.hll_unpack(b) for b in sub["hll_items"]]),
             axis=0,
         )
-        out.cms = (
-            np.add.reduce(
-                np.stack(
-                    [np.frombuffer(b, "<i8") for b in sub["cms"]]
-                ),
-                axis=0,
-            )
-            .reshape(spec.cms_depth, spec.cms_width)
-            .astype(np.int64)
-        )
+        out.cms = np.add.reduce(
+            np.stack([
+                K.cms_unpack(b, spec.cms_depth, spec.cms_width)
+                for b in sub["cms"]
+            ]),
+            axis=0,
+        ).astype(np.int64)
         kll = None
         for b in sub["kll"]:
             nxt = K.KLL.from_bytes(b)
@@ -233,10 +228,10 @@ class SketchState:
         # boundary.  Bit-identical after unpack; dense fallback kicks
         # in automatically as registers fill.
         return {
-            "filters": self.filters.tobytes(),
+            "filters": K.bloom_pack(self.filters),
             "hll_clients": K.hll_pack(self.hll_clients),
             "hll_items": K.hll_pack(self.hll_items),
-            "cms": self.cms.astype("<i8").tobytes(),
+            "cms": K.cms_pack(self.cms),
             "kll": self.kll.to_bytes(),
             "n_rows": int(self.n_rows),
             "first_ts": self.first_ts,
@@ -246,18 +241,12 @@ class SketchState:
     @classmethod
     def from_fields(cls, spec: SketchSpec, row) -> "SketchState":
         st = cls(spec)
-        st.filters = (
-            np.frombuffer(row["filters"], dtype=np.uint8)
-            .reshape(spec.num_filters, spec.filter_bytes)
-            .copy()
+        st.filters = K.bloom_unpack(
+            row["filters"], spec.num_filters, spec.filter_bytes
         )
         st.hll_clients = K.hll_unpack(row["hll_clients"])
         st.hll_items = K.hll_unpack(row["hll_items"])
-        st.cms = (
-            np.frombuffer(row["cms"], dtype="<i8")
-            .reshape(spec.cms_depth, spec.cms_width)
-            .astype(np.int64)
-        )
+        st.cms = K.cms_unpack(row["cms"], spec.cms_depth, spec.cms_width)
         st.kll = K.KLL.from_bytes(row["kll"])
         st.n_rows = int(row["n_rows"])
         st.first_ts = row["first_ts"]

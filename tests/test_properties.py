@@ -259,6 +259,41 @@ def test_hll_sparse_pack_roundtrip():
         K.hll_unpack(b"\x02broken")
 
 
+def test_bloom_cms_sparse_pack_roundtrip():
+    """The Bloom-bitset and CMS-counter variants of the sparse shuffle
+    encoding: bit-exact roundtrip at every fill level, sparse strictly
+    smaller while mostly zero, dense fallback on fill."""
+    import numpy as np
+
+    from honas_spark import kernels as K
+
+    rng = np.random.default_rng(11)
+    nf, fb = 4, 1 << 14
+    for nnz in [0, 1, 500, nf * fb]:
+        filters = np.zeros((nf, fb), dtype=np.uint8)
+        flat = filters.reshape(-1)
+        idx = rng.choice(flat.size, size=min(nnz, flat.size),
+                        replace=False)
+        flat[idx] = rng.integers(1, 256, size=idx.size).astype(np.uint8)
+        buf = K.bloom_pack(filters)
+        assert np.array_equal(K.bloom_unpack(buf, nf, fb), filters)
+        if 5 + 5 * idx.size < flat.size:
+            assert len(buf) == 5 + 5 * (flat != 0).sum()
+        else:
+            assert len(buf) == flat.size
+    d, w = 4, 256
+    for nnz in [0, 3, 120, d * w]:
+        cms = np.zeros((d, w), dtype=np.int64)
+        flat = cms.reshape(-1)
+        idx = rng.choice(flat.size, size=min(nnz, flat.size),
+                        replace=False)
+        flat[idx] = rng.integers(1, 1 << 40, size=idx.size)
+        buf = K.cms_pack(cms)
+        assert np.array_equal(K.cms_unpack(buf, d, w), cms)
+        if 5 + 12 * idx.size < flat.size * 8:
+            assert len(buf) == 5 + 12 * (flat != 0).sum()
+
+
 def test_hll_sparse_through_merge_many(spark):
     """merge_many over a mix of sparse- and dense-serialized partials
     equals the object-level merge — the shuffle encoding is invisible
