@@ -26,6 +26,7 @@ Kernels:
 from __future__ import annotations
 
 import math
+import os
 import struct
 
 import numpy as np
@@ -436,6 +437,13 @@ def hll_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 _HLL_SPARSE_MAGIC = 0x01
 
+# Escape hatch / A-B measurement knob: False forces dense serialization
+# everywhere (decoders still accept both formats, so flipping it never
+# corrupts existing checkpoints).  Env-driven because the pack runs in
+# executor Python workers — set HONAS_SPARSE=0 BEFORE the session
+# starts (a driver-side module mutation never reaches the workers).
+SPARSE_SERIALIZATION = os.environ.get("HONAS_SPARSE", "1") != "0"
+
 
 def _pack_nonzero(
     flat: np.ndarray, idx_dtype: str, val_dtype: str
@@ -444,6 +452,8 @@ def _pack_nonzero(
     when sparse would not be smaller than the dense bytes.  Shared by
     the Bloom-bitset and CMS-counter variants of the HLL sparse
     encoding — the one merge protocol's one sparse format."""
+    if not SPARSE_SERIALIZATION:
+        return None
     nz = np.flatnonzero(flat)
     pair = np.dtype(idx_dtype).itemsize + np.dtype(val_dtype).itemsize
     if 5 + pair * nz.size >= flat.size * flat.itemsize:
@@ -531,8 +541,8 @@ def cms_unpack(buf: bytes, depth: int, width: int) -> np.ndarray:
 def hll_pack(regs: np.ndarray) -> bytes:
     """Serialize a register array: sparse pairs when smaller, dense
     bytes otherwise."""
-    nnz_idx = np.flatnonzero(regs)
-    if 5 + 3 * nnz_idx.size < HLL_REGISTERS:
+    nnz_idx = np.flatnonzero(regs) if SPARSE_SERIALIZATION else None
+    if nnz_idx is not None and 5 + 3 * nnz_idx.size < HLL_REGISTERS:
         return (
             bytes([_HLL_SPARSE_MAGIC])
             + np.uint32(nnz_idx.size).tobytes()
