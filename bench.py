@@ -513,6 +513,16 @@ core (README.md:880-884).  Our probe path answers a 10k-key job at
 overhead (see `probe_lookups_per_sec` in BENCH_r*.json) and the
 end-to-end build path sustains ~45-135k files/sec (~350k-1M
 key-inserts/sec) at local[8..32] depending on neighboring load.
+
+Shuffle-volume evidence (round 5): partial sketches serialize SPARSE
+through the merge exchange (kernels.hll_pack/bloom_pack/cms_pack —
+(idx, val) pairs while mostly zero, dense on fill, bit-exact).  At the
+high-group-cardinality shape (`sketch_build_hc`: ~49k hour x repo
+groups of a few dozen keys, 500k rows) a subprocess A/B with
+HONAS_SPARSE=0 measured warm 9.49 s sparse vs 12.91 s dense (27%
+faster, +36% groups/sec) even though this box's shuffle runs on
+/dev/shm — the saving is exchange BYTES (a 200-key partial: 30 KiB vs
+608 KiB, 95%), so a network-shuffled cluster gains strictly more.
 """
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "w") as f:
