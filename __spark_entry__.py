@@ -902,6 +902,22 @@ def _q_span_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_dup_stats(docs, "doc_id", "text", k=8).orderBy("doc_id")
 
 
+def _q_srp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SRP scale path END-TO-END under the exact gate: 16-bit
+    quantized SRP signatures -> 4-bit band buckets -> CAPPED in-bucket
+    pair generation (max_bucket_size=500 retains every bucket on this
+    subset, so the capped collect_list path must equal the all-pairs
+    band predicate the oracle evaluates) -> hamming filter.  The
+    DuckDB twin recomputes the identical signatures (srp_sign16's
+    integer planes) and the band-equality OR in plain bit arithmetic."""
+    from honas_spark.operators.knn import srp_near_pairs
+
+    emb = _emb(spark, sf_dir).filter(F.col("vec_id") < 300)
+    return srp_near_pairs(
+        emb, bits=16, max_hamming=4, bands=4, max_bucket_size=500
+    ).orderBy("id_a", "id_b")
+
+
 def _q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The curate pipeline END-TO-END under the exact gate: the same
     curate_annotations composition the CLI materializes (quality +
@@ -1256,6 +1272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_semantics": _q_search_semantics,
         "sha_guard": _q_sha_guard,
         "curate": _q_curate,
+        "srp_pairs": _q_srp_pairs,
     }.items()}
 
 
@@ -1311,6 +1328,32 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT vec_id, CAST({_srp_terms} AS BIGINT) AS srp16
         FROM qv ORDER BY vec_id
+    """
+    # srp_pairs: same signatures, then the banding predicate in plain
+    # bit arithmetic — a pair is a candidate iff some 4-bit chunk of
+    # the 16-bit signature agrees (bands=4, width=4), verified with
+    # bit_count(xor) <= max_hamming
+    _band_or = " OR ".join(
+        f"((a.srp >> {4 * b}) & 15) = ((b.srp >> {4 * b}) & 15)"
+        for b in range(4)
+    )
+    srp_pairs_sql = f"""
+        WITH qv AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                       x -> CAST(round(x * 1000) AS BIGINT)) AS q
+            FROM embeddings WHERE vec_id < 300
+        ), s AS (
+            SELECT vec_id, CAST({_srp_terms} AS BIGINT) AS srp
+            FROM qv
+        ), p AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   CAST(bit_count(xor(a.srp, b.srp)) AS INT) AS hamming
+            FROM s a JOIN s b ON a.vec_id < b.vec_id
+            WHERE {_band_or}
+        )
+        SELECT id_a, id_b, hamming FROM p
+        WHERE hamming <= 4 ORDER BY id_a, id_b
     """
     # curate: the WHOLE pipeline composed from the per-operator oracle
     # shapes (textstats/langid/pii/repetition/span_dup/decontaminate/
@@ -1530,6 +1573,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "simhash_md5": simhash_md5_sql,
         "curate": curate_sql,
+        "srp_pairs": srp_pairs_sql,
         "srp_sign16": srp_sign16_sql,
         "bloom_membership": f"""
             WITH probes(probe_id, ptext) AS (
