@@ -409,6 +409,24 @@ def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def _q_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH candidate machinery END-TO-END under the exact gate:
+    md5-family signatures (portable) -> banded buckets -> the CAPPED
+    groupBy-count + collect_list pair-generation path (the cap retains
+    every bucket on this subset, so its output must equal the oracle's
+    all-pairs band-slice-equality predicate) -> per-pair matched-band
+    count.  xxhash64 band hashing collapses to slice equality, which
+    the SQL twin evaluates directly.  minhash_lsh stays the xxhash64
+    production twin (◇)."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 2000)
+    sig = minhash_signatures(
+        docs, "doc_id", "text", num_hashes=16, n=2, hash_fn="md5"
+    )
+    return minhash_lsh_candidates(
+        sig, "doc_id", num_hashes=16, bands=8, max_bucket_size=2500
+    ).orderBy("id_a", "id_b")
+
+
 def _q_minhash_sigs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signature math under the EXACT gate: the portable md5
     hash family (hash_fn="md5") lets DuckDB recompute sig_i = min over
@@ -1273,6 +1291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sha_guard": _q_sha_guard,
         "curate": _q_curate,
         "srp_pairs": _q_srp_pairs,
+        "minhash_lsh_md5": _q_minhash_lsh_md5,
     }.items()}
 
 
@@ -1570,10 +1589,55 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN hit USING (doc_id)
         ORDER BY c.doc_id
     """
+    # minhash_lsh_md5: the sig CTE from minhash_sigs_md5 restricted to
+    # the gate subset, then per-pair matched-band counts via band-slice
+    # equality (xxhash64 band hashing in Spark collapses to exactly
+    # this predicate)
+    _lsh_sig_mins = ",\n".join(
+        f"       min(CAST(concat('0x', substr(md5('{i}' || s), 1, 15))"
+        f" AS BIGINT)) AS s{i}"
+        for i in range(16)
+    )
+    _band_cases = " + ".join(
+        "(CASE WHEN "
+        + " AND ".join(
+            f"a.s{b * 2 + r} = b.s{b * 2 + r}" for r in range(2)
+        )
+        + " THEN 1 ELSE 0 END)"
+        for b in range(8)
+    )
+    minhash_lsh_md5_sql = f"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\\s+'),
+                               x -> x <> '') AS toks
+            FROM documents WHERE doc_id < 2000
+        ), sh AS (
+            SELECT doc_id,
+                   toks[CAST(i AS INT)] || ' '
+                     || toks[CAST(i AS INT) + 1] AS s
+            FROM t, unnest(range(1, len(toks))) AS u(i)
+            WHERE len(toks) >= 2
+            UNION ALL
+            SELECT doc_id, array_to_string(toks, ' ') AS s
+            FROM t WHERE len(toks) = 1
+        ), sig AS (
+            SELECT doc_id,
+{_lsh_sig_mins}
+            FROM sh GROUP BY doc_id
+        ), p AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST({_band_cases} AS BIGINT) AS n_bands_matched
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b, n_bands_matched FROM p
+        WHERE n_bands_matched >= 1 ORDER BY id_a, id_b
+    """
     return {
         "simhash_md5": simhash_md5_sql,
         "curate": curate_sql,
         "srp_pairs": srp_pairs_sql,
+        "minhash_lsh_md5": minhash_lsh_md5_sql,
         "srp_sign16": srp_sign16_sql,
         "bloom_membership": f"""
             WITH probes(probe_id, ptext) AS (
