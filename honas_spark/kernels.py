@@ -481,8 +481,15 @@ def _unpack_nonzero(
         )
     idx = np.frombuffer(buf[5:5 + iw * nnz], dtype=idx_dtype)
     val = np.frombuffer(buf[5 + iw * nnz:], dtype=val_dtype)
+    idx = idx.astype(np.int64)
+    if idx.size and int(idx.max()) >= n:
+        # a clean error for damaged checkpoints, not an IndexError
+        # from deep inside a scatter
+        raise ValueError(
+            f"corrupt sparse buffer: index {int(idx.max())} >= {n}"
+        )
     out = np.zeros(n, dtype=out_dtype)
-    out[idx.astype(np.int64)] = val
+    out[idx] = val
     return out
 
 
@@ -567,10 +574,16 @@ def hll_unpack(buf: bytes) -> np.ndarray:
         raise ValueError(
             f"corrupt sparse HLL buffer: nnz={nnz}, len={len(buf)}"
         )
-    idx = np.frombuffer(buf[5:5 + 2 * nnz], dtype="<u2")
+    idx = np.frombuffer(buf[5:5 + 2 * nnz], dtype="<u2").astype(
+        np.int64
+    )
     val = np.frombuffer(buf[5 + 2 * nnz:], dtype=np.uint8)
+    if idx.size and int(idx.max()) >= HLL_REGISTERS:
+        raise ValueError(
+            f"corrupt sparse HLL buffer: index {int(idx.max())}"
+        )
     regs = np.zeros(HLL_REGISTERS, dtype=np.uint8)
-    regs[idx.astype(np.int64)] = val
+    regs[idx] = val
     return regs
 
 

@@ -153,3 +153,52 @@ def test_hs_random_bytes(data):
     """Pure random blobs never parse as a state (wrong magic) and never
     raise anything but ValueError."""
     _check_hs(data)
+
+
+# --------------------------------------------------------------------- #
+# sparse sketch-buffer decoders: arbitrary bytes must either decode     #
+# (exact dense length) or raise ValueError — never an IndexError from a #
+# scatter, never a wrong-size array (damaged-checkpoint robustness)     #
+# --------------------------------------------------------------------- #
+@settings(max_examples=300, deadline=1000)
+@given(st.binary(max_size=512))
+def test_sparse_decoders_never_crash(buf):
+    import numpy as np
+
+    from honas_spark import kernels as K
+
+    for fn, shape in (
+        (lambda b: K.hll_unpack(b), (K.HLL_REGISTERS,)),
+        (lambda b: K.bloom_unpack(b, 2, 64), (2, 64)),
+        (lambda b: K.cms_unpack(b, 2, 32), (2, 32)),
+    ):
+        try:
+            out = fn(buf)
+        except ValueError:
+            continue
+        assert isinstance(out, np.ndarray) and out.shape == shape
+
+
+def test_sparse_decoder_rejects_out_of_range_index():
+    import numpy as np
+    import pytest
+
+    from honas_spark import kernels as K
+
+    # hand-craft a sparse bloom buffer whose index exceeds the matrix
+    bad = (
+        bytes([0x01])
+        + np.uint32(1).tobytes()
+        + np.uint32(10_000).astype("<u4").tobytes()
+        + bytes([7])
+    )
+    with pytest.raises(ValueError, match="index"):
+        K.bloom_unpack(bad, 2, 64)
+    bad_hll = (
+        bytes([0x01])
+        + np.uint32(1).tobytes()
+        + np.array([60000], dtype="<u2").tobytes()
+        + bytes([3])
+    )
+    with pytest.raises(ValueError, match="index"):
+        K.hll_unpack(bad_hll)
