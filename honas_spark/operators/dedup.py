@@ -255,6 +255,10 @@ def minhash_lsh_candidates(
             banded.groupBy("band", "bh")
             .agg(F.collect_list("_id").alias("ids"))
             .select(F.explode(pair_array).alias("p"))
+            # strict inequality guards duplicate input ids (the sorted
+            # list would otherwise yield id_a == id_b self-pairs the
+            # self-join path's a._id < b._id can never produce)
+            .filter(F.col("p.id_a") < F.col("p.id_b"))
             .groupBy(
                 F.col("p.id_a").alias("id_a"),
                 F.col("p.id_b").alias("id_b"),
@@ -424,7 +428,13 @@ def simhash_near_pairs(
             )
             .select(F.explode(pair_array).alias("p"))
             .select("p.id_a", "p.id_b", "p.hamming")
-            .filter(F.col("hamming") <= max_hamming)
+            # id_a < id_b also guards duplicate input ids: the sorted
+            # collect_list would otherwise emit a self-pair the
+            # self-join path's strict inequality could never produce
+            .filter(
+                (F.col("hamming") <= max_hamming)
+                & (F.col("id_a") < F.col("id_b"))
+            )
             .distinct()
         )
     # uncapped path (caller vouches for bucket sizes): bucket self-join
