@@ -75,6 +75,31 @@ def _build_corpus_keys(spark, spec, n_rows: int):
     return with_window(keyed, "commit_ts", spec.window)
 
 
+def _headline_spec():
+    from honas_spark.spec import SketchSpec
+
+    return SketchSpec(
+        m_bits=1 << 21, k=10, num_filters=4, filters_per_user=2,
+        window="1 day", cms_width=4096, kll_k=128,
+    )
+
+
+def _keyed_cache(spark, n_rows: int) -> str:
+    """Materialize the keyed corpus parquet ONCE, ALWAYS with the
+    headline spec — the cached window_start is day-grained by contract
+    (bench_sketch_build groups on it directly; any variant needing a
+    different grain must re-window from commit_ts).  Building the cache
+    with a variant's spec would silently poison the headline numbers
+    on the next run."""
+    path = f"/tmp/honas_bench_keyed_{n_rows}.parquet"
+    if not os.path.isdir(path):
+        keyed = _build_corpus_keys(spark, _headline_spec(), n_rows)
+        keyed.select(
+            "window_start", "org", "key_sha", "repo", "commit_ts"
+        ).write.mode("overwrite").parquet(path)
+    return path
+
+
 def bench_sketch_build(spark, n_rows: int) -> dict:
     """Headline: windowed multi-filter sketch build over n_rows files.
 
@@ -84,21 +109,12 @@ def bench_sketch_build(spark, n_rows: int) -> dict:
     salted repartition -> partial sketch build -> tree merge.
     shuffle_keys + salt=8: the hot repo (30% of rows) fans out instead
     of serializing on one task."""
-    from honas_spark.spec import SketchSpec
     from honas_spark.operators import build_sketches
 
-    spec = SketchSpec(
-        m_bits=1 << 21, k=10, num_filters=4, filters_per_user=2,
-        window="1 day", cms_width=4096, kll_k=128,
-    )
+    spec = _headline_spec()
     from honas_spark.operators.sketch_agg import with_client_hash
 
-    path = f"/tmp/honas_bench_keyed_{n_rows}.parquet"
-    if not os.path.isdir(path):
-        keyed = _build_corpus_keys(spark, spec, n_rows)
-        keyed.select(
-            "window_start", "org", "key_sha", "repo", "commit_ts"
-        ).write.mode("overwrite").parquet(path)
+    path = _keyed_cache(spark, n_rows)
     keyed = with_client_hash(spark.read.parquet(path), "repo")
     n_keys = keyed.count()
 
@@ -150,13 +166,8 @@ def bench_sketch_build_hc(spark, n_rows: int) -> dict:
         m_bits=1 << 17, k=10, num_filters=4, filters_per_user=2,
         window="1 hour", cms_width=256, kll_k=64,
     )
-    path = f"/tmp/honas_bench_keyed_{n_rows}.parquet"
-    if not os.path.isdir(path):
-        keyed = _build_corpus_keys(spark, spec, n_rows)
-        keyed.select(
-            "window_start", "org", "key_sha", "repo", "commit_ts"
-        ).write.mode("overwrite").parquet(path)
-    # the cached table's window_start is day-grained (headline spec);
+    path = _keyed_cache(spark, n_rows)
+    # the cached window_start is day-grained by the cache contract;
     # re-window at 1 hour so (hour x repo) yields ~50k groups of a few
     # dozen keys each — genuinely sparse partials
     from honas_spark.operators import with_window

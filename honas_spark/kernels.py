@@ -547,44 +547,20 @@ def cms_unpack(buf: bytes, depth: int, width: int) -> np.ndarray:
 
 def hll_pack(regs: np.ndarray) -> bytes:
     """Serialize a register array: sparse pairs when smaller, dense
-    bytes otherwise."""
-    nnz_idx = np.flatnonzero(regs) if SPARSE_SERIALIZATION else None
-    if nnz_idx is not None and 5 + 3 * nnz_idx.size < HLL_REGISTERS:
-        return (
-            bytes([_HLL_SPARSE_MAGIC])
-            + np.uint32(nnz_idx.size).tobytes()
-            + nnz_idx.astype("<u2").tobytes()
-            + regs[nnz_idx].astype(np.uint8).tobytes()
-        )
-    return regs.astype(np.uint8, copy=False).tobytes()
+    bytes otherwise (the same _pack_nonzero format as Bloom/CMS —
+    u16 indexes fit the 16384-register space)."""
+    sp = _pack_nonzero(regs, "<u2", "u1")
+    return sp if sp is not None else regs.astype(
+        np.uint8, copy=False
+    ).tobytes()
 
 
 def hll_unpack(buf: bytes) -> np.ndarray:
     """Inverse of hll_pack — returns a dense uint8[16384] array (a
-    fresh writable array for sparse input, a copy for dense)."""
+    fresh writable array either way)."""
     if len(buf) == HLL_REGISTERS:
         return np.frombuffer(buf, dtype=np.uint8).copy()
-    if not buf or buf[0] != _HLL_SPARSE_MAGIC:
-        raise ValueError(
-            f"not an HLL register buffer (len={len(buf)})"
-        )
-    (nnz,) = np.frombuffer(buf[1:5], dtype="<u4")
-    nnz = int(nnz)
-    if len(buf) != 5 + 3 * nnz:
-        raise ValueError(
-            f"corrupt sparse HLL buffer: nnz={nnz}, len={len(buf)}"
-        )
-    idx = np.frombuffer(buf[5:5 + 2 * nnz], dtype="<u2").astype(
-        np.int64
-    )
-    val = np.frombuffer(buf[5 + 2 * nnz:], dtype=np.uint8)
-    if idx.size and int(idx.max()) >= HLL_REGISTERS:
-        raise ValueError(
-            f"corrupt sparse HLL buffer: index {int(idx.max())}"
-        )
-    regs = np.zeros(HLL_REGISTERS, dtype=np.uint8)
-    regs[idx] = val
-    return regs
+    return _unpack_nonzero(buf, HLL_REGISTERS, "<u2", "u1", np.uint8)
 
 
 _HLL_PE = 2.0 ** -np.arange(64)

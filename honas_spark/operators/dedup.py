@@ -173,6 +173,29 @@ def minhash_signatures(
     return base.select(id_col, sig.alias("sig"))
 
 
+def band_hashes(sig_col, bands: int, rows_per_band: int):
+    """The canonical signature-banding expression: an array of `bands`
+    hashes, one per contiguous rows_per_band slice of the signature
+    (xxhash64 over the comma-joined decimal rendering — hash equality
+    collapses to slice equality).  Shared by minhash_lsh_candidates
+    and streaming.neardedupe so the stream's state-bucket keys can
+    never drift from the batch LSH semantics."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.xxhash64(
+            F.array_join(
+                F.transform(
+                    F.slice(
+                        sig_col, b * rows_per_band + 1, rows_per_band
+                    ),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            )
+        ),
+    )
+
+
 def minhash_lsh_candidates(
     sig_df: DataFrame,
     id_col: str,
@@ -200,22 +223,7 @@ def minhash_lsh_candidates(
     banded = sig_df.select(
         F.col(id_col).alias("_id"),
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.array_join(
-                        F.transform(
-                            F.slice(
-                                F.col("sig"),
-                                b * rows_per_band + 1,
-                                rows_per_band,
-                            ),
-                            lambda x: x.cast("string"),
-                        ),
-                        ",",
-                    )
-                ),
-            )
+            band_hashes(F.col("sig"), bands, rows_per_band)
         ).alias("band", "bh"),
     )
     if max_bucket_size is not None:

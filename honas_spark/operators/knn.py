@@ -329,11 +329,18 @@ def embedding_near_dup_pairs(
         raise ValueError(f"method must be ivf|srp: {method}")
     bucketed, cents = ivf_index(vectors, id_col, vec_col, n_centroids)
     key = ["bucket"]
+    cached = None
     if max_bucket_size is not None:
         # the capped path reads the bucketed table several times (size
-        # census, hot-bucket sample, residual check, both join sides) —
-        # persist so the assignment UDF runs once, not per pass
-        bucketed = bucketed.persist()
+        # census, hot-bucket sample, residual check) — persist so the
+        # assignment UDF runs once across those eager passes.  The
+        # handle is kept and unpersisted after the LAST eager action:
+        # leaving it cached would leak a full copy of the vector corpus
+        # into executor storage per call (the returned plan is lazy and
+        # outlives this function).  The final pair join then recomputes
+        # the assignment once per side — the same cost the uncapped
+        # path always paid.
+        cached = bucketed = bucketed.persist()
         sizes = {
             r["bucket"]: r["n"]
             for r in bucketed.groupBy("bucket")
@@ -416,6 +423,8 @@ def embedding_near_dup_pairs(
                     RuntimeWarning,
                     stacklevel=2,
                 )
+        if cached is not None:
+            cached.unpersist()
     a = bucketed.select(
         *key,
         F.col(id_col).alias("id_a"),

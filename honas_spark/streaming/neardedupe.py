@@ -102,7 +102,7 @@ def near_dedup_stream(
     (pair them via the exact-dedup stream instead)."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    from ..operators.dedup import minhash_signatures
+    from ..operators.dedup import band_hashes, minhash_signatures
 
     if bands < 1 or num_hashes % bands:
         raise ValueError(
@@ -114,26 +114,14 @@ def near_dedup_stream(
     sig = minhash_signatures(
         stream_df, id_col, text_col, num_hashes, n
     ).withColumnRenamed(id_col, "_id")
+    # the SAME banding expression as the batch LSH (operators/dedup.
+    # band_hashes) — the stream's state-bucket keys are batch bucket
+    # keys by construction
     banded = sig.select(
         "_id",
         "sig",
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.array_join(
-                        F.transform(
-                            F.slice(
-                                F.col("sig"),
-                                b * rows_per_band + 1,
-                                rows_per_band,
-                            ),
-                            lambda x: x.cast("string"),
-                        ),
-                        ",",
-                    )
-                ),
-            )
+            band_hashes(F.col("sig"), bands, rows_per_band)
         ).alias("band", "bh"),
     )
     out_schema = "_id long, rep_id long, n_eq int, band int"
