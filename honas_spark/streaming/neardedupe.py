@@ -43,10 +43,20 @@ import pandas as pd
 from pyspark.sql import functions as F
 
 
-def _near_matcher(num_hashes: int, min_eq: int, max_bucket_size: int):
+def _near_matcher(
+    num_hashes: int, min_eq: int, max_bucket_size: int,
+    ttl_ms: "int | None" = None,
+):
     def fn(
         key: Tuple, pdfs: Iterator[pd.DataFrame], state
     ) -> Iterator[pd.DataFrame]:
+        if ttl_ms is not None and state.hasTimedOut:
+            # bucket idle past the TTL: drop its member signatures —
+            # the bounded-state contract for infinite streams (a
+            # near-copy arriving later than the TTL is simply not
+            # flagged, like a key aged out of any TTL'd dedup cache)
+            state.remove()
+            return
         rows = []
         for pdf in pdfs:
             for did, sig in zip(pdf["_id"], pdf["sig"]):
@@ -76,6 +86,10 @@ def _near_matcher(num_hashes: int, min_eq: int, max_bucket_size: int):
         state.update(
             (ids, [int(x) for x in sigs.reshape(-1)])
         )
+        if ttl_ms is not None:
+            # sliding idle-TTL: every batch that touches the bucket
+            # re-arms the timer
+            state.setTimeoutDuration(ttl_ms)
         if out:
             yield pd.DataFrame(
                 out, columns=["_id", "rep_id", "n_eq", "band"]
@@ -93,13 +107,23 @@ def near_dedup_stream(
     bands: int = 4,
     threshold: float = 0.5,
     max_bucket_size: int = 200,
+    state_ttl_minutes: "int | None" = None,
 ):
     """stream_df (streaming DataFrame with id_col, text_col) ->
     append-mode stream of (id, rep_id, n_eq, band): one row per band
     bucket in which the arriving document's MinHash signature agrees
     with an earlier document's on >= ceil(threshold * num_hashes)
     components.  Blank documents carry no signature and never match
-    (pair them via the exact-dedup stream instead)."""
+    (pair them via the exact-dedup stream instead).
+
+    state_ttl_minutes bounds state for INFINITE streams: a bucket idle
+    for that long is evicted (processing-time timeout, re-armed by
+    every batch that touches the bucket), so total state is
+    O(buckets active within the TTL window) instead of O(all history).
+    The trade is documented recall: a near-copy arriving later than
+    the TTL after its original is not flagged.  None (default) keeps
+    state forever — right for bounded backfills and parity with the
+    batch operator."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     from ..operators.dedup import band_hashes, minhash_signatures
@@ -126,14 +150,22 @@ def near_dedup_stream(
     )
     out_schema = "_id long, rep_id long, n_eq int, band int"
     state_schema = "ids array<long>, sigs array<long>"
+    ttl_ms = (
+        None if state_ttl_minutes is None
+        else int(state_ttl_minutes) * 60_000
+    )
+    timeout = (
+        GroupStateTimeout.NoTimeout if ttl_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
     return (
         banded.groupBy("band", "bh")
         .applyInPandasWithState(
-            _near_matcher(num_hashes, min_eq, max_bucket_size),
+            _near_matcher(num_hashes, min_eq, max_bucket_size, ttl_ms),
             out_schema,
             state_schema,
             "append",
-            GroupStateTimeout.NoTimeout,
+            timeout,
         )
         .withColumnRenamed("_id", id_col)
     )

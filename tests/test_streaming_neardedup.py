@@ -72,6 +72,74 @@ def test_near_dedup_stream_across_batches_and_restart(spark, tmp_path):
     assert all(r["rep_id"] in (1, 10) for r in rows)
 
 
+def test_near_matcher_ttl_eviction_unit():
+    """The matcher's timeout branch drops the bucket state and emits
+    nothing; the live branch re-arms the sliding TTL after updating.
+    Driven directly with a fake GroupState (the timeout FIRING is
+    processing-time-driven and not deterministically reachable under
+    availableNow triggers)."""
+    import pandas as pd
+
+    from honas_spark.streaming.neardedupe import _near_matcher
+
+    class FakeState:
+        def __init__(self, existing=None):
+            self._v = existing
+            self.exists = existing is not None
+            self.hasTimedOut = False
+            self.removed = False
+            self.timeout_set = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+        def remove(self):
+            self.removed = True
+            self._v = None
+            self.exists = False
+
+        def setTimeoutDuration(self, ms):
+            self.timeout_set = ms
+
+    fn = _near_matcher(4, 2, 10, ttl_ms=60_000)
+
+    # timed-out invocation: state dropped, no output
+    st = FakeState(existing=([1], [5, 6, 7, 8]))
+    st.hasTimedOut = True
+    assert list(fn((0, 123), iter([]), st)) == []
+    assert st.removed
+
+    # live invocation: near-copy flagged against the stored member,
+    # state updated, TTL re-armed
+    st2 = FakeState(existing=([1], [5, 6, 7, 8]))
+    pdf = pd.DataFrame({"_id": [2], "sig": [[5, 6, 0, 0]]})
+    out = list(fn((0, 123), iter([pdf]), st2))
+    assert len(out) == 1 and out[0].iloc[0]["rep_id"] == 1
+    assert st2.timeout_set == 60_000
+    assert st2.get[0] == [1, 2]
+
+
+def test_near_dedup_stream_runs_with_ttl(spark, tmp_path):
+    """Wiring: the TTL'd query plans and runs end-to-end (ProcessingTime
+    timeout mode) and still flags an in-run near-copy."""
+    src = str(tmp_path / "docs")
+    out = str(tmp_path / "matches")
+    ckpt = str(tmp_path / "ckpt")
+    _write(spark, src, [(1, A)])
+    _run_once(spark, src, out, ckpt, num_hashes=16, bands=8,
+              state_ttl_minutes=60)
+    _write(spark, src, [(10, A.replace("dog", "cat"))])
+    _run_once(spark, src, out, ckpt, num_hashes=16, bands=8,
+              state_ttl_minutes=60)
+    rows = spark.read.parquet(out).collect()
+    assert any(r["doc_id"] == 10 and r["rep_id"] == 1 for r in rows)
+
+
 def test_near_dedup_stream_validates_bands(spark, tmp_path):
     src = str(tmp_path / "docs")
     _write(spark, src, [(1, A)])  # the source dir must exist
