@@ -514,6 +514,7 @@ def connected_components(
             labels.join(nbr_min, "node", "left")
             .select(
                 "node",
+                F.col("comp").alias("comp_old"),
                 F.least(
                     F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
                 ).alias("comp"),
@@ -529,6 +530,10 @@ def connected_components(
         # truncates the lineage so every round plans against a flat scan.
         # (On a multi-executor cluster prefer reliable checkpointing for
         # executor-loss tolerance; semantics are identical.)
+        # The round's label change is carried as a column (comp_old
+        # rides along), so the convergence check is a filter-count over
+        # the checkpointed partitions — NOT a join of consecutive label
+        # frames (which was a per-round hash join of the whole table).
         new_labels = (
             stepped.join(jump, stepped["comp"] == jump["j_node"], "left")
             .select(
@@ -536,6 +541,13 @@ def connected_components(
                 F.least(
                     F.col("comp"), F.coalesce("j_comp", F.col("comp"))
                 ).alias("comp"),
+                (
+                    F.least(
+                        F.col("comp"),
+                        F.coalesce("j_comp", F.col("comp")),
+                    )
+                    != F.col("comp_old")
+                ).alias("changed"),
             )
             .localCheckpoint()
         )
@@ -544,14 +556,9 @@ def connected_components(
         if it == 0:
             n_changed = 1
         else:
-            n_changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "node")
-                .filter(F.col("n.comp") != F.col("o.comp"))
-                .count()
-            )
+            n_changed = new_labels.filter("changed").count()
         labels.unpersist()
-        labels = new_labels
+        labels = new_labels.select("node", "comp")
         if n_changed == 0:
             converged = True
             break
