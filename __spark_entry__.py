@@ -920,6 +920,30 @@ def _q_span_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_dup_stats(docs, "doc_id", "text", k=8).orderBy("doc_id")
 
 
+def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (point-in-time) join — the temporal operator Spark lacks
+    natively, re-expressed as ONE union + partitioned running window
+    (operators/asof.py): every non-signup event gets the latest
+    signup-at-or-before-it per user.  DuckDB's NATIVE ASOF JOIN is the
+    oracle — the strongest possible cross-engine check for the
+    semantics."""
+    from honas_spark.operators.asof import as_of_join
+
+    ev = _events(spark, sf_dir)
+    obs = ev.filter(F.col("event_type") != "signup").select(
+        "event_id", "user_id", "ts"
+    )
+    mk = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 4).alias("mval"))
+    )
+    out = as_of_join(obs, mk, "user_id", "ts", "ts", ["mval"])
+    return out.select(
+        "event_id", "user_id", "ts", "ts_asof", "mval_asof"
+    ).orderBy("event_id")
+
+
 def _q_srp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SRP scale path END-TO-END under the exact gate: 16-bit
     quantized SRP signatures -> 4-bit band buckets -> CAPPED in-bucket
@@ -1292,6 +1316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate": _q_curate,
         "srp_pairs": _q_srp_pairs,
         "minhash_lsh_md5": _q_minhash_lsh_md5,
+        "asof_join": _q_asof_join,
     }.items()}
 
 
@@ -1638,6 +1663,22 @@ def oracle_sql() -> dict[str, str]:
         "curate": curate_sql,
         "srp_pairs": srp_pairs_sql,
         "minhash_lsh_md5": minhash_lsh_md5_sql,
+        # DuckDB's native ASOF JOIN verifies the union+window re-expression
+        "asof_join": """
+            WITH obs AS (
+                SELECT event_id, user_id, ts FROM events
+                WHERE event_type <> 'signup'
+            ), mk AS (
+                SELECT user_id, ts, round(max(value), 4) AS mval
+                FROM events WHERE event_type = 'signup'
+                GROUP BY user_id, ts
+            )
+            SELECT o.event_id, o.user_id, o.ts,
+                   m.ts AS ts_asof, m.mval AS mval_asof
+            FROM obs o ASOF LEFT JOIN mk m
+              ON o.user_id = m.user_id AND o.ts >= m.ts
+            ORDER BY o.event_id
+        """,
         "srp_sign16": srp_sign16_sql,
         "bloom_membership": f"""
             WITH probes(probe_id, ptext) AS (

@@ -923,6 +923,70 @@ def test_embedding_near_dup_skew_resplit(spark):
     assert dt < 120, dt
 
 
+def test_as_of_join_backward_forward_and_misses(spark):
+    """As-of join semantics: latest right at-or-before (backward) /
+    earliest at-or-after (forward) per key; equal timestamps match
+    (inclusive); keys with no qualifying right row get NULLs."""
+    from honas_spark.operators.asof import as_of_join
+
+    left = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "a", 5), (4, "b", 10),
+         (5, "c", 10)],
+        "id long, k string, ts long",
+    )
+    right = spark.createDataFrame(
+        [("a", 8, 100.0), ("a", 20, 200.0), ("b", 30, 300.0)],
+        "k string, ts long, v double",
+    )
+    back = {
+        r["id"]: (r["ts_asof"], r["v_asof"])
+        for r in as_of_join(
+            left, right, "k", "ts", "ts", ["v"]
+        ).collect()
+    }
+    assert back[1] == (8, 100.0)      # latest <= 10
+    assert back[2] == (20, 200.0)     # equal ts matches (inclusive)
+    assert back[3] == (None, None)    # nothing at or before 5
+    assert back[4] == (None, None)    # b's only row is later
+    assert back[5] == (None, None)    # key with no right rows at all
+
+    fwd = {
+        r["id"]: (r["ts_asof"], r["v_asof"])
+        for r in as_of_join(
+            left, right, "k", "ts", "ts", ["v"],
+            direction="forward",
+        ).collect()
+    }
+    assert fwd[1] == (20, 200.0)      # earliest >= 10
+    assert fwd[2] == (20, 200.0)      # inclusive
+    assert fwd[3] == (8, 100.0)
+    assert fwd[4] == (30, 300.0)
+    assert fwd[5] == (None, None)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="backward|forward"):
+        as_of_join(left, right, "k", "ts", "ts", ["v"],
+                   direction="sideways")
+
+
+def test_as_of_join_plan_one_shuffle_no_join(spark):
+    """The union+window form must plan WITHOUT any join operator:
+    one exchange on the key feeding a partitioned window."""
+    from honas_spark.operators.asof import as_of_join
+
+    left = spark.createDataFrame(
+        [(1, "a", 10)], "id long, k string, ts long"
+    )
+    right = spark.createDataFrame(
+        [("a", 8, 1.0)], "k string, ts long, v double"
+    )
+    out = as_of_join(left, right, "k", "ts", "ts", ["v"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "Window" in plan
+
+
 def test_embedding_near_dup_srp_method(spark):
     """method='srp' routes through the signature path: candidates from
     banded SRP signatures, exact-cosine verify on candidates only —
