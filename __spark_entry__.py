@@ -944,6 +944,38 @@ def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def _q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General interval join (operators/rangejoin.py): bucketized
+    equi-join + containment filter instead of the BroadcastNestedLoop
+    Spark plans for non-equi joins.  Points and [lo, hi] intervals are
+    synthesized arithmetically from events/orders keys so the oracle
+    (a plain inequality join) is exact integer math.  Output: total
+    matches per interval id — compact, order-insensitive."""
+    from honas_spark.operators.rangejoin import interval_join
+
+    ev = _events(spark, sf_dir).filter(F.col("event_id") < 5000)
+    points = ev.select(
+        F.col("event_id").alias("pid"),
+        ((F.col("event_id") * 37) % 10000).alias("p"),
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    k = F.col("o_orderkey")
+    ivs = orders.filter(k < 2000).select(
+        k.alias("iid"),
+        ((k * 13) % 10000).alias("lo"),
+        (((k * 13) % 10000) + (k % 97)).alias("hi"),
+    )
+    out = interval_join(points, ivs, "p", "lo", "hi")
+    return (
+        out.groupBy("iid")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum("pid").alias("sum_pid"),
+        )
+        .orderBy("iid")
+    )
+
+
 def _q_srp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SRP scale path END-TO-END under the exact gate: 16-bit
     quantized SRP signatures -> 4-bit band buckets -> CAPPED in-bucket
@@ -1317,6 +1349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "srp_pairs": _q_srp_pairs,
         "minhash_lsh_md5": _q_minhash_lsh_md5,
         "asof_join": _q_asof_join,
+        "range_join": _q_range_join,
     }.items()}
 
 
@@ -1678,6 +1711,22 @@ def oracle_sql() -> dict[str, str]:
             FROM obs o ASOF LEFT JOIN mk m
               ON o.user_id = m.user_id AND o.ts >= m.ts
             ORDER BY o.event_id
+        """,
+        "range_join": """
+            WITH pts AS (
+                SELECT event_id AS pid, (event_id * 37) % 10000 AS p
+                FROM events WHERE event_id < 5000
+            ), ivs AS (
+                SELECT o_orderkey AS iid,
+                       (o_orderkey * 13) % 10000 AS lo,
+                       (o_orderkey * 13) % 10000 + o_orderkey % 97 AS hi
+                FROM orders WHERE o_orderkey < 2000
+            )
+            SELECT iid,
+                   count(*) AS n_points,
+                   sum(pid) AS sum_pid
+            FROM pts JOIN ivs ON p >= lo AND p <= hi
+            GROUP BY iid ORDER BY iid
         """,
         "srp_sign16": srp_sign16_sql,
         "bloom_membership": f"""

@@ -987,6 +987,56 @@ def test_as_of_join_plan_one_shuffle_no_join(spark):
     assert "Window" in plan
 
 
+def test_interval_join_semantics_and_plan(spark):
+    """Bucketized range join: inclusive bounds, empty intervals never
+    match, wide intervals match across buckets exactly once, left form
+    pads NULLs — and the plan contains NO nested-loop join (the thing
+    Spark would produce for a naive non-equi join)."""
+    from honas_spark.operators.rangejoin import interval_join
+
+    points = spark.createDataFrame(
+        [(1, 5), (2, 10), (3, 17), (4, 100)], "pid long, p long"
+    )
+    ivs = spark.createDataFrame(
+        [(10, 5, 10), (11, 0, 30), (12, 20, 15), (13, 16, 16)],
+        "iid long, lo long, hi long",
+    )
+    got = {
+        (r["pid"], r["iid"])
+        for r in interval_join(
+            points, ivs, "p", "lo", "hi", bucket_width=4
+        ).collect()
+    }
+    # iv 11 spans 8 buckets at W=4: each point inside matches ONCE
+    assert got == {(1, 10), (1, 11), (2, 10), (2, 11), (3, 11)}
+    # inclusive bounds: p=5 matches lo=5; p=10 matches hi=10
+    # empty interval 12 (hi<lo) and point-interval 13 (16..16): no p=16
+    left = {
+        r["pid"]: r["iid"]
+        for r in interval_join(
+            points, ivs, "p", "lo", "hi", bucket_width=4, how="left"
+        ).collect()
+        if r["pid"] == 4
+    }
+    assert left == {4: None}  # unmatched point kept with NULLs
+    plan = (
+        interval_join(points, ivs, "p", "lo", "hi", bucket_width=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+    import pytest
+
+    with pytest.raises(ValueError, match="inner\\|left"):
+        interval_join(points, ivs, "p", "lo", "hi", how="full")
+    # derived bucket width (None) gives the same matches
+    auto = {
+        (r["pid"], r["iid"])
+        for r in interval_join(points, ivs, "p", "lo", "hi").collect()
+    }
+    assert auto == got
+
+
 def test_embedding_near_dup_srp_method(spark):
     """method='srp' routes through the signature path: candidates from
     banded SRP signatures, exact-cosine verify on candidates only —
