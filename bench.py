@@ -320,6 +320,8 @@ def run_queries(spark) -> dict:
         # added round 4 (totals are not like-for-like across rounds;
         # compare per-query)
         "pareto_coverage", "span_dup", "pii_scrub", "dedup_clusters",
+        # added round 5
+        "asof_join", "range_join",
     ]
     qs = E.queries()
     # min-of-3 by default: the heaviest-codegen queries (32-wide
