@@ -44,7 +44,14 @@ def as_of_join(
 
     Ties: right rows sharing (key, ts) resolve to the LAST one in
     (ts, right_cols) order — deduplicate the right side first if that
-    order is not meaningful."""
+    order is not meaningful.
+
+    NULL handling matches a SQL ASOF join: a NULL right timestamp can
+    never qualify (those rows are dropped), a NULL left timestamp gets
+    NULL outputs, and the qualifying right row is picked ATOMICALLY —
+    its whole payload rides in one struct, so a NULL value inside the
+    matched row stays NULL instead of being back-filled from an older
+    row (per-column last(ignorenulls) would tear rows)."""
     if direction not in ("backward", "forward"):
         raise ValueError(
             f"direction must be backward|forward: {direction}"
@@ -52,18 +59,26 @@ def as_of_join(
     keys = [on] if isinstance(on, str) else list(on)
     payload = [right_ts] + list(right_cols)
 
+    rstruct = F.struct(
+        *[F.col(c).alias(c) for c in payload]
+    )
+    null_struct = F.lit(None).cast(
+        "struct<" + ", ".join(
+            f"{c}: {right.schema[c].dataType.simpleString()}"
+            for c in payload
+        ) + ">"
+    )
     lside = left.select(
         "*",
         F.col(left_ts).alias("_asof_ts"),
         F.lit(1).alias("_asof_side"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
-          for c in payload],
+        null_struct.alias("_r"),
     )
-    rside = right.select(
+    rside = right.filter(F.col(right_ts).isNotNull()).select(
         *keys,
         F.col(right_ts).alias("_asof_ts"),
         F.lit(0).alias("_asof_side"),
-        *[F.col(c).alias(f"_r_{c}") for c in payload],
+        rstruct.alias("_r"),
     )
     # right rows carry no left columns; align schemas with NULLs
     for c in lside.columns:
@@ -73,28 +88,28 @@ def as_of_join(
             )
     combined = lside.unionByName(rside.select(lside.columns))
 
-    if direction == "backward":
-        # right-before-left at equal ts => '<=' semantics
-        order = [F.col("_asof_ts").asc(), F.col("_asof_side").asc()]
-        frame = Window.partitionBy(*keys).orderBy(*order).rowsBetween(
-            Window.unboundedPreceding, Window.currentRow
-        )
-        pick = F.last
-    else:
-        order = [F.col("_asof_ts").desc(), F.col("_asof_side").asc()]
-        frame = Window.partitionBy(*keys).orderBy(*order).rowsBetween(
-            Window.unboundedPreceding, Window.currentRow
-        )
-        pick = F.last
-    out = combined.select(
-        "*",
-        *[pick(F.col(f"_r_{c}"), ignorenulls=True).over(frame)
-          .alias(f"{c}{suffix}") for c in payload],
+    # right-before-left at equal ts => inclusive semantics; NULL left
+    # timestamps sort FIRST in both directions so their frame holds no
+    # right rows and they resolve to NULL (a NULLS LAST default under
+    # desc() would otherwise give a NULL-ts row the whole partition)
+    ts_order = (
+        F.col("_asof_ts").asc_nulls_first()
+        if direction == "backward"
+        else F.col("_asof_ts").desc_nulls_first()
+    )
+    frame = (
+        Window.partitionBy(*keys)
+        .orderBy(ts_order, F.col("_asof_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = combined.withColumn(
+        "_hit", F.last(F.col("_r"), ignorenulls=True).over(frame)
     )
     return (
         out.filter(F.col("_asof_side") == 1)
-        .drop(
-            "_asof_ts", "_asof_side",
-            *[f"_r_{c}" for c in payload],
+        .select(
+            "*",
+            *[F.col("_hit")[c].alias(f"{c}{suffix}") for c in payload],
         )
+        .drop("_asof_ts", "_asof_side", "_r", "_hit")
     )

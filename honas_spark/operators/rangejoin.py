@@ -9,9 +9,12 @@ equi-join on the bucket, and filter exact containment.  Each matching
 (point, interval) pair meets in EXACTLY one bucket — the point's — so
 no post-join dedup is needed.
 
-W trades copy factor against bucket selectivity: W ~= the average
-interval span keeps the copy factor ~2 while buckets stay tight.  The
-default derives W from one scalar aggregate over the intervals.
+W trades copy factor against bucket selectivity.  The default derives
+W from the 90th-percentile interval span (one scalar aggregate), which
+keeps the copy factor small for the bulk of the intervals while not
+letting one wide outlier dictate a huge W; `max_copies` bounds the
+worst per-interval explosion with a clear error instead of a silent
+sequence() blow-up.
 
 The reference's CIDR longest-prefix join (prefix_join.py) is the
 specialized power-of-two sibling; this is the general-purpose one.
@@ -21,7 +24,19 @@ DuckDB's plain inequality join is the oracle twin
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, functions as F
+
+
+def _bucket(col, w):
+    """Exact floor(col / w) for integral range columns: decimal
+    division keeps 64-bit values exact (double division loses
+    precision past 2^53 and can split a point and its containing
+    interval across buckets, silently dropping the match)."""
+    return F.floor(col.cast("decimal(38,0)") / F.lit(int(w))).cast(
+        "long"
+    )
 
 
 def interval_join(
@@ -32,54 +47,83 @@ def interval_join(
     hi_col: str,
     bucket_width: "int | None" = None,
     how: str = "inner",
+    max_copies: int = 65536,
 ) -> DataFrame:
     """-> every (point row x interval row) pair with
     lo <= point <= hi (inclusive both ends), as the point row's columns
     plus the interval row's columns.  how="left" also keeps point rows
     matching no interval, with NULL interval columns (point rows must
-    be distinct for the left form — the no-match set is recovered by
-    an anti-join on the full point row).
+    be distinct for the left form; note the left form evaluates the
+    bucketized join twice — once for matches, once inside the
+    null-safe anti-join — so persist upstream for very large inputs).
 
-    Integer or numeric range columns; bucket_width=None derives
-    W = clamp(ceil(avg(hi - lo + 1)), 1, ...) from the intervals (one
-    scalar aggregate job).  Empty intervals (hi < lo) never match."""
+    Integer range columns; bucket_width=None derives W from the
+    90th-percentile interval span (one scalar aggregate job).  Empty
+    intervals (hi < lo) and NULL bounds/points never match.
+    max_copies bounds the per-interval bucket fan-out: an interval
+    wider than max_copies * W raises (pass a larger bucket_width)
+    rather than silently materializing a huge sequence()."""
     if how not in ("inner", "left"):
         raise ValueError(f"how must be inner|left: {how}")
-    ivs = intervals.filter(F.col(lo_col) <= F.col(hi_col))
+    shared = (set(points.columns) & set(intervals.columns))
+    if shared:
+        raise ValueError(
+            "points and intervals share column names "
+            f"{sorted(shared)} — rename one side (the bucket "
+            "equi-join would produce ambiguous references)"
+        )
+    ivs = intervals.filter(
+        F.col(lo_col).isNotNull()
+        & F.col(hi_col).isNotNull()
+        & (F.col(lo_col) <= F.col(hi_col))
+    )
     if bucket_width is None:
         row = ivs.agg(
             F.ceil(
-                F.avg(F.col(hi_col) - F.col(lo_col) + F.lit(1))
+                F.expr(
+                    f"percentile_approx({hi_col} - {lo_col} + 1, 0.9)"
+                )
             ).alias("w")
         ).first()
         bucket_width = int(row["w"]) if row and row["w"] else 1
         bucket_width = max(bucket_width, 1)
-    w = F.lit(int(bucket_width))
+    w = int(bucket_width)
+    too_wide = ivs.filter(
+        F.col(hi_col) - F.col(lo_col) >= F.lit(w) * F.lit(max_copies)
+    ).count()
+    if too_wide:
+        raise ValueError(
+            f"{too_wide} interval(s) span more than max_copies "
+            f"({max_copies}) buckets at width {w}; pass a larger "
+            "bucket_width (or raise max_copies deliberately)"
+        )
     ivb = ivs.withColumn(
         "_bkt",
         F.explode(
             F.sequence(
-                F.floor(F.col(lo_col) / w), F.floor(F.col(hi_col) / w)
+                _bucket(F.col(lo_col), w), _bucket(F.col(hi_col), w)
             )
         ),
     )
-    ptb = points.withColumn(
-        "_bkt", F.floor(F.col(point_col) / w)
+    ptb = points.filter(F.col(point_col).isNotNull()).withColumn(
+        "_bkt", _bucket(F.col(point_col), w)
     )
     joined = ptb.join(ivb, "_bkt", "inner").filter(
         (F.col(point_col) >= F.col(lo_col))
         & (F.col(point_col) <= F.col(hi_col))
     )
-    if how == "inner":
-        return joined.drop("_bkt")
-    # left: recover the no-match point rows by anti-joining the points
-    # against the matched point rows, then pad NULL interval columns
     matched = joined.drop("_bkt")
-    missing = points.join(
-        matched.select(*points.columns).distinct(),
-        points.columns,
-        "left_anti",
+    if how == "inner":
+        return matched
+    # left: recover the no-match point rows with a NULL-SAFE anti-join
+    # (plain column equality would re-emit any matched row containing
+    # a NULL as a spurious miss), then pad NULL interval columns
+    mp = matched.select(*points.columns).distinct()
+    cond = reduce(
+        lambda a, b: a & b,
+        [points[c].eqNullSafe(mp[c]) for c in points.columns],
     )
+    missing = points.join(mp, cond, "left_anti")
     for c in ivs.columns:
         missing = missing.withColumn(
             c, F.lit(None).cast(dict(ivs.dtypes)[c])

@@ -148,6 +148,13 @@ def near_dedup_stream(
             band_hashes(F.col("sig"), bands, rows_per_band)
         ).alias("band", "bh"),
     )
+    if state_ttl_minutes is not None and int(state_ttl_minutes) < 1:
+        # fail at plan time, not per micro-batch: ttl_ms=0 would make
+        # every live bucket's setTimeoutDuration raise inside the
+        # stateful operator (and fractional minutes truncate to 0)
+        raise ValueError(
+            f"state_ttl_minutes must be >= 1: {state_ttl_minutes}"
+        )
     out_schema = "_id long, rep_id long, n_eq int, band int"
     state_schema = "ids array<long>, sigs array<long>"
     ttl_ms = (

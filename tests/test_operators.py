@@ -970,6 +970,44 @@ def test_as_of_join_backward_forward_and_misses(spark):
                    direction="sideways")
 
 
+def test_as_of_join_null_semantics(spark):
+    """SQL-ASOF NULL rules: the qualifying right row is picked
+    ATOMICALLY (a NULL payload inside it stays NULL — no back-fill
+    from an older row), NULL right timestamps never qualify, and NULL
+    left timestamps resolve to NULL in both directions."""
+    from honas_spark.operators.asof import as_of_join
+
+    left = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", None)],
+        "id long, k string, ts long",
+    )
+    right = spark.createDataFrame(
+        [("a", 3, 1.0), ("a", 8, None), ("a", None, 9.0)],
+        "k string, ts long, v double",
+    )
+    back = {
+        r["id"]: (r["ts_asof"], r["v_asof"])
+        for r in as_of_join(
+            left, right, "k", "ts", "ts", ["v"]
+        ).collect()
+    }
+    # latest row at ts=8 has v=NULL: DuckDB ASOF returns (8, NULL),
+    # NOT (8, 1.0) — per-column ignorenulls would tear the rows
+    assert back[1] == (8, None)
+    assert back[2] == (None, None)   # NULL left ts: no match
+    fwd = {
+        r["id"]: (r["ts_asof"], r["v_asof"])
+        for r in as_of_join(
+            left, right, "k", "ts", "ts", ["v"],
+            direction="forward",
+        ).collect()
+    }
+    # forward from 10: nothing at-or-after (the NULL-ts right row with
+    # v=9.0 must not leak in)
+    assert fwd[1] == (None, None)
+    assert fwd[2] == (None, None)
+
+
 def test_as_of_join_plan_one_shuffle_no_join(spark):
     """The union+window form must plan WITHOUT any join operator:
     one exchange on the key feeding a partitioned window."""
@@ -1035,6 +1073,42 @@ def test_interval_join_semantics_and_plan(spark):
         for r in interval_join(points, ivs, "p", "lo", "hi").collect()
     }
     assert auto == got
+    # shared column names are rejected upfront (ambiguous join refs)
+    with pytest.raises(ValueError, match="share column names"):
+        interval_join(
+            points.withColumnRenamed("pid", "iid"), ivs,
+            "p", "lo", "hi",
+        )
+    # an interval wider than max_copies buckets raises clearly instead
+    # of materializing a huge sequence()
+    wide = spark.createDataFrame(
+        [(99, 0, 10_000_000)], "iid long, lo long, hi long"
+    )
+    with pytest.raises(ValueError, match="max_copies"):
+        interval_join(points, wide, "p", "lo", "hi",
+                      bucket_width=4, max_copies=100)
+
+
+def test_interval_join_left_null_column_no_duplicates(spark):
+    """The left form's miss recovery is NULL-SAFE: a matched point row
+    carrying a NULL column must not ALSO reappear as a spurious
+    NULL-padded miss (plain equality anti-join would re-emit it)."""
+    from honas_spark.operators.rangejoin import interval_join
+
+    points = spark.createDataFrame(
+        [(1, None, 5), (2, "t", 99)],
+        "pid long, tag string, p long",
+    )
+    ivs = spark.createDataFrame(
+        [(10, 0, 10)], "iid long, lo long, hi long"
+    )
+    rows = interval_join(
+        points, ivs, "p", "lo", "hi", bucket_width=4, how="left"
+    ).collect()
+    by_pid = {}
+    for r in rows:
+        by_pid.setdefault(r["pid"], []).append(r["iid"])
+    assert by_pid == {1: [10], 2: [None]}, by_pid
 
 
 def test_embedding_near_dup_srp_method(spark):
