@@ -920,6 +920,20 @@ def _q_span_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_dup_stats(docs, "doc_id", "text", k=8).orderBy("doc_id")
 
 
+def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling (Efraimidis-Spirakis with
+    hash-derived uniforms — the domain-mixing primitive): 150 docs by
+    n_chars weight.  The oracle recomputes the identical md5-uniform
+    and -ln(u)/w score; selection compares as a SET (both engines sort
+    by the same continuous score, ties broken on doc_id)."""
+    from honas_spark.operators.sampling import weighted_hash_sample
+
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    return weighted_hash_sample(
+        docs, "doc_id", "n_chars", k=150
+    ).orderBy("doc_id")
+
+
 def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of (point-in-time) join — the temporal operator Spark lacks
     natively, re-expressed as ONE union + partitioned running window
@@ -1350,6 +1364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_md5": _q_minhash_lsh_md5,
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
+        "weighted_sample": _q_weighted_sample,
     }.items()}
 
 
@@ -1727,6 +1742,20 @@ def oracle_sql() -> dict[str, str]:
                    sum(pid) AS sum_pid
             FROM pts JOIN ivs ON p >= lo AND p <= hi
             GROUP BY iid ORDER BY iid
+        """,
+        "weighted_sample": """
+            WITH s AS (
+                SELECT doc_id, n_chars,
+                       -ln((CAST(concat('0x',
+                            substr(md5('42' || CAST(doc_id AS VARCHAR)),
+                                   1, 15)) AS BIGINT) + 1)
+                           / 1152921504606846976.0)
+                       / n_chars AS score
+                FROM documents
+                WHERE n_chars IS NOT NULL AND n_chars > 0
+            )
+            SELECT doc_id, n_chars FROM s
+            ORDER BY score, doc_id LIMIT 150
         """,
         "srp_sign16": srp_sign16_sql,
         "bloom_membership": f"""

@@ -4,7 +4,10 @@ from .sketch_agg import (
 )
 from .probe import probe_sketches, cms_probe
 from .prefix_join import longest_prefix_join, cidr_longest_prefix_join
-from .sampling import hash_sample, stratified_hash_sample, top_k_by_hash
+from .sampling import (
+    hash_sample, stratified_hash_sample, top_k_by_hash,
+    weighted_hash_sample,
+)
 from .dedup import (
     connected_components, exact_duplicates, lsh_params,
     minhash_lsh_candidates, minhash_signatures, near_dedup,
@@ -19,6 +22,7 @@ __all__ = [
     "probe_sketches", "cms_probe",
     "longest_prefix_join", "cidr_longest_prefix_join",
     "hash_sample", "stratified_hash_sample", "top_k_by_hash",
+    "weighted_hash_sample",
     "connected_components", "exact_duplicates", "lsh_params",
     "minhash_lsh_candidates", "minhash_signatures", "near_dedup",
     "ngram_jaccard_pairs", "simhash", "simhash_near_pairs",

@@ -75,3 +75,50 @@ def top_k_by_hash(
         .filter(F.col("_rk") <= k)
         .drop("_rk")
     )
+
+
+def weighted_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "42",
+) -> DataFrame:
+    """Deterministic WEIGHTED sampling without replacement — the
+    Efraimidis-Spirakis A-Res scheme with the uniform draw derived
+    from a content hash instead of an RNG: the importance-sampling /
+    domain-mixing primitive (pick k documents with probability
+    proportional to weight, reproducibly).
+
+    score_i = -ln(u_i) / w_i with u_i = (md5-prefix(salt || key) + 1)
+    / 2^60 in (0, 1]; the k smallest scores are the sample (equivalent
+    to the classic max u^(1/w) ordering).  Deterministic: same corpus
+    + salt -> same sample on any cluster layout; cross-engine exact
+    (the SQL oracle recomputes the identical hash and formula — ties
+    break on the key).  Rows with NULL or non-positive weight never
+    qualify.
+
+    Physical shape: one codegen projection + a distributed top-k
+    (TakeOrderedAndProject — per-partition heaps, no global sort)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    key = F.col(key_col)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 15
+            ),
+            16, 10,
+        ).cast("long")
+        + 1
+    ) / F.lit(float(1 << 60))
+    score = -F.log(u) / F.col(weight_col)
+    return (
+        df.filter(
+            F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+        )
+        .withColumn("_wscore", score)
+        .orderBy("_wscore", key)
+        .limit(k)
+        .drop("_wscore")
+    )

@@ -80,3 +80,59 @@ def test_hash_bucket_range(spark):
     df = _docs(spark, 500).select(hash_bucket(F.col("text")).alias("b"))
     mm = df.agg(F.min("b"), F.max("b")).collect()[0]
     assert 0 <= mm[0] and mm[1] <= 99
+
+
+def test_weighted_hash_sample_properties(spark):
+    """Deterministic E-S weighted sampling: reproducible, matches a
+    local model of the same hash-uniform formula, excludes nonpositive
+    weights, and — across many salts — picks items with frequency
+    tracking their weights (the property that makes it an importance-
+    sampling primitive)."""
+    import hashlib
+    import math
+
+    import pytest
+
+    from honas_spark.operators.sampling import weighted_hash_sample
+
+    rows = [(i, (i % 7) + 1) for i in range(60)]
+    rows += [(100, 0), (101, None)]  # never selectable
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+
+    def model_scores(salt):
+        out = {}
+        for did, w in rows:
+            if not w:
+                continue
+            u = (int(hashlib.md5(
+                f"{salt}{did}".encode()).hexdigest()[:15], 16) + 1
+            ) / float(1 << 60)
+            out[did] = -math.log(u) / w
+        return out
+
+    got = [r["doc_id"] for r in weighted_hash_sample(
+        df, "doc_id", "w", k=20).collect()]
+    want = sorted(model_scores("42"), key=lambda d: (
+        model_scores("42")[d], d))[:20]
+    assert sorted(got) == sorted(want)
+    assert 100 not in got and 101 not in got
+    # determinism: second run identical
+    again = [r["doc_id"] for r in weighted_hash_sample(
+        df, "doc_id", "w", k=20).collect()]
+    assert sorted(again) == sorted(got)
+
+    # frequency tracks weight (local model over many salts): item with
+    # weight 7 must win the k=1 draw far more often than weight 1
+    wins = {1: 0, 7: 0}
+    weights = dict(rows)
+    for s in range(300):
+        sc = model_scores(str(s))
+        best = min(sc, key=lambda d: (sc[d], d))
+        wbest = weights[best]
+        if wbest in wins:
+            wins[wbest] += 1
+    # 9 docs have w=7, 9 have w=1: expected win ratio ~7:1 per doc
+    assert wins[7] > wins[1] * 3, wins
+
+    with pytest.raises(ValueError, match="k must be"):
+        weighted_hash_sample(df, "doc_id", "w", k=0)
