@@ -934,6 +934,21 @@ def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _q_weighted_sample_grp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group (per-source) deterministic weighted sampling — the
+    domain-quota form: 20 docs per source by n_chars weight, same
+    A-Res hash-uniform score, window top-k per group; SQL twin uses
+    row_number over the identical score."""
+    from honas_spark.operators.sampling import (
+        weighted_hash_sample_per_group,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    return weighted_hash_sample_per_group(
+        docs, ["source"], "doc_id", "n_chars", k=20
+    ).orderBy("doc_id")
+
+
 def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of (point-in-time) join — the temporal operator Spark lacks
     natively, re-expressed as ONE union + partitioned running window
@@ -1365,6 +1380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
         "weighted_sample": _q_weighted_sample,
+        "weighted_sample_grp": _q_weighted_sample_grp,
     }.items()}
 
 
@@ -1756,6 +1772,27 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, n_chars FROM s
             ORDER BY score, doc_id LIMIT 150
+        """,
+        "weighted_sample_grp": """
+            WITH s AS (
+                SELECT doc_id, source, n_chars,
+                       -ln((CAST(concat('0x',
+                            substr(md5('42' || CAST(doc_id AS VARCHAR)),
+                                   1, 15)) AS BIGINT) + 1)
+                           / 1152921504606846976.0)
+                       / n_chars AS score
+                FROM documents
+                WHERE n_chars IS NOT NULL AND n_chars > 0
+            ), r AS (
+                SELECT doc_id, source, n_chars,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY score, doc_id
+                       ) AS rn
+                FROM s
+            )
+            SELECT doc_id, source, n_chars FROM r
+            WHERE rn <= 20 ORDER BY doc_id
         """,
         "srp_sign16": srp_sign16_sql,
         "bloom_membership": f"""

@@ -6,7 +6,7 @@ from .probe import probe_sketches, cms_probe
 from .prefix_join import longest_prefix_join, cidr_longest_prefix_join
 from .sampling import (
     hash_sample, stratified_hash_sample, top_k_by_hash,
-    weighted_hash_sample,
+    weighted_hash_sample, weighted_hash_sample_per_group,
 )
 from .dedup import (
     connected_components, exact_duplicates, lsh_params,
@@ -22,7 +22,7 @@ __all__ = [
     "probe_sketches", "cms_probe",
     "longest_prefix_join", "cidr_longest_prefix_join",
     "hash_sample", "stratified_hash_sample", "top_k_by_hash",
-    "weighted_hash_sample",
+    "weighted_hash_sample", "weighted_hash_sample_per_group",
     "connected_components", "exact_duplicates", "lsh_params",
     "minhash_lsh_candidates", "minhash_signatures", "near_dedup",
     "ngram_jaccard_pairs", "simhash", "simhash_near_pairs",

@@ -122,3 +122,43 @@ def weighted_hash_sample(
         .limit(k)
         .drop("_wscore")
     )
+
+
+def weighted_hash_sample_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    key_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "42",
+) -> DataFrame:
+    """Per-group deterministic weighted sampling: k docs PER GROUP by
+    the same A-Res hash-uniform score as weighted_hash_sample — the
+    per-domain quota form of domain mixing (e.g. k docs per source,
+    weighted by quality).  One projection + a per-group window top-k
+    (rank over the partition, no global sort; group skew is plain
+    window skew)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    key = F.col(key_col)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 15
+            ),
+            16, 10,
+        ).cast("long")
+        + 1
+    ) / F.lit(float(1 << 60))
+    score = -F.log(u) / F.col(weight_col)
+    w = Window.partitionBy(*group_cols).orderBy(
+        score.asc(), key.asc()
+    )
+    return (
+        df.filter(
+            F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+        )
+        .withColumn("_wrank", F.row_number().over(w))
+        .filter(F.col("_wrank") <= k)
+        .drop("_wrank")
+    )

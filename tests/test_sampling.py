@@ -136,3 +136,33 @@ def test_weighted_hash_sample_properties(spark):
 
     with pytest.raises(ValueError, match="k must be"):
         weighted_hash_sample(df, "doc_id", "w", k=0)
+
+
+def test_weighted_hash_sample_per_group(spark):
+    """Per-group quota: exactly k winners per group (fewer when the
+    group is smaller), chosen by the same deterministic score as the
+    global form."""
+    from honas_spark.operators.sampling import (
+        weighted_hash_sample,
+        weighted_hash_sample_per_group,
+    )
+
+    rows = [(i, "g" + str(i % 3), (i % 5) + 1) for i in range(45)]
+    rows += [(100, "tiny", 4)]
+    df = spark.createDataFrame(rows, "doc_id long, g string, w long")
+    got = weighted_hash_sample_per_group(
+        df, ["g"], "doc_id", "w", k=4
+    ).collect()
+    by_g = {}
+    for r in got:
+        by_g.setdefault(r["g"], []).append(r["doc_id"])
+    assert {g: len(v) for g, v in by_g.items()} == {
+        "g0": 4, "g1": 4, "g2": 4, "tiny": 1
+    }
+    # per-group winners = the global form applied to that group alone
+    g0 = df.filter("g = 'g0'")
+    want = sorted(
+        r["doc_id"]
+        for r in weighted_hash_sample(g0, "doc_id", "w", k=4).collect()
+    )
+    assert sorted(by_g["g0"]) == want
