@@ -934,6 +934,28 @@ def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _q_pack_by_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing (pretraining document packing):
+    exclusive prefix token offsets in doc_id order + pack assignment
+    at a 4096-token budget, computed with the scale-safe
+    range-partitioned cumsum (no Exchange SinglePartition).  The
+    oracle is a plain window cumsum in SQL."""
+    from honas_spark.operators.packing import pack_by_budget
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.size(
+            F.filter(
+                F.split(F.col("text"), r"\s+"), lambda t: t != ""
+            )
+        ).cast("long").alias("n_toks"),
+    )
+    return pack_by_budget(toks, "doc_id", "n_toks", budget=4096).orderBy(
+        "doc_id"
+    )
+
+
 def _q_weighted_sample_grp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group (per-source) deterministic weighted sampling — the
     domain-quota form: 20 docs per source by n_chars weight, same
@@ -1381,6 +1403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": _q_range_join,
         "weighted_sample": _q_weighted_sample,
         "weighted_sample_grp": _q_weighted_sample_grp,
+        "pack_by_budget": _q_pack_by_budget,
     }.items()}
 
 
@@ -1793,6 +1816,26 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, source, n_chars FROM r
             WHERE rn <= 20 ORDER BY doc_id
+        """,
+        "pack_by_budget": """
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(len(list_filter(
+                           string_split_regex(text, '\\s+'),
+                           x -> x <> '')) AS BIGINT) AS n_toks
+                FROM documents
+            ), o AS (
+                SELECT doc_id, n_toks,
+                       CAST(coalesce(sum(n_toks) OVER (
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS BIGINT)
+                           AS "offset"
+                FROM t
+            )
+            SELECT doc_id, n_toks, "offset",
+                   CAST("offset" // 4096 AS BIGINT) AS pack_id
+            FROM o ORDER BY doc_id
         """,
         "srp_sign16": srp_sign16_sql,
         "bloom_membership": f"""

@@ -1199,3 +1199,31 @@ def test_srp_and_simhash_bits_guards(spark):
     tdf = spark.createDataFrame([(0, "x")], "doc_id long, text string")
     with pytest.raises(ValueError):
         simhash(tdf, "doc_id", "text", bits=65)
+
+
+def test_pack_by_budget_matches_local_and_plan(spark):
+    """Sequence packing: offsets equal a local prefix sum, pack_id =
+    floor(offset/budget), NULL/negative counts rejected — and the plan
+    has NO Exchange SinglePartition (the naive global-window cumsum
+    would serialize the corpus through one task)."""
+    from honas_spark.operators.packing import pack_by_budget
+
+    rows = [(i, (i * 7) % 13 + 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    out = pack_by_budget(df, "doc_id", "n", budget=50)
+    got = {r["doc_id"]: (r["offset"], r["pack_id"])
+           for r in out.collect()}
+    acc = 0
+    for did, n in rows:
+        assert got[did] == (acc, acc // 50), did
+        acc += n
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+
+    bad = spark.createDataFrame([(1, None)], "doc_id long, n long")
+    import pytest
+
+    with pytest.raises(ValueError, match="NULL/negative"):
+        pack_by_budget(bad, "doc_id", "n", budget=10)
+    with pytest.raises(ValueError, match="budget"):
+        pack_by_budget(df, "doc_id", "n", budget=0)
