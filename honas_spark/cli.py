@@ -558,9 +558,11 @@ def cmd_curate(args) -> int:
     n_unique_tokens/n_stopwords/n_punct, lang_guess, n_email/n_ipv4/
     n_phone + text_scrubbed, n_grams/n_uniq/max_gram/dup_occ,
     n_spans/n_dup_spans (cross-doc repeated-span signal),
-    component/keep (near-dup cluster + representative flag), and
-    contaminated when --eval is given.  Filter keep=1 AND
-    contaminated=0 downstream to materialize the curated corpus."""
+    component/keep (near-dup cluster + representative flag),
+    contaminated when --eval is given, and offset/pack_id (token-budget
+    shard assignment over the KEPT docs) when --pack-budget is given.
+    Filter keep=1 AND contaminated=0 downstream to materialize the
+    curated corpus; group by pack_id for ~budget-token shards."""
     import os
 
     from pyspark.sql import functions as F
@@ -577,6 +579,20 @@ def cmd_curate(args) -> int:
         num_hashes=args.num_hashes, shingle_n=args.shingle_n,
         span_k=args.span_k, decontam_n=args.decontam_n,
     )
+    if args.pack_budget:
+        # shard assignment for the docs that survive curation: packs
+        # of ~budget tokens in id order (kept docs only — dropped
+        # near-dups and contaminated docs never consume budget)
+        from .operators.packing import pack_by_budget
+
+        keepers = annotated.filter(F.col("keep") == 1)
+        if args.eval:
+            keepers = keepers.filter(F.col("contaminated") == 0)
+        packs = pack_by_budget(
+            keepers.select(id_col, "n_tokens"), id_col, "n_tokens",
+            args.pack_budget,
+        ).select(id_col, "offset", "pack_id")
+        annotated = annotated.join(packs, id_col, "left")
     annotated.write.mode("overwrite").parquet(args.output)
 
     back = spark.read.parquet(args.output)
@@ -747,6 +763,10 @@ def main(argv=None) -> int:
     cu.add_argument("--span-k", type=int, default=8,
                     help="token span width for the cross-doc repeated-"
                     "span (C4) signal")
+    cu.add_argument("--pack-budget", type=int, default=None,
+                    help="assign kept docs to ~N-token shards "
+                    "(offset/pack_id columns; pretraining sequence "
+                    "packing)")
     cu.set_defaults(fn=cmd_curate)
 
     args = p.parse_args(argv)

@@ -642,6 +642,27 @@ def test_curate_pipeline_end_to_end(spark, tmp_path):
     assert summary["n_contaminated"] == 1
     assert summary["langs"]["es"] == 1
 
+    # --pack-budget: kept+clean docs get contiguous token offsets and
+    # shard ids; dropped near-dups and contaminated docs get NULLs
+    out2 = tmp_path / "curated_packed"
+    assert main([
+        "curate", "--input", str(src), "--output", str(out2),
+        "--eval", str(ev), "--shingle-n", "2", "--num-hashes", "32",
+        "--decontam-n", "8", "--span-k", "2", "--pack-budget", "12",
+    ]) == 0
+    back2 = {r["doc_id"]: r
+             for r in spark.read.parquet(str(out2)).collect()}
+    assert back2[1]["pack_id"] is None   # dropped near-dup: no budget
+    assert back2[3]["pack_id"] is None   # contaminated: no budget
+    packed = sorted(
+        (r["offset"], r["doc_id"], r["n_tokens"], r["pack_id"])
+        for r in back2.values() if r["pack_id"] is not None
+    )
+    # docs 0 (10 toks) and 2 (9 toks) in id order at budget 12:
+    # exclusive offsets 0 and 10, both starting inside pack 0
+    # (a doc is assigned to the pack its first token lands in)
+    assert packed == [(0, 0, 10, 0), (10, 2, 9, 0)]
+
 
 def test_sector_mapping_duplicate_entity_last_wins(spark, tmp_path):
     """The reference's dict assignment makes the LAST CSV row win for a
