@@ -321,7 +321,7 @@ def run_queries(spark) -> dict:
         # compare per-query)
         "pareto_coverage", "span_dup", "pii_scrub", "dedup_clusters",
         # added round 5
-        "asof_join", "range_join",
+        "asof_join", "range_join", "weighted_sample", "pack_by_budget",
     ]
     qs = E.queries()
     # min-of-3 by default: the heaviest-codegen queries (32-wide

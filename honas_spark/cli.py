@@ -579,12 +579,17 @@ def cmd_curate(args) -> int:
         num_hashes=args.num_hashes, shingle_n=args.shingle_n,
         span_k=args.span_k, decontam_n=args.decontam_n,
     )
-    if args.pack_budget:
+    if args.pack_budget is not None:
         # shard assignment for the docs that survive curation: packs
         # of ~budget tokens in id order (kept docs only — dropped
-        # near-dups and contaminated docs never consume budget)
+        # near-dups and contaminated docs never consume budget).
+        # Checkpoint first: pack_by_budget runs eager actions against
+        # `keepers`, whose lineage is the WHOLE annotation transform —
+        # without it the expensive pipeline would execute ~3x (the
+        # packing actions plus the final write).
         from .operators.packing import pack_by_budget
 
+        annotated = annotated.localCheckpoint()
         keepers = annotated.filter(F.col("keep") == 1)
         if args.eval:
             keepers = keepers.filter(F.col("contaminated") == 0)

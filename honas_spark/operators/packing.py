@@ -39,13 +39,6 @@ def pack_by_budget(
     if budget < 1:
         raise ValueError(f"budget must be >= 1: {budget}")
     spark = df.sparkSession
-    bad = df.filter(
-        F.col(tokens_col).isNull() | (F.col(tokens_col) < 0)
-    ).count()
-    if bad:
-        raise ValueError(
-            f"{bad} row(s) have NULL/negative {tokens_col}"
-        )
     p = num_partitions or spark.sparkContext.defaultParallelism
     # localCheckpoint for the same reason as pareto.py: partition ids
     # must be one stable materialization for both the offsets job and
@@ -57,11 +50,39 @@ def pack_by_budget(
         .withColumn("_pid", F.spark_partition_id())
         .localCheckpoint()
     )
+    # the NULL/negative validation rides the SAME tiny offsets job
+    # (a dedicated count() would re-scan the whole upstream plan)
     parts = (
         ranged.groupBy("_pid")
-        .agg(F.sum(tokens_col).alias("_ps"))
+        .agg(
+            F.sum(tokens_col).alias("_ps"),
+            F.sum(
+                F.when(
+                    F.col(tokens_col).isNull()
+                    | (F.col(tokens_col) < 0),
+                    1,
+                ).otherwise(0)
+            ).alias("_bad"),
+        )
         .collect()
     )
+    bad = sum(int(r["_bad"] or 0) for r in parts)
+    if bad:
+        raise ValueError(
+            f"{bad} row(s) have NULL/negative {tokens_col}"
+        )
+    if not parts:
+        # empty input: an empty map literal would type as
+        # map<void,void> and fail analysis — return the typed empty
+        # result directly
+        return (
+            ranged.select(
+                id_col,
+                tokens_col,
+                F.lit(0).cast("long").alias("offset"),
+                F.lit(0).cast("long").alias("pack_id"),
+            ).limit(0)
+        )
     acc, offs = 0, {}
     for r in sorted(parts, key=lambda r: r["_pid"]):
         offs[r["_pid"]] = acc
@@ -85,8 +106,12 @@ def pack_by_budget(
             ).cast("long"),
         )
         .withColumn(
+            # integral `div`, not float `/`: double division desyncs
+            # the pack boundary from the oracle's exact `//` once the
+            # cumulative token count passes 2^53 (offset >= 0, so
+            # truncating div == floor div)
             "pack_id",
-            F.floor(F.col("offset") / F.lit(int(budget))).cast("long"),
+            F.expr(f"offset div {int(budget)}").cast("long"),
         )
         .select(id_col, tokens_col, "offset", "pack_id")
     )

@@ -77,6 +77,24 @@ def top_k_by_hash(
     )
 
 
+def _ares_score(key_col: str, weight_col: str, salt: str):
+    """The shared Efraimidis-Spirakis score expression:
+    -ln(u)/w with u = (md5-prefix(salt || key) + 1) / 2^60 in (0, 1].
+    One definition so the global and per-group samplers (and their SQL
+    oracles) can never drift apart."""
+    key = F.col(key_col)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 15
+            ),
+            16, 10,
+        ).cast("long")
+        + 1
+    ) / F.lit(float(1 << 60))
+    return -F.log(u) / F.col(weight_col)
+
+
 def weighted_hash_sample(
     df: DataFrame,
     key_col: str,
@@ -102,23 +120,13 @@ def weighted_hash_sample(
     (TakeOrderedAndProject — per-partition heaps, no global sort)."""
     if k < 1:
         raise ValueError(f"k must be >= 1: {k}")
-    key = F.col(key_col)
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 15
-            ),
-            16, 10,
-        ).cast("long")
-        + 1
-    ) / F.lit(float(1 << 60))
-    score = -F.log(u) / F.col(weight_col)
+    score = _ares_score(key_col, weight_col, salt)
     return (
         df.filter(
             F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
         )
         .withColumn("_wscore", score)
-        .orderBy("_wscore", key)
+        .orderBy("_wscore", F.col(key_col))
         .limit(k)
         .drop("_wscore")
     )
@@ -140,19 +148,9 @@ def weighted_hash_sample_per_group(
     window skew)."""
     if k < 1:
         raise ValueError(f"k must be >= 1: {k}")
-    key = F.col(key_col)
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 15
-            ),
-            16, 10,
-        ).cast("long")
-        + 1
-    ) / F.lit(float(1 << 60))
-    score = -F.log(u) / F.col(weight_col)
+    score = _ares_score(key_col, weight_col, salt)
     w = Window.partitionBy(*group_cols).orderBy(
-        score.asc(), key.asc()
+        score.asc(), F.col(key_col).asc()
     )
     return (
         df.filter(
