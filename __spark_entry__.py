@@ -920,6 +920,28 @@ def _q_span_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_dup_stats(docs, "doc_id", "text", k=8).orderBy("doc_id")
 
 
+def _q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries heavy hitters over the corpus token stream — the
+    mergeable frequency-summary sibling of CMS.  Gate configuration
+    runs with capacity far above the true distinct count, where the MG
+    algebra is provably EXACT (no pruning fires), so the two-phase
+    partial/merge plan pins hash-equal against plain SQL top-k counts;
+    the lossy path's n/c bound is asserted in tests."""
+    from honas_spark.operators.heavyhitters import heavy_hitters
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.col("text"), r"\s+"), lambda t: t != ""
+            )
+        ).alias("token")
+    )
+    return heavy_hitters(toks, "token", k=20, capacity=200_000).orderBy(
+        F.desc("est_count"), F.asc("token")
+    )
+
+
 def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted sampling (Efraimidis-Spirakis with
     hash-derived uniforms — the domain-mixing primitive): 150 docs by
@@ -1404,6 +1426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": _q_weighted_sample,
         "weighted_sample_grp": _q_weighted_sample_grp,
         "pack_by_budget": _q_pack_by_budget,
+        "heavy_hitters": _q_heavy_hitters,
     }.items()}
 
 
@@ -1836,6 +1859,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_toks, "offset",
                    CAST("offset" // 4096 AS BIGINT) AS pack_id
             FROM o ORDER BY doc_id
+        """,
+        "heavy_hitters": """
+            WITH toks AS (
+                SELECT unnest(list_filter(
+                    string_split_regex(text, '\\s+'),
+                    x -> x <> '')) AS token
+                FROM documents
+            )
+            SELECT token, CAST(count(*) AS BIGINT) AS est_count
+            FROM toks GROUP BY token
+            ORDER BY est_count DESC, token ASC LIMIT 20
         """,
         "srp_sign16": srp_sign16_sql,
         "bloom_membership": f"""

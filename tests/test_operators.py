@@ -1227,3 +1227,52 @@ def test_pack_by_budget_matches_local_and_plan(spark):
         pack_by_budget(bad, "doc_id", "n", budget=10)
     with pytest.raises(ValueError, match="budget"):
         pack_by_budget(df, "doc_id", "n", budget=0)
+
+
+def test_heavy_hitters_exact_and_bounded(spark):
+    """Misra-Gries heavy hitters: exact when capacity covers the
+    distinct count; at lossy capacity every estimate obeys
+    true - n/c <= est <= true and the genuinely frequent items
+    survive; merge is partition-layout independent in the exact
+    regime."""
+    from honas_spark.operators.heavyhitters import heavy_hitters
+
+    # Zipf-ish stream: token t_i appears ~1000/i times
+    rows = []
+    for i in range(1, 40):
+        rows += [(f"t{i:02d}",)] * (1000 // i)
+    df = spark.createDataFrame(rows, "token string")
+    n = len(rows)
+
+    exact = {r["token"]: r["est_count"]
+             for r in heavy_hitters(df, "token", k=10,
+                                    capacity=1000).collect()}
+    true = {}
+    for (t,) in rows:
+        true[t] = true.get(t, 0) + 1
+    top_true = dict(sorted(true.items(),
+                           key=lambda kv: (-kv[1], kv[0]))[:10])
+    assert exact == top_true
+
+    # exact regime is layout-independent
+    exact2 = {r["token"]: r["est_count"]
+              for r in heavy_hitters(df.repartition(13), "token", k=10,
+                                     capacity=1000).collect()}
+    assert exact2 == top_true
+
+    cap = 16
+    lossy = {r["token"]: r["est_count"]
+             for r in heavy_hitters(df, "token", k=10,
+                                    capacity=cap).collect()}
+    for t, est in lossy.items():
+        assert est <= true[t]
+        # two-level merge (per-batch + cross-partition): error still
+        # O(n/c) — allow the documented additive factor
+        assert est >= true[t] - 3 * (n // cap), (t, est, true[t])
+    # the top item is unmissable at this capacity
+    assert "t01" in lossy
+
+    import pytest
+
+    with pytest.raises(ValueError, match="capacity"):
+        heavy_hitters(df, "token", k=10, capacity=5)
