@@ -322,6 +322,7 @@ def run_queries(spark) -> dict:
         "pareto_coverage", "span_dup", "pii_scrub", "dedup_clusters",
         # added round 5
         "asof_join", "range_join", "weighted_sample", "pack_by_budget",
+        "heavy_hitters",
     ]
     qs = E.queries()
     # min-of-3 by default: the heaviest-codegen queries (32-wide
