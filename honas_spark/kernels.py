@@ -460,7 +460,7 @@ def _pack_nonzero(
         return None
     return (
         bytes([_HLL_SPARSE_MAGIC])
-        + np.uint32(nz.size).tobytes()
+        + np.array(nz.size, dtype="<u4").tobytes()
         + nz.astype(idx_dtype).tobytes()
         + flat[nz].astype(val_dtype).tobytes()
     )

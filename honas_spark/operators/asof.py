@@ -97,9 +97,14 @@ def as_of_join(
         if direction == "backward"
         else F.col("_asof_ts").desc_nulls_first()
     )
+    # the trailing _r orderBy is the deterministic tie-break among
+    # right rows sharing (key, ts): struct ordering is lexicographic
+    # over (right_ts, *right_cols), so last(ignorenulls) always picks
+    # the row the docstring promises, independent of partition layout.
+    # Left rows carry a NULL _r, so their relative order is moot.
     frame = (
         Window.partitionBy(*keys)
-        .orderBy(ts_order, F.col("_asof_side").asc())
+        .orderBy(ts_order, F.col("_asof_side").asc(), F.col("_r").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     out = combined.withColumn(

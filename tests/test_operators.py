@@ -1008,6 +1008,34 @@ def test_as_of_join_null_semantics(spark):
     assert fwd[2] == (None, None)
 
 
+def test_as_of_join_equal_ts_tie_break_deterministic(spark):
+    """Right rows sharing (key, ts) must resolve to the LAST one in
+    (ts, right_cols) struct order regardless of partition layout — the
+    window orderBy carries the _r struct as a tie-break (ADVICE r5:
+    without it the winner was partition-order dependent)."""
+    from honas_spark.operators.asof import as_of_join
+
+    rows = [("a", 10, float(v)) for v in (3, 1, 4, 1, 5, 9, 2, 6)]
+    left = spark.createDataFrame(
+        [(1, "a", 10)], "id long, k string, ts long"
+    )
+    for nparts in (1, 3, 8):
+        right = spark.createDataFrame(
+            rows, "k string, ts long, v double"
+        ).repartition(nparts)
+        got = as_of_join(
+            left, right, "k", "ts", "ts", ["v"]
+        ).collect()
+        assert (got[0]["ts_asof"], got[0]["v_asof"]) == (10, 9.0), (
+            nparts,
+            got,
+        )
+        fwd = as_of_join(
+            left, right, "k", "ts", "ts", ["v"], direction="forward"
+        ).collect()
+        assert (fwd[0]["ts_asof"], fwd[0]["v_asof"]) == (10, 9.0)
+
+
 def test_as_of_join_plan_one_shuffle_no_join(spark):
     """The union+window form must plan WITHOUT any join operator:
     one exchange on the key feeding a partitioned window."""
