@@ -1366,7 +1366,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         wrapper.__name__ = fn.__name__
         return wrapper
 
+    # ORDER MATTERS: the driver's correctness gate records only the
+    # FIRST 50 entries (CORRECTNESS_r04/r05 key sets are exactly
+    # positions 1-50 of this dict).  Entries that have never appeared
+    # in a driver snapshot go FIRST so every query eventually gets a
+    # hard-signal row; tools/check_oracle.py --emit covers all of them
+    # every round as CORRECTNESS_local.json.
     return {k: shipped(v) for k, v in {
+        "sha_guard": _q_sha_guard,
+        "curate": _q_curate,
+        "srp_pairs": _q_srp_pairs,
+        "minhash_lsh_md5": _q_minhash_lsh_md5,
+        "asof_join": _q_asof_join,
+        "range_join": _q_range_join,
+        "weighted_sample": _q_weighted_sample,
+        "weighted_sample_grp": _q_weighted_sample_grp,
+        "pack_by_budget": _q_pack_by_budget,
+        "heavy_hitters": _q_heavy_hitters,
         "bloom_membership": _q_bloom_membership,
         "hll_distinct_text": _q_hll_distinct_text,
         "distinct_exact": _q_distinct_exact,
@@ -1417,16 +1433,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "hash_sample": _q_hash_sample,
         "search_semantics": _q_search_semantics,
-        "sha_guard": _q_sha_guard,
-        "curate": _q_curate,
-        "srp_pairs": _q_srp_pairs,
-        "minhash_lsh_md5": _q_minhash_lsh_md5,
-        "asof_join": _q_asof_join,
-        "range_join": _q_range_join,
-        "weighted_sample": _q_weighted_sample,
-        "weighted_sample_grp": _q_weighted_sample_grp,
-        "pack_by_budget": _q_pack_by_budget,
-        "heavy_hitters": _q_heavy_hitters,
     }.items()}
 
 
