@@ -100,7 +100,21 @@ def _keyed_cache(spark, n_rows: int) -> str:
     return path
 
 
-def bench_sketch_build(spark, n_rows: int) -> dict:
+def _quiesce(spark) -> None:
+    """Reset heap/cache state between headline metrics: one metric's
+    leftovers (BENCH_r05: the ~50k cached sketch groups of hc-build
+    churn preceding the probe) must not become the next metric's
+    number.  clearCache drops every persisted relation; the explicit
+    JVM + Python GCs drain the garbage NOW instead of inside the next
+    timed region."""
+    import gc
+
+    spark.catalog.clearCache()
+    spark.sparkContext._jvm.System.gc()
+    gc.collect()
+
+
+def setup_sketch_build(spark, n_rows: int):
     """Headline: windowed multi-filter sketch build over n_rows files.
 
     The keyed input table is materialized to parquet ONCE (corpus
@@ -135,6 +149,18 @@ def bench_sketch_build(spark, n_rows: int) -> dict:
         n_groups = sk.count()
         return time.time() - t0, n_groups
 
+    meta = {
+        "n_keys": n_keys,
+        "spec": {"m_bits": spec.m_bits, "k": spec.k, "F": spec.num_filters},
+    }
+    return meta, once
+
+
+def bench_sketch_build(spark, n_rows: int) -> dict:
+    """Standalone cold + min-of-warm wrapper (used by --scaling
+    subprocesses, where each parallelism level is its own JVM)."""
+    meta, once = setup_sketch_build(spark, n_rows)
+
     # first run pays one-time whole-stage-codegen compilation + C2 JIT
     # tiering (size-independent); the best warm run is the sustained
     # throughput a long-lived cluster job sees
@@ -144,21 +170,21 @@ def bench_sketch_build(spark, n_rows: int) -> dict:
         "sec": warm_sec,
         "cold_sec": cold_sec,
         "files_per_sec": n_rows / warm_sec,
-        "keys_per_sec": n_keys / warm_sec,
-        "n_keys": n_keys,
+        "keys_per_sec": meta["n_keys"] / warm_sec,
+        "n_keys": meta["n_keys"],
         "sketch_groups": n_groups,
-        "spec": {"m_bits": spec.m_bits, "k": spec.k, "F": spec.num_filters},
+        "spec": meta["spec"],
     }
 
 
-def bench_sketch_build_hc(spark, n_rows: int) -> dict:
+def setup_sketch_build_hc(spark, n_rows: int):
     """High-GROUP-cardinality build: per-(window x repo) sketches over
     the same keyed corpus — tens of thousands of groups, a handful of
     keys each, so partial-sketch EXCHANGE volume (not key folding)
     dominates.  This is the shape the sparse partial serialization
     exists for: a 4-key partial ships ~hundreds of bytes of (idx, val)
     pairs instead of the dense half-megabyte row.  Reuses the cached
-    keyed parquet from bench_sketch_build."""
+    keyed parquet from setup_sketch_build."""
     from honas_spark.spec import SketchSpec
     from honas_spark.operators import build_sketches
 
@@ -186,14 +212,7 @@ def bench_sketch_build_hc(spark, n_rows: int) -> dict:
         n_groups = sk.count()
         return time.time() - t0, n_groups
 
-    cold_sec, n_groups = once()
-    warm_sec = min(once()[0], once()[0])
-    return {
-        "sec": warm_sec,
-        "cold_sec": cold_sec,
-        "groups_per_sec": n_groups / warm_sec,
-        "sketch_groups": n_groups,
-    }
+    return {}, once
 
 
 def bench_kernel_scaling(spark, n_keys: int) -> dict:
@@ -266,10 +285,14 @@ def bench_platform_ceiling(levels=(2, 8, 32), seconds: float = 6.0) -> dict:
     return out
 
 
-def bench_probe(spark, n_keys: int = 10000) -> dict:
+def setup_probe(spark, n_keys: int = 10000):
     """Probe throughput: a 10k-key search job against a built sketch
     table (reference anchor: >30k lookups/sec single-core,
-    README.md:880-884; one lookup = one (sketch row, key) probe)."""
+    README.md:880-884; one lookup = one (sketch row, key) probe).
+
+    Returns (meta, once, recache): `recache` re-pins the sketch store
+    after a _quiesce (clearCache drops it) so the timed region probes a
+    cached table, as a real long-lived sketch store would be."""
     import hashlib
     from honas_spark.spec import SketchSpec
     from honas_spark.operators import build_sketches
@@ -286,8 +309,11 @@ def bench_probe(spark, n_keys: int = 10000) -> dict:
     sk = build_sketches(
         keyed, spec, group_cols=["window_start"], client_col="repo",
         ts_col="commit_ts", mode="shuffle_keys",
-    ).coalesce(4).cache()
-    sk.count()
+    ).coalesce(4)
+
+    def recache():
+        sk.cache().count()
+
     queries = [
         (i, f"probe-{i}", hashlib.sha256(f"probe-{i}".encode()).digest())
         for i in range(n_keys)
@@ -298,72 +324,93 @@ def bench_probe(spark, n_keys: int = 10000) -> dict:
         n = probe_sketches(sk, spec, queries, ["window_start"]).count()
         return time.time() - t0, n
 
-    # same convention as the build bench: the first run pays one-time
-    # plan codegen; the best warm run is the sustained rate
+    return {"job_keys": n_keys}, once, recache
+
+
+def bench_probe(spark, n_keys: int = 10000) -> dict:
+    """Standalone cold + min-of-warm wrapper (isolated probe runs)."""
+    meta, once, recache = setup_probe(spark, n_keys)
+    recache()
     cold_sec, n = once()
     dt = min(once()[0], once()[0])
-    sk.unpersist()
     return {"sec": dt, "cold_sec": cold_sec,
-            "lookups_per_sec": n / dt, "lookups": n, "job_keys": n_keys}
+            "lookups_per_sec": n / dt, "lookups": n,
+            "job_keys": meta["job_keys"]}
 
 
-def run_queries(spark) -> dict:
-    import __spark_entry__ as E
-
-    names = [
-        "bloom_membership", "hll_distinct_text", "cms_token_counts",
-        "kll_quantiles", "window_rollup_events", "dedup_exact",
-        "token_jaccard_pairs", "minhash_lsh", "simhash", "textstats",
-        "knn_bruteforce", "knn_ivf", "pricing_summary",
-        "daily_rollup_counters", "search_e2e", "repetition_stats",
-        "decontaminate",
-        # added round 4 (totals are not like-for-like across rounds;
-        # compare per-query)
-        "pareto_coverage", "span_dup", "pii_scrub", "dedup_clusters",
-        # added round 5
-        "asof_join", "range_join", "weighted_sample", "pack_by_budget",
-        "heavy_hitters",
-    ]
-    qs = E.queries()
-    # min-of-3 by default: the heaviest-codegen queries (32-wide
-    # signature projections) need two runs just to finish JIT warmup on
-    # this box, so min-of-2 can record a still-cold number
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
-    # INTERLEAVED passes (all queries per pass, min per query across
-    # passes), not per-query consecutive reps: this virtualized box
-    # shows ~2x multi-second noise windows from neighboring load, and
-    # consecutive reps put one query's entire sample inside a single
-    # window (BENCH_r04 recorded minhash_lsh at 3.58 s that way; the
-    # sustained number is 1.5-2.1 s).  Interleaving spreads each
-    # query's samples across the run, pass 0 also serves as the
-    # codegen/JIT warmup for every plan, and the total cost is
-    # identical.
-    best: dict = {}
-    for _ in range(max(reps, 1)):
-        for name in names:
-            t0 = time.time()
-            qs[name](spark, SF_DIR).collect()
-            dt = time.time() - t0
-            if name not in best or dt < best[name]:
-                best[name] = dt
-    return {name: round(best[name], 3) for name in names}
+QUERY_NAMES = [
+    "bloom_membership", "hll_distinct_text", "cms_token_counts",
+    "kll_quantiles", "window_rollup_events", "dedup_exact",
+    "token_jaccard_pairs", "minhash_lsh", "simhash", "textstats",
+    "knn_bruteforce", "knn_ivf", "pricing_summary",
+    "daily_rollup_counters", "search_e2e", "repetition_stats",
+    "decontaminate",
+    # added round 4 (totals are not like-for-like across rounds;
+    # compare per-query)
+    "pareto_coverage", "span_dup", "pii_scrub", "dedup_clusters",
+    # added round 5
+    "asof_join", "range_join", "weighted_sample", "pack_by_budget",
+    "heavy_hitters",
+]
 
 
 def main_bench() -> dict:
+    """One sweep, ALL metrics interleaved.
+
+    Every metric (the three headline benches AND the entry queries) is
+    sampled once per pass, min-of-N across passes, with a _quiesce
+    between the headline metrics inside each pass.  Why: BENCH_r05
+    recorded probe at 25.2k lookups/s — 3-4x under its isolated rate —
+    purely because (a) consecutive reps sat inside one multi-second
+    neighbor-contention window on this virtualized box and (b) the hc
+    build's ~50k-group heap churn preceded it in the sweep.  Probe runs
+    FIRST in each pass (lightest heap, anchor metric); the raw
+    per-pass samples ship in the JSON (`rep_sec`) so any round's
+    committed number can be re-adjudicated without a rerun."""
+    import __spark_entry__ as E
+
     spark = _spark(CPUS)
-    queries = {}
-    build = bench_sketch_build(spark, CORPUS_ROWS)
-    queries["sketch_build"] = round(build["sec"], 3)
-    # high-group-cardinality variant (added r5): ~50k (hour x repo)
-    # groups of a few dozen keys — the sparse-partial-serialization
-    # shape (measured 27% faster than dense even on /dev/shm shuffle;
-    # the win is bytes, so a network-shuffled cluster gains more)
-    hc = bench_sketch_build_hc(spark, CORPUS_ROWS)
-    queries["sketch_build_hc"] = round(hc["sec"], 3)
-    probe = bench_probe(spark)
-    queries["bloom_probe"] = round(probe["sec"], 3)
-    queries.update(run_queries(spark))
+    # min-of-3 by default: the heaviest-codegen queries (32-wide
+    # signature projections) need two runs just to finish JIT warmup on
+    # this box, so min-of-2 can record a still-cold number.  Pass 0
+    # doubles as the codegen/JIT warmup for every plan.
+    reps = max(int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")), 1)
+
+    build_meta, build_once = setup_sketch_build(spark, CORPUS_ROWS)
+    hc_meta, hc_once = setup_sketch_build_hc(spark, CORPUS_ROWS)
+    probe_meta, probe_once, probe_recache = setup_probe(spark)
+    qs = E.queries()
+
+    samples: dict[str, list[float]] = {}
+    counts: dict[str, int] = {}
+
+    def record(name: str, dt: float) -> None:
+        samples.setdefault(name, []).append(dt)
+
+    for _ in range(reps):
+        _quiesce(spark)
+        probe_recache()
+        dt, counts["bloom_probe"] = probe_once()
+        record("bloom_probe", dt)
+        _quiesce(spark)
+        dt, counts["sketch_build"] = build_once()
+        record("sketch_build", dt)
+        # high-group-cardinality variant (added r5): ~50k (hour x repo)
+        # groups of a few dozen keys — the sparse-partial-serialization
+        # shape (27% faster than dense even on /dev/shm shuffle; the
+        # win is bytes, so a network-shuffled cluster gains more)
+        _quiesce(spark)
+        dt, counts["sketch_build_hc"] = hc_once()
+        record("sketch_build_hc", dt)
+        _quiesce(spark)
+        for name in QUERY_NAMES:
+            t0 = time.time()
+            qs[name](spark, SF_DIR).collect()
+            record(name, time.time() - t0)
     spark.stop()
+
+    order = ["sketch_build", "sketch_build_hc", "bloom_probe"] + QUERY_NAMES
+    queries = {name: round(min(samples[name]), 3) for name in order}
     total = round(sum(queries.values()), 3)
     return {
         "metric": "total_wall_sec",
@@ -373,8 +420,15 @@ def main_bench() -> dict:
         "sf": SF_DIR,
         "cpus": CPUS,
         "corpus_rows": CORPUS_ROWS,
-        "files_per_sec": round(build["files_per_sec"], 1),
-        "probe_lookups_per_sec": round(probe["lookups_per_sec"], 1),
+        "files_per_sec": round(CORPUS_ROWS / queries["sketch_build"], 1),
+        "probe_lookups_per_sec": round(
+            counts["bloom_probe"] / queries["bloom_probe"], 1
+        ),
+        # full per-pass samples: pass 0 is cold (codegen/JIT), later
+        # passes are warm; max/min spread documents this box's noise
+        "rep_sec": {
+            name: [round(s, 3) for s in samples[name]] for name in order
+        },
     }
 
 
