@@ -176,6 +176,37 @@ def _q_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_theta_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/KMV sibling — the set-operation gap: the reference only
+    approximates "hit in BOTH" at search time via the hit-bitmap AND
+    (src/bin/honas_search.c:303-314).  Distinct l_partkey sets per
+    l_returnflag, pairwise intersection AND union cardinalities from
+    the merged sketches.  k=4096 exceeds the per-flag distinct count at
+    gate SF, so the sketch runs in its exact regime and the DuckDB
+    INTERSECT-count twin checks the sketch itself; the estimator
+    regime is bound-tested in tests/test_bounds.py and kicks in
+    unchanged at sf0.1+."""
+    from honas_spark.operators.theta import (
+        theta_pair_ops,
+        theta_sketch_agg,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    sk = theta_sketch_agg(
+        li.select("l_returnflag", "l_partkey"),
+        ["l_returnflag"], "l_partkey", k=4096,
+    )
+    return (
+        theta_pair_ops(sk, ["l_returnflag"], k=4096)
+        .select(
+            F.col("l_returnflag_a").alias("flag_a"),
+            F.col("l_returnflag_b").alias("flag_b"),
+            "est_intersect", "est_union",
+        )
+        .orderBy("flag_a", "flag_b")
+    )
+
+
 def _q_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CMS sibling: token frequencies estimated from the sketch.  The
     sketch is wide enough (16384x4) that estimates equal exact counts on
@@ -1373,6 +1404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # hard-signal row; tools/check_oracle.py --emit covers all of them
     # every round as CORRECTNESS_local.json.
     return {k: shipped(v) for k, v in {
+        "theta_intersect": _q_theta_intersect,
         "sha_guard": _q_sha_guard,
         "curate": _q_curate,
         "srp_pairs": _q_srp_pairs,
@@ -1897,6 +1929,25 @@ def oracle_sql() -> dict[str, str]:
         "distinct_exact": """
             SELECT lang, count(DISTINCT text) AS n_distinct
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "theta_intersect": """
+            WITH s AS (
+                SELECT DISTINCT l_returnflag AS f, l_partkey AS p
+                FROM lineitem
+            ),
+            sizes AS (SELECT f, count(*) AS n FROM s GROUP BY f),
+            inter AS (
+                SELECT a.f AS fa, b.f AS fb, count(*) AS ni
+                FROM s a JOIN s b ON a.p = b.p AND a.f < b.f
+                GROUP BY 1, 2
+            )
+            SELECT pa.f AS flag_a, pb.f AS flag_b,
+                   coalesce(i.ni, 0) AS est_intersect,
+                   pa.n + pb.n - coalesce(i.ni, 0) AS est_union
+            FROM sizes pa
+            JOIN sizes pb ON pa.f < pb.f
+            LEFT JOIN inter i ON i.fa = pa.f AND i.fb = pb.f
+            ORDER BY flag_a, flag_b
         """,
         "cms_token_counts": """
             WITH toks AS (

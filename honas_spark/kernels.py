@@ -915,3 +915,90 @@ def estimate_clients_from_hits(hits: int, num_filters: int, filters_per_user: in
     if base <= 0:
         return 1.0
     return math.log(1.0 - frac) / math.log(base)
+
+
+# ---------------------------------------------------------------------------
+# KMV / theta distinct sketch — the set-operation sibling.  The reference
+# can only approximate an intersection through the search-time hit-bitmap
+# AND (src/bin/honas_search.c:303-314, group "hits_by_all_hostnames"); a
+# KMV sketch (k minimum hash values: Beyer et al., "On Synopses for
+# Distinct-Value Estimation under Multiset Operations", SIGMOD 2007) under
+# the same zero/update/merge/finalize protocol gives union AND
+# intersection cardinalities across arbitrary groups/windows.  State: the
+# <= k smallest DISTINCT uint64 hashes, sorted.  With fewer than k values
+# the sketch is EXACT (it holds every distinct hash); full, the k-th
+# minimum U gives the unbiased estimate (k-1) * 2^64 / U.  Set operations
+# follow the theta convention: cutoff = min over the inputs' (exclusive)
+# thresholds, count survivors below it, scale by 2^64 / cutoff.  The
+# cutoff stays an INTEGER end to end — no float round-trip can misplace a
+# hash relative to it.
+# ---------------------------------------------------------------------------
+
+_KMV_RANGE = 2 ** 64
+
+
+def kmv_zero() -> np.ndarray:
+    return np.empty(0, dtype=np.uint64)
+
+
+def kmv_update(state: np.ndarray, hashes: np.ndarray, k: int) -> np.ndarray:
+    """Fold a batch of uint64 hashes into the sketch (sorted unique,
+    truncated to the k smallest) — also the merge: update IS merge on
+    value sets, which is what makes the protocol trivially associative
+    and commutative."""
+    if hashes.size == 0:
+        return state
+    return np.unique(
+        np.concatenate([state, hashes.astype(np.uint64, copy=False)])
+    )[:k]
+
+
+def kmv_merge(a: np.ndarray, b: np.ndarray, k: int) -> np.ndarray:
+    return kmv_update(a, b, k)
+
+
+def kmv_cutoff(state: np.ndarray, k: int) -> int:
+    """Exclusive threshold: every hash < cutoff is retained.  2^64 (all
+    of hash space) while the sketch is exact; the k-th minimum once
+    full."""
+    return int(state[k - 1]) if state.size >= k else _KMV_RANGE
+
+
+def kmv_estimate(state: np.ndarray, k: int) -> float:
+    """Distinct-count estimate: exact below k, else (k-1)/theta with
+    theta = U/2^64 (relative error ~ 1/sqrt(k-2))."""
+    if state.size < k:
+        return float(state.size)
+    # max(U, 1): a zero k-th minimum (k=1 and the zero hash) must not
+    # divide by zero
+    return (k - 1) * float(_KMV_RANGE) / float(max(int(state[k - 1]), 1))
+
+
+def kmv_intersect_estimate(
+    a: np.ndarray, b: np.ndarray, k: int
+) -> float:
+    """|A intersect B| estimate: survivors below the joint cutoff,
+    scaled back by the sampled fraction.  Exact when both sketches are
+    exact (cutoff = 2^64 keeps everything and the scale is 1)."""
+    cut = min(kmv_cutoff(a, k), kmv_cutoff(b, k))
+    if cut >= _KMV_RANGE:
+        return float(np.intersect1d(a, b).size)
+    c = np.uint64(cut)
+    n = np.intersect1d(a[a < c], b[b < c]).size
+    return n * float(_KMV_RANGE) / float(max(cut, 1))
+
+
+def kmv_union_estimate(a: np.ndarray, b: np.ndarray, k: int) -> float:
+    return kmv_estimate(kmv_merge(a, b, k), k)
+
+
+def kmv_pack(state: np.ndarray) -> bytes:
+    """Little-endian uint64 array; already tiny (<= 8k bytes), so no
+    sparse variant is needed."""
+    return state.astype("<u8").tobytes()
+
+
+def kmv_unpack(buf: bytes) -> np.ndarray:
+    if len(buf) % 8:
+        raise ValueError(f"corrupt KMV buffer: len={len(buf)}")
+    return np.frombuffer(buf, dtype="<u8").astype(np.uint64)

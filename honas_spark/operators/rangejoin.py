@@ -24,9 +24,7 @@ DuckDB's plain inequality join is the oracle twin
 
 from __future__ import annotations
 
-from functools import reduce
-
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def _bucket(col, w):
@@ -53,9 +51,9 @@ def interval_join(
     lo <= point <= hi (inclusive both ends), as the point row's columns
     plus the interval row's columns.  how="left" also keeps point rows
     matching no interval, with NULL interval columns (point rows must
-    be distinct for the left form; note the left form evaluates the
-    bucketized join twice — once for matches, once inside the
-    null-safe anti-join — so persist upstream for very large inputs).
+    be distinct for the left form — it window-partitions the joined
+    output by the full point row to decide which misses to pad, so
+    duplicate unmatched point rows would collapse to one pad).
 
     Integer range columns; bucket_width=None derives W from the
     90th-percentile interval span (one scalar aggregate job).  Empty
@@ -105,27 +103,43 @@ def interval_join(
             )
         ),
     )
-    ptb = points.filter(F.col(point_col).isNotNull()).withColumn(
-        "_bkt", _bucket(F.col(point_col), w)
+    contained = (F.col(point_col) >= F.col(lo_col)) & (
+        F.col(point_col) <= F.col(hi_col)
     )
-    joined = ptb.join(ivb, "_bkt", "inner").filter(
-        (F.col(point_col) >= F.col(lo_col))
-        & (F.col(point_col) <= F.col(hi_col))
-    )
-    matched = joined.drop("_bkt")
     if how == "inner":
-        return matched
-    # left: recover the no-match point rows with a NULL-SAFE anti-join
-    # (plain column equality would re-emit any matched row containing
-    # a NULL as a spurious miss), then pad NULL interval columns
-    mp = matched.select(*points.columns).distinct()
-    cond = reduce(
-        lambda a, b: a & b,
-        [points[c].eqNullSafe(mp[c]) for c in points.columns],
-    )
-    missing = points.join(mp, cond, "left_anti")
-    for c in ivs.columns:
-        missing = missing.withColumn(
-            c, F.lit(None).cast(dict(ivs.dtypes)[c])
+        ptb = points.filter(F.col(point_col).isNotNull()).withColumn(
+            "_bkt", _bucket(F.col(point_col), w)
         )
-    return matched.unionByName(missing)
+        return ptb.join(ivb, "_bkt", "inner").filter(contained).drop(
+            "_bkt"
+        )
+
+    # left: ONE bucketized LEFT join (NULL points get a NULL bucket,
+    # which never equi-matches, so the left join preserves them), then
+    # one window over the full point row decides padding: containment
+    # rows pass through; a point with no containment row anywhere keeps
+    # exactly one representative, its interval columns nulled.  The
+    # former formulation ran the bucketized join TWICE (matches + a
+    # null-safe anti-join) — each input now scans once.
+    ptb = points.withColumn("_bkt", _bucket(F.col(point_col), w))
+    lj = ptb.join(ivb, "_bkt", "left").withColumn(
+        "_ok", F.coalesce(contained, F.lit(False))
+    )
+    byp = Window.partitionBy(*points.columns).orderBy(
+        F.col(lo_col).asc_nulls_first()
+    )
+    lj = lj.withColumn(
+        "_any",
+        F.max(F.col("_ok").cast("int")).over(
+            byp.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ),
+    ).withColumn("_rn", F.row_number().over(byp))
+    kept = lj.filter(
+        F.col("_ok") | ((F.col("_any") == 0) & (F.col("_rn") == 1))
+    )
+    pad = [
+        F.when(F.col("_ok"), F.col(c)).alias(c) for c in ivs.columns
+    ]
+    return kept.select(*points.columns, *pad)

@@ -120,3 +120,53 @@ def test_fpr_sweep_actual_vs_theoretical():
     for k in (2, 4, 7):
         row = [o for kk, n, f, o, b, d in sweep if kk == k]
         assert row == sorted(row), (k, row)
+
+
+def test_kmv_estimate_within_bound():
+    """KMV distinct estimate: exact below k; ~1/sqrt(k-2) relative
+    error when full (3 sigma at k=1024 is ~9.4%) — checked over several
+    disjoint uniform-hash populations."""
+    import numpy as np
+
+    from honas_spark import kernels as K
+
+    k = 1024
+    rng = np.random.default_rng(42)
+    # exact mode: everything retained
+    small = rng.integers(0, 2**63, size=500, dtype=np.uint64)
+    st = K.kmv_update(K.kmv_zero(), small, k)
+    assert K.kmv_estimate(st, k) == float(np.unique(small).size)
+    # estimate mode
+    for seed in (1, 2, 3):
+        rng = np.random.default_rng(seed)
+        vals = rng.integers(0, 2**64, size=100_000, dtype=np.uint64)
+        n = np.unique(vals).size
+        st = K.kmv_update(K.kmv_zero(), vals, k)
+        est = K.kmv_estimate(st, k)
+        assert abs(est - n) / n < 0.10, (seed, est, n)
+
+
+def test_kmv_intersection_and_union_within_bound():
+    """Theta set operations on overlapping uniform populations: the
+    scaled-survivor intersection and merged-sketch union track the true
+    cardinalities (looser bound — intersection variance grows as the
+    overlap shrinks relative to the union)."""
+    import numpy as np
+
+    from honas_spark import kernels as K
+
+    k = 4096
+    rng = np.random.default_rng(7)
+    shared = rng.integers(0, 2**64, size=30_000, dtype=np.uint64)
+    only_a = rng.integers(0, 2**64, size=50_000, dtype=np.uint64)
+    only_b = rng.integers(0, 2**64, size=40_000, dtype=np.uint64)
+    a_vals = np.concatenate([shared, only_a])
+    b_vals = np.concatenate([shared, only_b])
+    a = K.kmv_update(K.kmv_zero(), a_vals, k)
+    b = K.kmv_update(K.kmv_zero(), b_vals, k)
+    true_i = np.intersect1d(a_vals, b_vals).size
+    true_u = np.union1d(a_vals, b_vals).size
+    est_i = K.kmv_intersect_estimate(a, b, k)
+    est_u = K.kmv_union_estimate(a, b, k)
+    assert abs(est_u - true_u) / true_u < 0.10, (est_u, true_u)
+    assert abs(est_i - true_i) / true_i < 0.15, (est_i, true_i)

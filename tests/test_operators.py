@@ -1053,6 +1053,57 @@ def test_as_of_join_plan_one_shuffle_no_join(spark):
     assert "Window" in plan
 
 
+def test_as_of_join_hot_key_chunked_matches_unchunked(spark):
+    """Skew hardening: with ~90% of rows on one key and a threshold
+    that trips, the hot key must route to the CHUNKED window (the plan
+    partitions a window by (key, _chunk), so no single task sorts the
+    whole key) and produce results identical to the single-window
+    path — including equal-ts tie-breaks, NULL left timestamps, and
+    both directions."""
+    import random
+
+    from honas_spark.operators.asof import as_of_join
+
+    rnd = random.Random(7)
+    left = spark.createDataFrame(
+        [
+            (
+                i,
+                "hot" if i % 10 else f"cold{i}",
+                None if i % 97 == 0 else rnd.randrange(0, 5000),
+            )
+            for i in range(2000)
+        ],
+        "id long, k string, ts long",
+    ).repartition(8)
+    right = spark.createDataFrame(
+        [
+            (
+                "hot" if i % 10 else f"cold{(i * 7) % 2000}",
+                rnd.randrange(0, 5000),
+                float(i),
+            )
+            for i in range(1000)
+        ],
+        "k string, ts long, v double",
+    ).repartition(8)
+
+    for direction in ("backward", "forward"):
+        chunked = as_of_join(
+            left, right, "k", "ts", "ts", ["v"],
+            direction=direction, hot_key_threshold=200,
+        )
+        plain = as_of_join(
+            left, right, "k", "ts", "ts", ["v"],
+            direction=direction, hot_key_threshold=None,
+        )
+        plan = chunked._jdf.queryExecution().executedPlan().toString()
+        assert "_chunk" in plan, "hot key did not take the chunked path"
+        got = sorted(map(tuple, chunked.collect()))
+        want = sorted(map(tuple, plain.collect()))
+        assert got == want, (direction, got[:5], want[:5])
+
+
 def test_interval_join_semantics_and_plan(spark):
     """Bucketized range join: inclusive bounds, empty intervals never
     match, wide intervals match across buckets exactly once, left form
@@ -1091,6 +1142,19 @@ def test_interval_join_semantics_and_plan(spark):
     )
     assert "BroadcastNestedLoop" not in plan
     assert "CartesianProduct" not in plan
+    # the left form must evaluate the bucketized join ONCE: each input
+    # appears as exactly one scan (the old matched + anti-join shape
+    # scanned points 3x and intervals 2x)
+    lplan = (
+        interval_join(
+            points, ivs, "p", "lo", "hi", bucket_width=4, how="left"
+        )._jdf.queryExecution().executedPlan().toString()
+    )
+    nscan = lplan.count("LocalTableScan") + lplan.count(
+        "Scan ExistingRDD"
+    )
+    assert nscan == 2, lplan
+    assert "BroadcastNestedLoop" not in lplan
     import pytest
 
     with pytest.raises(ValueError, match="inner\\|left"):
@@ -1304,3 +1368,44 @@ def test_heavy_hitters_exact_and_bounded(spark):
 
     with pytest.raises(ValueError, match="capacity"):
         heavy_hitters(df, "token", k=10, capacity=5)
+
+
+def test_theta_sketch_agg_and_pair_ops(spark):
+    """Theta/KMV sibling end-to-end: per-group est_distinct is EXACT
+    below k (the sketch holds every distinct hash), pairwise
+    intersection/union match exact set algebra in exact mode, the pair
+    stage broadcasts the sketch table, and a small k still estimates
+    within the published ~1/sqrt(k) band."""
+    from honas_spark.operators.theta import theta_pair_ops, theta_sketch_agg
+
+    rows = [("g%d" % (i % 3), "v%d" % (i % 50 + (i % 3) * 30)) for i in range(600)]
+    df = spark.createDataFrame(rows, "g string, v string").repartition(8)
+    sk = theta_sketch_agg(df, ["g"], "v", k=1024)
+    got = {r["g"]: r["est_distinct"] for r in sk.collect()}
+    truth = {}
+    for g, v in rows:
+        truth.setdefault(g, set()).add(v)
+    assert got == {g: len(s) for g, s in truth.items()}
+
+    pairs = theta_pair_ops(sk, ["g"], k=1024)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan
+    pgot = {
+        (r["g_a"], r["g_b"]): (r["est_intersect"], r["est_union"])
+        for r in pairs.collect()
+    }
+    assert set(pgot) == {("g0", "g1"), ("g0", "g2"), ("g1", "g2")}
+    for (ga, gb), (ei, eu) in pgot.items():
+        assert ei == len(truth[ga] & truth[gb]), (ga, gb)
+        assert eu == len(truth[ga] | truth[gb]), (ga, gb)
+
+    # estimate mode: k far below the cardinality, still inside the band
+    big = spark.range(0, 40_000).select(
+        (F.col("id") % 2).alias("g"), F.col("id").alias("v")
+    )
+    est = {
+        r["g"]: r["est_distinct"]
+        for r in theta_sketch_agg(big, ["g"], "v", k=512).collect()
+    }
+    for g, n in ((0, 20_000), (1, 20_000)):
+        assert abs(est[g] - n) / n < 0.15, est

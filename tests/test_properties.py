@@ -442,3 +442,32 @@ def test_near_dedup_matches_local_model(spark):
             ).collect()
         }
         assert got == want, (trial, rows, got, want)
+
+
+kmv_vals = st.lists(
+    st.integers(min_value=0, max_value=2**64 - 1), min_size=0, max_size=60
+)
+
+
+@settings(max_examples=50, deadline=None)
+@given(kmv_vals, kmv_vals, kmv_vals, st.integers(min_value=2, max_value=16))
+def test_kmv_merge_associative_commutative_idempotent(v1, v2, v3, k):
+    """The KMV state (sorted k smallest distinct hashes) must be
+    identical under ANY merge ordering/grouping, self-merge, and
+    insert-vs-merge interleaving — the same exact-equality contract the
+    Bloom bitset algebra has."""
+    arrs = [np.array(v, dtype=np.uint64) for v in (v1, v2, v3)]
+    sks = [K.kmv_update(K.kmv_zero(), a, k) for a in arrs]
+    a, b, c = sks
+    left = K.kmv_merge(K.kmv_merge(a, b, k), c, k)
+    right = K.kmv_merge(a, K.kmv_merge(b, c, k), k)
+    swapped = K.kmv_merge(c, K.kmv_merge(a, b, k), k)
+    assert np.array_equal(left, right)
+    assert np.array_equal(left, swapped)
+    # idempotent
+    assert np.array_equal(K.kmv_merge(a, a, k), a)
+    # one-shot build == merged partials
+    whole = K.kmv_update(K.kmv_zero(), np.concatenate(arrs), k)
+    assert np.array_equal(left, whole)
+    # pack/unpack round-trips the state exactly
+    assert np.array_equal(K.kmv_unpack(K.kmv_pack(left)), left)
