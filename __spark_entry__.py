@@ -472,6 +472,50 @@ def _q_minhash_sigs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sig.select("doc_id", *cols).orderBy("doc_id")
 
 
+def _q_streaming_neardedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stateful streaming near-dedup path under the EXACT gate
+    (streaming/neardedupe.py): docs doc_id < 300 arrive as THREE
+    micro-batch waves in doc_id order, each wave a SEPARATE
+    availableNow run against one checkpoint — so a wave-3 match
+    against a wave-1 original proves band-bucket state survived two
+    restarts.  md5 signature family; because the waves preserve id
+    order and the matcher orders within a batch by id, "arrived
+    earlier" is exactly doc_id < — which the DuckDB twin evaluates
+    directly: per (doc, band), the best earlier same-band-slice match
+    with >= ceil(0.5*16) equal components, earliest id on ties."""
+    import tempfile
+
+    from honas_spark.streaming.neardedupe import near_dedup_stream
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 300).select(
+        "doc_id", "text"
+    )
+    base = tempfile.mkdtemp(prefix="honas_snd_")
+    src, out, ckpt = f"{base}/src", f"{base}/out", f"{base}/ckpt"
+    for lo, hi in ((0, 100), (100, 200), (200, 300)):
+        docs.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(
+            "doc_id long, text string"
+        ).parquet(src)
+        q = (
+            near_dedup_stream(
+                stream, num_hashes=16, bands=8, threshold=0.5,
+                max_bucket_size=10_000, hash_fn="md5",
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    return spark.read.parquet(out).select(
+        "doc_id", "rep_id", "n_eq", "band"
+    ).orderBy("doc_id", "band")
+
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints (rows-only: xxhash64 has no DuckDB analog;
     the md5 variant below puts the same math under the exact gate)."""
@@ -1405,6 +1449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # every round as CORRECTNESS_local.json.
     return {k: shipped(v) for k, v in {
         "theta_intersect": _q_theta_intersect,
+        "streaming_neardedup": _q_streaming_neardedup,
         "sha_guard": _q_sha_guard,
         "curate": _q_curate,
         "srp_pairs": _q_srp_pairs,
@@ -1806,11 +1851,64 @@ def oracle_sql() -> dict[str, str]:
         SELECT id_a, id_b, n_bands_matched FROM p
         WHERE n_bands_matched >= 1 ORDER BY id_a, id_b
     """
+    # streaming_neardedup: same md5 sig CTE at doc_id < 300; the
+    # stream's waves arrive in doc_id order, so "earlier member" is
+    # doc_id <.  Per (doc, band): members share the band's 2-slot
+    # signature slice; best = max equal-component count, earliest id on
+    # ties; emit when >= ceil(0.5 * 16) = 8.
+    _snd_eq = " + ".join(
+        f"(CASE WHEN a.s{i} = b.s{i} THEN 1 ELSE 0 END)"
+        for i in range(16)
+    )
+    _snd_bands = "\n            UNION ALL\n".join(
+        f"""            SELECT b.doc_id AS doc_id, a.doc_id AS rep_id,
+                   {_snd_eq} AS n_eq,
+                   {bb} AS band
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+             AND a.s{bb * 2} = b.s{bb * 2}
+             AND a.s{bb * 2 + 1} = b.s{bb * 2 + 1}"""
+        for bb in range(8)
+    )
+    streaming_neardedup_sql = f"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\\s+'),
+                               x -> x <> '') AS toks
+            FROM documents WHERE doc_id < 300
+        ), sh AS (
+            SELECT doc_id,
+                   toks[CAST(i AS INT)] || ' '
+                     || toks[CAST(i AS INT) + 1] AS s
+            FROM t, unnest(range(1, len(toks))) AS u(i)
+            WHERE len(toks) >= 2
+            UNION ALL
+            SELECT doc_id, array_to_string(toks, ' ') AS s
+            FROM t WHERE len(toks) = 1
+        ), sig AS (
+            SELECT doc_id,
+{_lsh_sig_mins}
+            FROM sh GROUP BY doc_id
+        ), cand AS (
+{_snd_bands}
+        ), best AS (
+            SELECT doc_id, rep_id, n_eq, band,
+                   row_number() OVER (
+                       PARTITION BY doc_id, band
+                       ORDER BY n_eq DESC, rep_id ASC
+                   ) AS rn
+            FROM cand
+        )
+        SELECT doc_id, rep_id, CAST(n_eq AS INT) AS n_eq,
+               CAST(band AS INT) AS band
+        FROM best WHERE rn = 1 AND n_eq >= 8
+        ORDER BY doc_id, band
+    """
     return {
         "simhash_md5": simhash_md5_sql,
         "curate": curate_sql,
         "srp_pairs": srp_pairs_sql,
         "minhash_lsh_md5": minhash_lsh_md5_sql,
+        "streaming_neardedup": streaming_neardedup_sql,
         # DuckDB's native ASOF JOIN verifies the union+window re-expression
         "asof_join": """
             WITH obs AS (

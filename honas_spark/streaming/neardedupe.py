@@ -108,6 +108,7 @@ def near_dedup_stream(
     threshold: float = 0.5,
     max_bucket_size: int = 200,
     state_ttl_minutes: "int | None" = None,
+    hash_fn: str = "xxhash64",
 ):
     """stream_df (streaming DataFrame with id_col, text_col) ->
     append-mode stream of (id, rep_id, n_eq, band): one row per band
@@ -123,7 +124,11 @@ def near_dedup_stream(
     The trade is documented recall: a near-copy arriving later than
     the TTL after its original is not flagged.  None (default) keeps
     state forever — right for bounded backfills and parity with the
-    batch operator."""
+    batch operator.
+
+    hash_fn: the MinHash family ("xxhash64" production default;
+    "md5" is the portable family the cross-engine oracle recomputes —
+    queries()["streaming_neardedup"])."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     from ..operators.dedup import band_hashes, minhash_signatures
@@ -136,7 +141,7 @@ def near_dedup_stream(
     min_eq = max(1, math.ceil(threshold * num_hashes))
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(
-        stream_df, id_col, text_col, num_hashes, n
+        stream_df, id_col, text_col, num_hashes, n, hash_fn=hash_fn
     ).withColumnRenamed(id_col, "_id")
     # the SAME banding expression as the batch LSH (operators/dedup.
     # band_hashes) — the stream's state-bucket keys are batch bucket
