@@ -207,6 +207,73 @@ def _q_theta_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus prep: deterministic pseudorandom permutation of the
+    document corpus (md5(seed:id) order) with a scale-safe global
+    position — range-repartition + per-partition prefix offsets, no
+    Exchange SinglePartition (the same pattern as pack_by_budget)."""
+    from honas_spark.operators.corpusprep import global_shuffle
+
+    return (
+        global_shuffle(_docs(spark, sf_dir), "doc_id", seed=7)
+        .select("doc_id", "shuffle_pos")
+        .orderBy("doc_id")
+    )
+
+
+def _q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus prep: train/val/test with EXACT per-language quotas
+    (rank over md5 order within stratum vs floor(n*cum_weight)
+    thresholds).  One shuffle on the strata; the zero-shuffle
+    approximate sibling is hash_split."""
+    from honas_spark.operators.corpusprep import stratified_split
+
+    return (
+        stratified_split(
+            _docs(spark, sf_dir), ["lang"], "doc_id", seed=3
+        )
+        .select("doc_id", "lang", "split")
+        .orderBy("doc_id")
+    )
+
+
+def _q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus prep: approximate-quota split as a PURE PROJECTION (md5
+    prefix -> uniform u in [0,1) -> label) — the 100 TB default, immune
+    to stratum skew, zero shuffle (plan-asserted)."""
+    from honas_spark.operators.corpusprep import hash_split
+
+    return (
+        hash_split(_docs(spark, sf_dir), "doc_id", seed=3)
+        .select("doc_id", "split")
+        .orderBy("doc_id")
+    )
+
+
+def _q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus prep: overlapping (max_tokens=32, stride=16) context
+    windows per document — one generate + projection, zero shuffle,
+    zero UDF."""
+    from honas_spark.operators.corpusprep import chunk_docs
+
+    return chunk_docs(
+        _docs(spark, sf_dir), "doc_id", "text",
+        max_tokens=32, stride=16,
+    ).orderBy("doc_id", "chunk_id")
+
+
+def _q_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus prep: per-document top-3 TF-IDF terms.  The rank key is
+    integer-exact (tf desc, doc_freq asc, term asc) so the selected
+    set never depends on float rounding; the tfidf score itself is
+    rounded to 4 decimals for the cross-engine hash."""
+    from honas_spark.operators.corpusprep import salient_terms
+
+    return salient_terms(
+        _docs(spark, sf_dir), "doc_id", "text", k=3
+    ).orderBy("doc_id", "rank")
+
+
 def _q_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CMS sibling: token frequencies estimated from the sketch.  The
     sketch is wide enough (16384x4) that estimates equal exact counts on
@@ -1448,6 +1515,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # hard-signal row; tools/check_oracle.py --emit covers all of them
     # every round as CORRECTNESS_local.json.
     return {k: shipped(v) for k, v in {
+        "global_shuffle": _q_global_shuffle,
+        "stratified_split": _q_stratified_split,
+        "hash_split": _q_hash_split,
+        "chunk_docs": _q_chunk_docs,
+        "salient_terms": _q_salient_terms,
         "theta_intersect": _q_theta_intersect,
         "streaming_neardedup": _q_streaming_neardedup,
         "sha_guard": _q_sha_guard,
@@ -1975,6 +2047,93 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, source, n_chars FROM r
             WHERE rn <= 20 ORDER BY doc_id
+        """,
+        "global_shuffle": """
+            SELECT doc_id,
+                   CAST(row_number() OVER (
+                       ORDER BY md5(concat('7', ':',
+                                    CAST(doc_id AS VARCHAR))), doc_id)
+                        - 1 AS BIGINT) AS shuffle_pos
+            FROM documents ORDER BY doc_id
+        """,
+        "stratified_split": """
+            WITH r AS (
+                SELECT doc_id, lang,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY md5(concat('3', ':',
+                                    CAST(doc_id AS VARCHAR))), doc_id
+                       ) AS rk,
+                       count(*) OVER (PARTITION BY lang) AS n
+                FROM documents
+            )
+            SELECT doc_id, lang,
+                   CASE WHEN rk <= floor(n * 0.9) THEN 'train'
+                        WHEN rk <= floor(n * 0.95) THEN 'val'
+                        ELSE 'test' END AS split
+            FROM r ORDER BY doc_id
+        """,
+        "hash_split": """
+            WITH u AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5(concat('3', ':',
+                            CAST(doc_id AS VARCHAR))), 1, 8))::UBIGINT
+                           / 4294967296.0 AS uu
+                FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN uu < 0.9 THEN 'train'
+                        WHEN uu < 0.95 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM u ORDER BY doc_id
+        """,
+        "chunk_docs": """
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(text, '\\s+'),
+                                   x -> x <> '') AS toks
+                FROM documents
+            ), s AS (
+                SELECT doc_id, toks,
+                       unnest(generate_series(0, len(toks) - 1, 16))
+                           AS st
+                FROM t WHERE len(toks) > 0
+            )
+            SELECT doc_id,
+                   CAST(st // 16 AS BIGINT) AS chunk_id,
+                   array_to_string(list_slice(toks, st + 1, st + 32),
+                                   ' ') AS chunk_text,
+                   CAST(len(list_slice(toks, st + 1, st + 32))
+                        AS BIGINT) AS chunk_tokens
+            FROM s ORDER BY doc_id, chunk_id
+        """,
+        "salient_terms": """
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(list_filter(
+                           string_split_regex(text, '\\s+'),
+                           x -> x <> '')) AS term
+                FROM documents
+            ), tf AS (
+                SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                FROM tok GROUP BY 1, 2
+            ), df AS (
+                SELECT term, CAST(count(*) AS BIGINT) AS doc_freq
+                FROM tf GROUP BY 1
+            ), n AS (
+                SELECT count(DISTINCT doc_id) AS nd FROM documents
+            ), j AS (
+                SELECT tf.doc_id, tf.term, tf.tf, df.doc_freq,
+                       round(tf.tf * ln((nd + 1) / (df.doc_freq + 1.0)),
+                             4) AS tfidf,
+                       CAST(row_number() OVER (
+                           PARTITION BY tf.doc_id
+                           ORDER BY tf.tf DESC, df.doc_freq ASC,
+                                    tf.term ASC) AS BIGINT) AS rank
+                FROM tf JOIN df USING (term) CROSS JOIN n
+            )
+            SELECT doc_id, term, tf, doc_freq, tfidf, rank
+            FROM j WHERE rank <= 3 ORDER BY doc_id, rank
         """,
         "pack_by_budget": """
             WITH t AS (

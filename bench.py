@@ -355,6 +355,8 @@ QUERY_NAMES = [
     # checkpointed streaming runs, a correctness fixture, not a
     # throughput number)
     "theta_intersect",
+    # corpus-prep family (round 6)
+    "global_shuffle", "stratified_split", "chunk_docs", "salient_terms",
 ]
 
 
