@@ -180,8 +180,8 @@ def _q_theta_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theta/KMV sibling — the set-operation gap: the reference only
     approximates "hit in BOTH" at search time via the hit-bitmap AND
     (src/bin/honas_search.c:303-314).  Distinct l_partkey sets per
-    l_returnflag, pairwise intersection AND union cardinalities from
-    the merged sketches.  k=4096 exceeds the per-flag distinct count at
+    l_returnflag; pairwise intersection, union AND both set
+    differences from the merged sketches.  k=4096 exceeds the per-flag distinct count at
     gate SF, so the sketch runs in its exact regime and the DuckDB
     INTERSECT-count twin checks the sketch itself; the estimator
     regime is bound-tested in tests/test_bounds.py and kicks in
@@ -202,6 +202,7 @@ def _q_theta_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_returnflag_a").alias("flag_a"),
             F.col("l_returnflag_b").alias("flag_b"),
             "est_intersect", "est_union",
+            "est_diff_ab", "est_diff_ba",
         )
         .orderBy("flag_a", "flag_b")
     )
@@ -2200,7 +2201,9 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT pa.f AS flag_a, pb.f AS flag_b,
                    coalesce(i.ni, 0) AS est_intersect,
-                   pa.n + pb.n - coalesce(i.ni, 0) AS est_union
+                   pa.n + pb.n - coalesce(i.ni, 0) AS est_union,
+                   pa.n - coalesce(i.ni, 0) AS est_diff_ab,
+                   pb.n - coalesce(i.ni, 0) AS est_diff_ba
             FROM sizes pa
             JOIN sizes pb ON pa.f < pb.f
             LEFT JOIN inter i ON i.fa = pa.f AND i.fb = pb.f

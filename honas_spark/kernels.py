@@ -992,6 +992,20 @@ def kmv_union_estimate(a: np.ndarray, b: np.ndarray, k: int) -> float:
     return kmv_estimate(kmv_merge(a, b, k), k)
 
 
+def kmv_diff_estimate(a: np.ndarray, b: np.ndarray, k: int) -> float:
+    """|A \\ B| estimate (a-not-b): A's survivors below the joint
+    cutoff that B does not hold, scaled back by the sampled fraction —
+    the same joint-cutoff construction as the intersection, so the
+    identity est(A) ~ est(A&B) + est(A\\B) holds within sketch error.
+    Exact when both sketches are exact."""
+    cut = min(kmv_cutoff(a, k), kmv_cutoff(b, k))
+    if cut >= _KMV_RANGE:
+        return float(np.setdiff1d(a, b).size)
+    c = np.uint64(cut)
+    n = np.setdiff1d(a[a < c], b[b < c]).size
+    return n * float(_KMV_RANGE) / float(max(cut, 1))
+
+
 def kmv_pack(state: np.ndarray) -> bytes:
     """Little-endian uint64 array; already tiny (<= 8k bytes), so no
     sparse variant is needed."""

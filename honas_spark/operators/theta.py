@@ -88,10 +88,11 @@ def theta_pair_ops(
     k: int = 4096,
 ) -> DataFrame:
     """All unordered group pairs of a `theta_sketch_agg` output ->
-    (group_a..., group_b..., est_intersect, est_union) as longs (exact
-    while both sketches are exact).  The G-row sketch table self-joins
-    with the _b side BROADCAST: G*(G-1)/2 pair rows of <= 16k sketch
-    bytes each, never the raw data."""
+    (group_a..., group_b..., est_intersect, est_union, est_diff_ab,
+    est_diff_ba) as longs (exact while both sketches are exact;
+    est_diff_ab = |A \\ B|).  The G-row sketch table self-joins with
+    the _b side BROADCAST: G*(G-1)/2 pair rows of <= 16k sketch bytes
+    each, never the raw data."""
     group_cols = list(group_cols)
     dtypes = dict(sketches.dtypes)
     a = sketches.select(
@@ -113,17 +114,20 @@ def theta_pair_ops(
             for c in group_cols
         )
         + ", est_intersect long, est_union long"
+        + ", est_diff_ab long, est_diff_ba long"
     )
 
     def ops(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if pdf.empty:
                 continue
-            inter, uni = [], []
+            inter, uni, dab, dba = [], [], [], []
             for sa, sb in zip(pdf["_sk_a"], pdf["_sk_b"]):
                 va, vb = K.kmv_unpack(sa), K.kmv_unpack(sb)
                 inter.append(int(round(K.kmv_intersect_estimate(va, vb, k))))
                 uni.append(int(round(K.kmv_union_estimate(va, vb, k))))
+                dab.append(int(round(K.kmv_diff_estimate(va, vb, k))))
+                dba.append(int(round(K.kmv_diff_estimate(vb, va, k))))
             out = {
                 f"{c}_{s}": pdf[f"{c}_{s}"]
                 for s in ("a", "b")
@@ -131,6 +135,8 @@ def theta_pair_ops(
             }
             out["est_intersect"] = inter
             out["est_union"] = uni
+            out["est_diff_ab"] = dab
+            out["est_diff_ba"] = dba
             yield pd.DataFrame(out)
 
     return pairs.mapInPandas(ops, schema=out_ddl)

@@ -170,3 +170,20 @@ def test_kmv_intersection_and_union_within_bound():
     est_u = K.kmv_union_estimate(a, b, k)
     assert abs(est_u - true_u) / true_u < 0.10, (est_u, true_u)
     assert abs(est_i - true_i) / true_i < 0.15, (est_i, true_i)
+    # a-not-b completes the algebra: same joint-cutoff construction,
+    # same bound regime; and the identity |A| ~ |A&B| + |A\B| holds
+    # within the combined sketch error
+    true_dab = np.setdiff1d(a_vals, b_vals).size
+    true_dba = np.setdiff1d(b_vals, a_vals).size
+    est_dab = K.kmv_diff_estimate(a, b, k)
+    est_dba = K.kmv_diff_estimate(b, a, k)
+    assert abs(est_dab - true_dab) / true_dab < 0.15, (est_dab, true_dab)
+    assert abs(est_dba - true_dba) / true_dba < 0.15, (est_dba, true_dba)
+    est_a = K.kmv_estimate(a, k)
+    assert abs((est_i + est_dab) - est_a) / est_a < 0.10
+    # exact regime: both sketches below k => set-exact differences
+    sa = K.kmv_update(K.kmv_zero(), a_vals[:1000], k)
+    sb = K.kmv_update(K.kmv_zero(), b_vals[:1000], k)
+    assert K.kmv_diff_estimate(sa, sb, k) == float(
+        np.setdiff1d(a_vals[:1000], b_vals[:1000]).size
+    )
