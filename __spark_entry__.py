@@ -208,6 +208,63 @@ def _q_theta_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked retrieval: Okapi BM25 of every document against a 3-term
+    probe query, computed as ONE codegen projection (per-term tf via
+    size(filter(tokens)) — no explode, no posting shuffle) plus two
+    scalar reductions whose results fold back in as literals.
+    Selection is integer-exact (n_hit_terms >= 1); the float score is
+    reported rounded to 4 decimals from an expression tree the oracle
+    evaluates verbatim."""
+    from honas_spark.operators.retrieval import bm25_scores
+
+    return bm25_scores(
+        _docs(spark, sf_dir), "doc_id", "text", ["hash", "join", "vector"]
+    ).orderBy("doc_id")
+
+
+def _q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE trainer inner loop, round 0: adjacent symbol-pair counts
+    over the char+</w> vocabulary, weighted by word frequency.  The
+    corpus collapses to the word-frequency table first (the only
+    full-corpus pass in BPE training); the pair aggregation the
+    trainer repeats every merge round is gated here exactly."""
+    from honas_spark.operators.bpetrain import bpe_pair_counts
+
+    return bpe_pair_counts(_docs(spark, sf_dir), "text").orderBy(
+        "left_sym", "right_sym"
+    )
+
+
+def _q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decontamination Bloom prefilter path: eval grams build a
+    broadcast Bloom bitset with the library's OWN sketch kernels
+    (distributed partials, sparse-packed, OR-merged), doc grams flow
+    through a vectorized numpy probe, and only survivors reach the
+    exact join — identical flags to the join path (same oracle as
+    decontaminate), ~100x less join input at 100 TB."""
+    from honas_spark.operators.quality import contamination_flags
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return contamination_flags(
+        docs, bench, "doc_id", "text", "text", n=4, method="bloom"
+    ).orderBy("doc_id")
+
+
+def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BPE training: 12 merge rounds on the document corpus —
+    iterative argmax + array-fold merge over the vocabulary table,
+    deterministic tie-break (count desc, pair asc).  No SQL oracle:
+    the iterative rewrite isn't practically expressible in one DuckDB
+    query; the trainer is instead pinned exactly against a pure-Python
+    Sennrich reference in tests/test_bpetrain.py, and its inner
+    aggregation is gated exactly as bpe_pair_counts."""
+    from honas_spark.operators.bpetrain import bpe_train
+
+    return bpe_train(_docs(spark, sf_dir), "text", 12).orderBy("rank")
+
+
 def _q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus prep: deterministic pseudorandom permutation of the
     document corpus (md5(seed:id) order) with a scale-safe global
@@ -1516,6 +1573,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # hard-signal row; tools/check_oracle.py --emit covers all of them
     # every round as CORRECTNESS_local.json.
     return {k: shipped(v) for k, v in {
+        "bm25_scores": _q_bm25_scores,
+        "bpe_pair_counts": _q_bpe_pair_counts,
+        "bpe_merges": _q_bpe_merges,
+        "decontaminate_bloom": _q_decontaminate_bloom,
         "global_shuffle": _q_global_shuffle,
         "stratified_split": _q_stratified_split,
         "hash_split": _q_hash_split,
@@ -1976,7 +2037,7 @@ def oracle_sql() -> dict[str, str]:
         FROM best WHERE rn = 1 AND n_eq >= 8
         ORDER BY doc_id, band
     """
-    return {
+    out = {
         "simhash_md5": simhash_md5_sql,
         "curate": curate_sql,
         "srp_pairs": srp_pairs_sql,
@@ -2048,6 +2109,86 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, source, n_chars FROM r
             WHERE rn <= 20 ORDER BY doc_id
+        """,
+        # BM25: the oracle evaluates the IDENTICAL expression tree
+        # (same literal placement, same left-associativity, every
+        # constant cast to DOUBLE — DuckDB parses bare 1.2 as DECIMAL)
+        # so the 4-decimal rounded score matches hash-exact; selection
+        # itself is on the integer n_hit_terms
+        "bm25_scores": r"""
+            WITH tok AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(text, '\s+'),
+                                   x -> x <> '') AS toks
+                FROM documents
+            ), per AS (
+                SELECT doc_id, len(toks) AS dl,
+                       len(list_filter(toks, x -> x = 'hash'))   AS tf0,
+                       len(list_filter(toks, x -> x = 'join'))   AS tf1,
+                       len(list_filter(toks, x -> x = 'vector')) AS tf2
+                FROM tok
+            ), s AS (
+                SELECT CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+                       CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS df0,
+                       CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS df1,
+                       CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS df2
+                FROM per
+            )
+            SELECT doc_id,
+                   CAST((CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)
+                      + (CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)
+                      + (CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)
+                        AS INTEGER) AS n_hit_terms,
+                   CAST(dl AS BIGINT) AS dl,
+                   round(CAST(0.0 AS DOUBLE)
+                     + ln(1 + (n - df0 + CAST(0.5 AS DOUBLE))
+                              / (df0 + CAST(0.5 AS DOUBLE)))
+                       * tf0 * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))
+                       / (tf0 + CAST(1.2 AS DOUBLE)
+                          * ((CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE))
+                             + CAST(0.75 AS DOUBLE) * dl / avgdl))
+                     + ln(1 + (n - df1 + CAST(0.5 AS DOUBLE))
+                              / (df1 + CAST(0.5 AS DOUBLE)))
+                       * tf1 * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))
+                       / (tf1 + CAST(1.2 AS DOUBLE)
+                          * ((CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE))
+                             + CAST(0.75 AS DOUBLE) * dl / avgdl))
+                     + ln(1 + (n - df2 + CAST(0.5 AS DOUBLE))
+                              / (df2 + CAST(0.5 AS DOUBLE)))
+                       * tf2 * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))
+                       / (tf2 + CAST(1.2 AS DOUBLE)
+                          * ((CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE))
+                             + CAST(0.75 AS DOUBLE) * dl / avgdl))
+                   , 4) AS score
+            FROM per CROSS JOIN s
+            WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
+            ORDER BY doc_id
+        """,
+        "bpe_pair_counts": r"""
+            WITH tok AS (
+                SELECT unnest(list_filter(
+                           string_split_regex(text, '\s+'),
+                           x -> x <> '')) AS word
+                FROM documents
+            ), wf AS (
+                SELECT word, CAST(count(*) AS BIGINT) AS freq
+                FROM tok GROUP BY 1
+            ), sym AS (
+                SELECT list_concat(string_split_regex(word, ''),
+                                   ['</w>']) AS s,
+                       freq
+                FROM wf
+            ), pr AS (
+                SELECT s[i] AS left_sym, s[i + 1] AS right_sym, freq
+                FROM sym, unnest(generate_series(1, len(s) - 1)) AS t(i)
+            )
+            SELECT left_sym, right_sym,
+                   CAST(sum(freq) AS BIGINT) AS pair_count
+            FROM pr GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "global_shuffle": """
             SELECT doc_id,
@@ -2958,3 +3099,6 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1 ORDER BY 1
         """,
     }
+    # the Bloom prefilter changes the plan, not the answer: same flags
+    out["decontaminate_bloom"] = out["decontaminate"]
+    return out

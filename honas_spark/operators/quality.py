@@ -12,6 +12,7 @@ second aggregation carries only (doc_id, count) pairs.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from ..functions.text import tokens
@@ -34,6 +35,46 @@ def ngrams(col, n: int = 2):
     ).otherwise(F.array().cast("array<string>"))
 
 
+def _gram_bloom_build(bgrams: DataFrame, fpr: float):
+    """Distributed Bloom build over an eval-gram hash column ``x``
+    (int64): per-partition partial bitsets (sparse-packed with the
+    sketch library's own bloom_pack) OR-merged on the driver.
+    -> (bitset bytes, m_bits, k)."""
+    import numpy as np
+
+    from .. import kernels as K
+
+    n = bgrams.count()
+    m_bits = max(1024, K.bloom_filter_size(fpr, max(n, 1)))
+    k = max(1, K.optimal_k(max(n, 1), m_bits))
+    m_bytes = (m_bits + 7) // 8
+
+    def build(batches):
+        filt = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            if filt is None:
+                filt = np.zeros(m_bytes, dtype=np.uint8)
+            x = pdf["x"].to_numpy(dtype=np.int64).view(np.uint64)
+            idx = K._cms_indexes(x, k, m_bits)
+            np.bitwise_or.at(
+                filt,
+                (idx >> 3).reshape(-1),
+                (np.uint8(1) << (idx & 7).astype(np.uint8)).reshape(-1),
+            )
+        if filt is not None:
+            yield pd.DataFrame(
+                {"part": [K.bloom_pack(filt.reshape(1, m_bytes))]}
+            )
+
+    parts = bgrams.mapInPandas(build, schema="part binary").collect()
+    filt = np.zeros(m_bytes, dtype=np.uint8)
+    for r in parts:
+        filt |= K.bloom_unpack(r["part"], 1, m_bytes).reshape(-1)
+    return filt.tobytes(), m_bits, k
+
+
 def contamination_flags(
     docs: DataFrame,
     bench: DataFrame,
@@ -42,6 +83,8 @@ def contamination_flags(
     bench_text_col: str = "text",
     n: int = 13,
     broadcast_bench: bool = True,
+    method: str = "join",
+    bloom_fpr: float = 0.01,
 ) -> DataFrame:
     """Benchmark decontamination — flag training documents that share
     any word n-gram with an evaluation set (the GPT-3 appendix-C /
@@ -56,7 +99,25 @@ def contamination_flags(
     prefixes (shuffle carries hashes, not text) and broadcast when
     small (the common case: eval suites are MBs against a 100 TB
     corpus); set broadcast_bench=False for a shuffle_hash semi-join
-    when the benchmark side is itself huge."""
+    when the benchmark side is itself huge.
+
+    method="bloom" targets the middle regime where the eval-gram set
+    is too big for an exact broadcast hash relation but fits as a
+    bitset (~10 bits/gram at the default 1% FPR vs ~50+ bytes/entry in
+    a broadcast hash table): the eval grams build a Bloom filter
+    DISTRIBUTIVELY with the library's own kernels (per-partition
+    partials, sparse-packed, OR-merged — A1/A2 dogfooded), the bitset
+    broadcasts to every task, and doc grams flow through a vectorized
+    numpy probe BEFORE the exact join.  Only survivors (true hits +
+    ~bloom_fpr of the stream) ever reach the join, so at 100 TB the
+    join input shrinks ~100x while the flags stay EXACT — the Bloom
+    has no false negatives and the exact join kills its false
+    positives (gated cross-engine as decontaminate_bloom against the
+    same oracle as the join path)."""
+    if method not in ("join", "bloom"):
+        raise ValueError(f"method must be 'join' or 'bloom': {method!r}")
+    if not (0.0 < bloom_fpr < 1.0):
+        raise ValueError(f"bloom_fpr must be in (0, 1): {bloom_fpr}")
     bgrams = (
         bench.select(
             F.explode(ngrams(F.col(bench_text_col), n)).alias("gram")
@@ -64,12 +125,44 @@ def contamination_flags(
         .select(F.substring(F.md5("gram"), 1, 16).alias("g"))
         .distinct()
     )
+    if method == "bloom":
+        bits, m_bits, bloom_k = _gram_bloom_build(
+            bgrams.select(F.xxhash64("g").alias("x")), bloom_fpr
+        )
+        bloom_bc = docs.sparkSession.sparkContext.broadcast(
+            (bits, m_bits, bloom_k)
+        )
     if broadcast_bench:
         bgrams = F.broadcast(bgrams)
     dgrams = _resplit_small(docs).select(
         F.col(id_col).alias("_id"),
         F.explode(ngrams(F.col(text_col), n)).alias("gram"),
     ).select("_id", F.substring(F.md5("gram"), 1, 16).alias("g"))
+    if method == "bloom":
+        import numpy as np
+
+        from .. import kernels as K
+
+        id_ddl = dgrams.schema["_id"].dataType.simpleString()
+
+        def bloom_probe(batches):
+            buf, mb, bk = bloom_bc.value
+            filt = np.frombuffer(buf, dtype=np.uint8)
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                x = pdf["x"].to_numpy(dtype=np.int64).view(np.uint64)
+                idx = K._cms_indexes(x, bk, mb)
+                hit = (
+                    (filt[idx >> 3] >> (idx & 7).astype(np.uint8)) & 1
+                ).all(axis=0)
+                out = pdf.loc[hit.astype(bool), ["_id", "g"]]
+                if len(out):
+                    yield out
+
+        dgrams = dgrams.withColumn("x", F.xxhash64("g")).mapInPandas(
+            bloom_probe, schema=f"_id {id_ddl}, g string"
+        )
     hits = (
         dgrams.join(bgrams, "g", "inner")
         .groupBy("_id")

@@ -523,6 +523,65 @@ def test_contamination_flags_hand_computed(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_contamination_bloom_method_matches_join(spark):
+    """The Bloom prefilter changes the plan, not the answer: identical
+    flags/counts to the exact join path, including at an FPR high
+    enough (20%) that false positives certainly reach — and die in —
+    the exact survivor join."""
+    from honas_spark.operators.quality import contamination_flags
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"word{i} alpha beta word{i + 1} gamma delta")
+            for i in range(60)
+        ]
+        + [(1000, "totally clean text nothing shared")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "unseen grams only")],
+        "bid long, text string",
+    )
+    kw = dict(n=2)
+    want = sorted(
+        tuple(r) for r in contamination_flags(
+            docs, bench, "doc_id", "text", "text", **kw
+        ).collect()
+    )
+    for fpr in (0.01, 0.2):
+        got = sorted(
+            tuple(r) for r in contamination_flags(
+                docs, bench, "doc_id", "text", "text",
+                method="bloom", bloom_fpr=fpr, **kw
+            ).collect()
+        )
+        assert got == want
+
+
+def test_contamination_bloom_empty_bench_and_validation(spark):
+    from honas_spark.operators.quality import contamination_flags
+
+    docs = spark.createDataFrame(
+        [(1, "some words here")], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame(
+        [(1, "x")], "bid long, text string"
+    ).filter("bid < 0")
+    out = contamination_flags(
+        docs, bench, "doc_id", "text", "text", n=2, method="bloom"
+    ).collect()
+    assert [r["contaminated"] for r in out] == [0]
+    with pytest.raises(ValueError):
+        contamination_flags(
+            docs, bench, "doc_id", "text", "text", method="nope"
+        )
+    with pytest.raises(ValueError):
+        contamination_flags(
+            docs, bench, "doc_id", "text", "text",
+            method="bloom", bloom_fpr=1.5,
+        )
+
+
 def test_pil_decoder_autodetect_both_ways(monkeypatch):
     """The real-decode wiring must activate when PIL is importable and
     stand down to the deterministic fake when it is not.  The sandbox
