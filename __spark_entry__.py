@@ -236,6 +236,36 @@ def _q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document span REMOVAL (RefinedWeb line-dedup as an action,
+    not just a signal): docs with doc_id % 5 == 0 are re-added under
+    shifted ids so 1/5 of the corpus has a true cross-doc duplicate;
+    every 8-token span seen in >= 2 distinct docs is dropped from ALL
+    of them and the survivors re-join in order.  Text never shuffles —
+    only (id, pos) integers come back from the fingerprint semi-join."""
+    from honas_spark.operators.quality import remove_dup_spans
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    dup = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return remove_dup_spans(
+        docs.unionAll(dup), "doc_id", "text", k=8
+    ).orderBy("doc_id")
+
+
+def _q_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-trained unigram cross-entropy (CCNet-style quality score):
+    per-token nll = ln(total/count) folded to fixed-point micro-nats so
+    the per-doc sum is an ORDER-FREE integer — exactly reproducible
+    across engines and reduction orders; avg_nll (4dp) rides along."""
+    from honas_spark.operators.quality import unigram_logprob
+
+    return unigram_logprob(_docs(spark, sf_dir), "doc_id", "text").orderBy(
+        "doc_id"
+    )
+
+
 def _q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The decontamination Bloom prefilter path: eval grams build a
     broadcast Bloom bitset with the library's OWN sketch kernels
@@ -1577,6 +1607,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pair_counts": _q_bpe_pair_counts,
         "bpe_merges": _q_bpe_merges,
         "decontaminate_bloom": _q_decontaminate_bloom,
+        "span_dedup": _q_span_dedup,
+        "unigram_nll": _q_unigram_nll,
         "global_shuffle": _q_global_shuffle,
         "stratified_split": _q_stratified_split,
         "hash_split": _q_hash_split,
@@ -2167,6 +2199,87 @@ def oracle_sql() -> dict[str, str]:
             FROM per CROSS JOIN s
             WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
             ORDER BY doc_id
+        """,
+        # span removal: list_slice(toks, a, b) is 1-based end-inclusive
+        # = Spark slice(toks, a, k); the duplicated-docs union mirrors
+        # the Spark query so 1/5 of the corpus truly dedups
+        "span_dedup": r"""
+            WITH docs AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 100000 AS doc_id, text FROM documents
+                WHERE doc_id % 5 = 0
+            ), t AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(text, '\s+'),
+                                   x -> x <> '') AS toks
+                FROM docs
+            ), sp AS (
+                SELECT doc_id, CAST(i AS INT) AS pos,
+                       array_to_string(
+                           list_slice(toks, i * 8 + 1, i * 8 + 8),
+                           ' ') AS span
+                FROM t, unnest(generate_series(
+                         0, CAST(ceil(len(toks) / 8.0) AS BIGINT) - 1)
+                     ) u(i)
+                WHERE len(toks) > 0
+            ), f AS (
+                SELECT doc_id, pos, span,
+                       substr(md5(span), 1, 16) AS s
+                FROM sp
+            ), shared AS (
+                SELECT s FROM f
+                GROUP BY s HAVING count(DISTINCT doc_id) >= 2
+            ), clean AS (
+                SELECT doc_id,
+                       string_agg(span, ' ' ORDER BY pos) AS text_clean,
+                       CAST(count(*) AS INT) AS n_kept
+                FROM f WHERE s NOT IN (SELECT s FROM shared)
+                GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   coalesce(text_clean, '') AS text_clean,
+                   CAST(CASE WHEN len(toks) > 0
+                        THEN ceil(len(toks) / 8.0) ELSE 0 END AS INT)
+                       AS n_spans,
+                   coalesce(n_kept, 0) AS n_kept
+            FROM t LEFT JOIN clean USING (doc_id)
+            ORDER BY t.doc_id
+        """,
+        # unigram nll: fixed-point micro-nats make the doc sum an
+        # integer (order-free), so only the per-TERM rounding of
+        # ln(total/cnt)*1e6 must agree — same libm, same expression
+        "unigram_nll": r"""
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(list_filter(
+                           string_split_regex(text, '\s+'),
+                           x -> x <> '')) AS term
+                FROM documents
+            ), v AS (
+                SELECT term, CAST(count(*) AS BIGINT) AS cnt
+                FROM tok GROUP BY 1
+            ), tot AS (
+                SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM v
+            ), nll AS (
+                SELECT term,
+                       CAST(round(ln(total / cnt) * 1e6, 0) AS BIGINT)
+                           AS m
+                FROM v CROSS JOIN tot
+            ), pd AS (
+                SELECT doc_id,
+                       CAST(count(*) AS BIGINT) AS n_toks,
+                       CAST(sum(m) AS BIGINT) AS sum_nll_micro
+                FROM tok JOIN nll USING (term) GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   coalesce(n_toks, 0) AS n_toks,
+                   coalesce(sum_nll_micro, 0) AS sum_nll_micro,
+                   CASE WHEN coalesce(n_toks, 0) > 0
+                        THEN round(sum_nll_micro / 1e6 / n_toks, 4)
+                        ELSE 0.0 END AS avg_nll
+            FROM documents d LEFT JOIN pd USING (doc_id)
+            ORDER BY d.doc_id
         """,
         "bpe_pair_counts": r"""
             WITH tok AS (

@@ -357,6 +357,11 @@ QUERY_NAMES = [
     "theta_intersect",
     # corpus-prep family (round 6)
     "global_shuffle", "stratified_split", "chunk_docs", "salient_terms",
+    # retrieval / tokenizer / bloom-gated decontam (round 6; bpe_merges
+    # is gate-only — 12 driver-synchronized merge rounds measure loop
+    # latency, not throughput; its inner aggregation is bpe_pair_counts)
+    "bm25_scores", "bpe_pair_counts", "decontaminate_bloom",
+    "span_dedup", "unigram_nll",
 ]
 
 

@@ -242,6 +242,129 @@ def spans(col, k: int = 8):
     ).otherwise(F.array().cast("array<string>"))
 
 
+def remove_dup_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document span REMOVAL (the RefinedWeb/CCNet line-dedup
+    action to span_dup_stats' signal): every non-overlapping k-token
+    span whose fingerprint occurs in >= min_docs DISTINCT documents is
+    dropped from ALL documents; the survivors re-join in order.
+
+    -> (id, text_clean, n_spans, n_kept).
+
+    Scale shape: document TEXT never shuffles.  Span fingerprints
+    (16-char md5 prefixes + positions) flow through the same
+    map-side-partial count_distinct + shuffle_hash semi-join as
+    span_dup_stats; only the REMOVED (id, pos) integer pairs come back,
+    and the cleaned text is rebuilt in place by an index-aware array
+    filter over the original row — one join whose payload is a handful
+    of ints per affected doc, zero content bytes in any exchange."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2: {min_docs}")
+    sp = _resplit_small(df).select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(spans(F.col(text_col), k)).alias("pos", "span"),
+    ).select(
+        "_id", "pos", F.substring(F.md5("span"), 1, 16).alias("s")
+    )
+    shared = (
+        sp.groupBy("s")
+        .agg(F.countDistinct("_id").alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("s")
+    )
+    removed = (
+        sp.join(shared.hint("shuffle_hash"), "s", "left_semi")
+        .groupBy("_id")
+        .agg(F.collect_list("pos").alias("_rm"))
+    )
+    # removed derives from df, so an unqualified df[id_col] == _id
+    # condition is ambiguous (both attributes live in the right plan
+    # too — Spark silently resolves it trivially-true); alias both
+    # sides to force the intended resolution
+    spans_arr = spans(F.col(f"d.{text_col}"), k)
+    rm = F.coalesce(F.col("r._rm"), F.array().cast("array<int>"))
+    kept = F.filter(
+        spans_arr, lambda x, i: ~F.array_contains(rm, i.cast("int"))
+    )
+    return (
+        df.alias("d")
+        .join(
+            removed.alias("r"),
+            F.col(f"d.{id_col}") == F.col("r._id"),
+            "left",
+        )
+        .select(
+            F.col(f"d.{id_col}").alias(id_col),
+            F.array_join(kept, " ").alias("text_clean"),
+            F.size(spans_arr).alias("n_spans"),
+            (F.size(spans_arr) - F.size(rm)).alias("n_kept"),
+        )
+    )
+
+
+def unigram_logprob(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Self-trained unigram cross-entropy — the CCNet-style "does this
+    look like the corpus?" quality score with the corpus itself as the
+    language model: nll(t) = ln(total_tokens / count(t)) per token,
+    doc score = mean token nll (low = stereotypical text, high = rare
+    garbage/noise).
+
+    -> (id, n_toks, sum_nll_micro, avg_nll) where sum_nll_micro is the
+    exact integer sum of round(nll * 1e6) per token — fixed-point so
+    the aggregate is ORDER-FREE (float sums depend on reduction order;
+    integer sums don't), which is what lets a cross-engine oracle
+    hash-match it exactly; avg_nll = sum/1e6/n_toks rounded to 4dp is
+    carried for consumers.
+
+    Scale shape: one vocabulary aggregation (map-side combined), the
+    per-term micro-nll table broadcasts back (vocabulary-sized), and
+    the doc aggregation ships only (id, long) pairs.  Zero-token docs
+    report 0/0.0."""
+    term_rows = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    )
+    vocab = term_rows.groupBy("term").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    total = vocab.agg(F.sum("_cnt")).first()[0] or 0
+    nll = vocab.select(
+        "term",
+        F.round(
+            F.log(F.lit(float(total)) / F.col("_cnt")) * 1e6, 0
+        ).cast("long").alias("_nll_micro"),
+    )
+    per_doc = (
+        term_rows.join(F.broadcast(nll), "term")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.sum("_nll_micro").alias("sum_nll_micro"),
+        )
+    )
+    base = df.select(F.col(id_col))
+    return base.join(per_doc, base[id_col] == per_doc["_id"], "left").select(
+        id_col,
+        F.coalesce("n_toks", F.lit(0)).alias("n_toks"),
+        F.coalesce("sum_nll_micro", F.lit(0)).alias("sum_nll_micro"),
+        F.when(
+            F.coalesce("n_toks", F.lit(0)) > 0,
+            F.round(
+                F.col("sum_nll_micro") / 1e6 / F.col("n_toks"), 4
+            ),
+        ).otherwise(F.lit(0.0)).alias("avg_nll"),
+    )
+
+
 def span_dup_stats(
     df: DataFrame, id_col: str, text_col: str, k: int = 8
 ) -> DataFrame:

@@ -523,6 +523,78 @@ def test_contamination_flags_hand_computed(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_remove_dup_spans_semantics(spark):
+    """Shared 8-token span removed from ALL docs, survivors re-join in
+    order, tail spans count, zero-token docs come back empty."""
+    from honas_spark.operators.quality import remove_dup_spans
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),   # span0 shared, span1 'i j'
+            (2, "a b c d e f g h x y"),   # span0 shared, span1 'x y'
+            (3, "unique words only here"),
+            (4, ""),
+            (5, "p q r s t u v w a b c d e f g h"),  # shared span at pos 1
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["text_clean"], r["n_spans"], r["n_kept"])
+        for r in remove_dup_spans(df, "doc_id", "text", k=8).collect()
+    }
+    assert got[1] == ("i j", 2, 1)
+    assert got[2] == ("x y", 2, 1)
+    assert got[3] == ("unique words only here", 1, 1)
+    assert got[4] == ("", 0, 0)
+    assert got[5] == ("p q r s t u v w", 2, 1)
+    with pytest.raises(ValueError):
+        remove_dup_spans(df, "doc_id", "text", k=0)
+    with pytest.raises(ValueError):
+        remove_dup_spans(df, "doc_id", "text", min_docs=1)
+
+
+def test_remove_dup_spans_repeat_within_one_doc_stays(spark):
+    """min_docs counts DISTINCT docs: a span repeated inside a single
+    document is not cross-doc duplication and must survive."""
+    from honas_spark.operators.quality import remove_dup_spans
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "c d e f")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["text_clean"]
+        for r in remove_dup_spans(df, "doc_id", "text", k=2).collect()
+    }
+    assert got[1] == "a b a b"
+
+
+def test_unigram_logprob_matches_local_model(spark):
+    import math
+
+    from honas_spark.operators.quality import unigram_logprob
+
+    corpus = [(1, "a a b"), (2, "a c"), (3, "")]
+    counts = {"a": 3, "b": 1, "c": 1}
+    total = 5
+    micro = {
+        t: round(math.log(total / c) * 1e6) for t, c in counts.items()
+    }
+    got = {
+        r["doc_id"]: (r["n_toks"], r["sum_nll_micro"], r["avg_nll"])
+        for r in unigram_logprob(
+            spark.createDataFrame(corpus, "doc_id long, text string"),
+            "doc_id", "text",
+        ).collect()
+    }
+    for doc_id, text in corpus:
+        toks = text.split()
+        s = sum(micro[t] for t in toks)
+        want_avg = round(s / 1e6 / len(toks), 4) if toks else 0.0
+        assert got[doc_id] == (len(toks), s, want_avg)
+    # rare-token doc scores higher than stereotypical doc
+    assert got[2][2] > got[1][2]
+
+
 def test_contamination_bloom_method_matches_join(spark):
     """The Bloom prefilter changes the plan, not the answer: identical
     flags/counts to the exact join path, including at an FPR high

@@ -87,6 +87,31 @@ NOTES = {
         "whole-stage codegen, ZERO shuffle and zero UDF "
         "(plan-asserted); parallelism is the input splits."
     ),
+    "bm25_scores": (
+        "Ranked retrieval as a SHUFFLE-FREE projection: per-term tf "
+        "and dl are array ops inside whole-stage codegen (no explode, "
+        "no posting list, no join); the two corpus stats reductions "
+        "run first and fold back as literals, so the scored scan is "
+        "Scan -> Project -> Filter with zero Exchange (plan-asserted "
+        "in tests/test_retrieval.py)."
+    ),
+    "span_dedup": (
+        "Span removal without shuffling text: fingerprints+positions "
+        "take the count_distinct + shuffle_hash semi-join path (same "
+        "de-skew shape as the LSH caps), only REMOVED (id, pos) int "
+        "pairs return, and the cleaned text is rebuilt in place by an "
+        "index-aware array filter over the original row; the final "
+        "join's build side is 'docs with removals' — small, AQE "
+        "broadcasts it."
+    ),
+    "decontaminate_bloom": (
+        "Bloom-gated decontamination: the eval grams build a "
+        "broadcast bitset with the library's own kernels (partials "
+        "sparse-packed, OR-merged), doc grams pass a vectorized "
+        "numpy probe BEFORE any join, so at scale only ~fpr of the "
+        "gram stream plus true hits reach the exact join that keeps "
+        "the flags exact."
+    ),
     "theta_intersect": (
         "Theta/KMV set operations: values hash JVM-side (xxhash64 in "
         "the codegen scan projection), partial sketches per split fold "
