@@ -236,6 +236,25 @@ def _q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_rebalance_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture rebalancing: keep the largest subset whose
+    source proportions exactly match integer parts 1:2:3 (cycling over
+    the 20 sources).  Quota arithmetic is integer end-to-end (limiting
+    source by ratio, quota = w*n_a // w_a) and in-source selection
+    ranks by the portable md5(seed:id) key, so the kept SET is
+    cross-engine exact."""
+    from honas_spark.operators.corpusprep import rebalance_sources
+
+    parts = {f"src{i}": (i % 3) + 1 for i in range(20)}
+    return (
+        rebalance_sources(
+            _docs(spark, sf_dir), "source", "doc_id", parts, seed=0
+        )
+        .select("doc_id", "source", "mix_rank")
+        .orderBy("doc_id")
+    )
+
+
 def _q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document span REMOVAL (RefinedWeb line-dedup as an action,
     not just a signal): docs with doc_id % 5 == 0 are re-added under
@@ -1609,6 +1628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_bloom": _q_decontaminate_bloom,
         "span_dedup": _q_span_dedup,
         "unigram_nll": _q_unigram_nll,
+        "rebalance_mix": _q_rebalance_mix,
         "global_shuffle": _q_global_shuffle,
         "stratified_split": _q_stratified_split,
         "hash_split": _q_hash_split,
@@ -2199,6 +2219,38 @@ def oracle_sql() -> dict[str, str]:
             FROM per CROSS JOIN s
             WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
             ORDER BY doc_id
+        """,
+        # mixture rebalancing: integer quota arithmetic (w*n_a // w_a)
+        # + md5 rank selection; the limiting-source argmin sorts the
+        # identical doubles with the same name tie-break
+        "rebalance_mix": f"""
+            WITH w(source, wt) AS (VALUES {", ".join(
+                f"('src{i}', {(i % 3) + 1})" for i in range(20))}),
+            n AS (
+                SELECT source, CAST(count(*) AS BIGINT) AS n
+                FROM documents GROUP BY 1
+            ), lim AS (
+                SELECT n.n AS n_a, w.wt AS w_a
+                FROM n JOIN w USING (source)
+                ORDER BY CAST(n.n AS DOUBLE) / w.wt ASC, source ASC
+                LIMIT 1
+            ), q AS (
+                SELECT w.source,
+                       CAST((w.wt * l.n_a) // l.w_a AS BIGINT) AS quota
+                FROM w CROSS JOIN lim l
+            ), r AS (
+                SELECT doc_id, source,
+                       CAST(row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY md5('0' || ':'
+                                        || CAST(doc_id AS VARCHAR)),
+                                    doc_id) AS BIGINT) AS mix_rank
+                FROM documents
+            )
+            SELECT r.doc_id, r.source, r.mix_rank
+            FROM r JOIN q USING (source)
+            WHERE mix_rank <= quota
+            ORDER BY r.doc_id
         """,
         # span removal: list_slice(toks, a, b) is 1-based end-inclusive
         # = Spark slice(toks, a, k); the duplicated-docs union mirrors

@@ -361,7 +361,7 @@ QUERY_NAMES = [
     # is gate-only — 12 driver-synchronized merge rounds measure loop
     # latency, not throughput; its inner aggregation is bpe_pair_counts)
     "bm25_scores", "bpe_pair_counts", "decontaminate_bloom",
-    "span_dedup", "unigram_nll",
+    "span_dedup", "unigram_nll", "rebalance_mix",
 ]
 
 

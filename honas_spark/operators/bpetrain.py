@@ -127,11 +127,21 @@ def bpe_train(
     text_col: str,
     num_merges: int,
     min_count: int = 2,
+    init_merges: "DataFrame | None" = None,
 ) -> DataFrame:
     """Learn a BPE merge table -> (rank, left_sym, right_sym, merged,
     pair_count), rank 0 first.  Stops early when no pair reaches
     min_count.  Deterministic under any partitioning (tie-break:
-    pair_count desc, left_sym asc, right_sym asc)."""
+    pair_count desc, left_sym asc, right_sym asc).
+
+    init_merges resumes an interrupted training: the prior merge table
+    (any prefix of a previous run's output) is replayed onto the fresh
+    vocabulary as pure projections — no pair counting — and learning
+    continues at the next rank until the table holds num_merges rows
+    TOTAL.  Because every round is deterministic, resume(k) + train to
+    n reproduces train(n) exactly (tested in tests/test_bpetrain.py);
+    persist the merge table each round and a days-long training
+    survives any restart."""
     if num_merges < 1:
         raise ValueError(f"num_merges must be >= 1: {num_merges}")
     if min_count < 1:
@@ -143,7 +153,35 @@ def bpe_train(
         .localCheckpoint()
     )
     merges: list[tuple[int, str, str, str, int]] = []
-    for rank in range(num_merges):
+    if init_merges is not None:
+        prior = init_merges.orderBy("rank").collect()
+        if [r["rank"] for r in prior] != list(range(len(prior))):
+            raise ValueError(
+                "init_merges ranks must be contiguous from 0"
+            )
+        if len(prior) > num_merges:
+            raise ValueError(
+                f"init_merges has {len(prior)} rows > num_merges"
+                f" {num_merges}"
+            )
+        for i, r in enumerate(prior):
+            merges.append(
+                (
+                    r["rank"], r["left_sym"], r["right_sym"],
+                    r["merged"], r["pair_count"],
+                )
+            )
+            vocab = vocab.select(
+                _merge_symbols(
+                    F.col("symbols"), r["left_sym"], r["right_sym"]
+                ).alias("symbols"),
+                "freq",
+            )
+            # flatten the replay every few folds (plans nest otherwise)
+            if (i + 1) % 8 == 0:
+                vocab = vocab.localCheckpoint()
+        vocab = vocab.localCheckpoint()
+    for rank in range(len(merges), num_merges):
         best = (
             _adjacent_pairs(vocab)
             .orderBy(

@@ -272,3 +272,75 @@ def salient_terms(
         .filter(F.col("rank") <= k)
         .select(id_col, "term", "tf", "doc_freq", "tfidf", "rank")
     )
+
+
+def rebalance_sources(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    target_parts: "Mapping[str, int]",
+    seed: int = 0,
+) -> DataFrame:
+    """Domain-mixture rebalancing (the Pile/DoReMi-style static data
+    mixing step): keep the LARGEST subset of the corpus whose source
+    proportions exactly match integer target parts (e.g. {"web": 70,
+    "books": 20, "code": 10}), by deterministically downsampling every
+    over-represented source.
+
+    -> df columns + `mix_rank` (long), filtered to the kept rows.
+
+    Exact-quota arithmetic is integer end-to-end: the limiting source
+    a = argmin n_s / w_s (ties by source name) fixes the scale, and
+    each quota is (w_s * n_a) // w_a — no float ever decides a row, so
+    a cross-engine oracle hash-matches the kept set.  Within a source,
+    rows rank by (md5(seed:id), id) — the same portable uniform key as
+    global_shuffle — so the selection is reproducible across runs,
+    layouts and cluster sizes.
+
+    Scale shape: one tiny groupBy-count collect (|sources| rows), one
+    shuffle on the source for the ranking window, quotas applied via a
+    broadcast join (no N-way CASE, so thousands of sources are fine).
+    A dominant source sorts in a single window task — when sources are
+    few and huge, the zero-shuffle approximation is a hash_split-style
+    filter with p_s = quota_s / n_s instead of exact ranks."""
+    if not target_parts:
+        raise ValueError("target_parts must be non-empty")
+    parts = {}
+    for s, w in target_parts.items():
+        if int(w) != w or w < 1:
+            raise ValueError(
+                f"target parts must be positive integers: {s}={w!r}"
+            )
+        parts[s] = int(w)
+    counts = {
+        r[source_col]: r["_n"]
+        for r in df.groupBy(source_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+    }
+    unknown = sorted(set(counts) - set(parts))
+    if unknown:
+        raise ValueError(f"sources without a target part: {unknown}")
+    spark = df.sparkSession
+    # limiting source: smallest n/w (double ratio + name tie-break —
+    # the oracle sorts the identical doubles); a part with no rows
+    # makes every quota 0 (the target mix is unsatisfiable without it)
+    ratios = sorted(
+        (counts.get(s, 0) / w, s) for s, w in parts.items()
+    )
+    _, a = ratios[0]
+    n_a, w_a = counts.get(a, 0), parts[a]
+    quotas = spark.createDataFrame(
+        [(s, (w * n_a) // w_a) for s, w in parts.items()],
+        f"{source_col} string, _quota long",
+    )
+    win = Window.partitionBy(source_col).orderBy(
+        F.asc("_mx_key"), F.asc(id_col)
+    )
+    return (
+        df.withColumn("_mx_key", _seeded_key(seed, F.col(id_col)))
+        .withColumn("mix_rank", F.row_number().over(win).cast("long"))
+        .join(F.broadcast(quotas), source_col)
+        .filter(F.col("mix_rank") <= F.col("_quota"))
+        .drop("_mx_key", "_quota")
+    )

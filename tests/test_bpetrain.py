@@ -140,3 +140,26 @@ def test_train_validation(spark):
         bpe_train(df, "text", 0)
     with pytest.raises(ValueError):
         bpe_train(df, "text", 5, min_count=0)
+
+
+def test_train_resume_reproduces_full_run(spark):
+    """Resumability: train(10) == train(5) -> resume(+5), row for row
+    — the determinism that makes a persisted merge table a checkpoint."""
+    df = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    full = [
+        tuple(r)
+        for r in bpe_train(df, "text", 10).orderBy("rank").collect()
+    ]
+    first5 = bpe_train(df, "text", 5)
+    resumed = [
+        tuple(r)
+        for r in bpe_train(
+            df, "text", 10, init_merges=first5
+        ).orderBy("rank").collect()
+    ]
+    assert resumed == full
+    with pytest.raises(ValueError):  # gap in ranks
+        bad = first5.filter("rank <> 2")
+        bpe_train(df, "text", 10, init_merges=bad)
+    with pytest.raises(ValueError):  # more prior merges than requested
+        bpe_train(df, "text", 3, init_merges=first5)

@@ -252,3 +252,68 @@ def test_salient_terms_ranking_and_scores(spark):
 def test_salient_terms_k_validation(spark):
     with pytest.raises(ValueError, match="k must be"):
         salient_terms(_docs(spark), "doc_id", "text", k=0)
+
+
+# ---------------------------------------------------------- rebalance
+
+
+def test_rebalance_sources_exact_mix_and_md5_prefix_selection(spark):
+    """Quotas are the integer-exact largest mix; the kept rows per
+    source are exactly the md5(seed:id)-smallest ids."""
+    import hashlib
+
+    from honas_spark.operators.corpusprep import rebalance_sources
+
+    rows = (
+        [(i, "A") for i in range(10)]
+        + [(100 + i, "B") for i in range(4)]
+        + [(200, "C")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = rebalance_sources(
+        df, "source", "doc_id", {"A": 5, "B": 2, "C": 1}, seed=3
+    ).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r["doc_id"])
+    # limiting source is C (1/1=1 < 10/5, 4/2): quotas A=5, B=2, C=1
+    assert {s: len(v) for s, v in by_src.items()} == {
+        "A": 5, "B": 2, "C": 1
+    }
+    for src, ids, quota in (("A", range(10), 5), ("B", range(100, 104), 2)):
+        order = sorted(
+            ids, key=lambda i: (hashlib.md5(f"3:{i}".encode()).hexdigest(), i)
+        )
+        assert sorted(by_src[src]) == sorted(order[:quota])
+    # mix_rank is 1..quota within each source
+    ranks = {}
+    for r in out:
+        ranks.setdefault(r["source"], []).append(r["mix_rank"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in ranks.values())
+
+
+def test_rebalance_sources_layout_invariant_and_validation(spark):
+    import pytest
+
+    from honas_spark.operators.corpusprep import rebalance_sources
+
+    rows = [(i, f"s{i % 3}") for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    parts = {"s0": 3, "s1": 1, "s2": 2}
+    base = sorted(
+        (r["doc_id"], r["mix_rank"])
+        for r in rebalance_sources(df, "source", "doc_id", parts).collect()
+    )
+    relaid = sorted(
+        (r["doc_id"], r["mix_rank"])
+        for r in rebalance_sources(
+            df.repartition(13, "doc_id"), "source", "doc_id", parts
+        ).collect()
+    )
+    assert base == relaid and len(base) > 0
+    with pytest.raises(ValueError):
+        rebalance_sources(df, "source", "doc_id", {})
+    with pytest.raises(ValueError):
+        rebalance_sources(df, "source", "doc_id", {"s0": 0, "s1": 1, "s2": 1})
+    with pytest.raises(ValueError):  # observed source without a part
+        rebalance_sources(df, "source", "doc_id", {"s0": 1, "s1": 1})
