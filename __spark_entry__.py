@@ -285,6 +285,46 @@ def _q_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional bigram cross-entropy: nll(w2|w1) = ln(c(w1,.)/
+    c(w1,w2)) in fixed-point micro-nats (order-free integer per-doc
+    sums, like unigram_nll) — the transition-rarity quality score that
+    catches word salad a unigram filter passes."""
+    from honas_spark.operators.quality import bigram_logprob
+
+    return bigram_logprob(_docs(spark, sf_dir), "doc_id", "text").orderBy(
+        "doc_id"
+    )
+
+
+def _q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment pairs (doc_id < 200, unigram shingles):
+    |A∩B| * 5 >= min(|A|,|B|) * 4, pure integer arithmetic — the
+    one-doc-inside-another duplication Jaccard misses."""
+    from honas_spark.operators.dedup import token_containment_pairs
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    return token_containment_pairs(
+        docs, "doc_id", "text", n=1, min_num=4, min_den=5,
+        max_shingle_freq=None,
+    ).orderBy("id_a", "id_b")
+
+
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style ACTION over the embedding near-dup pair graph
+    (vec_id < 300, cosine >= 0.3, exact all-pairs bucket): connected
+    components -> min-id representative per component; singletons keep
+    themselves.  The oracle recomputes the closure as a recursive CTE
+    over the same cosine edges."""
+    from honas_spark.operators.knn import semantic_dedup
+
+    emb = _emb(spark, sf_dir).filter(F.col("vec_id") < 300)
+    return semantic_dedup(
+        emb, "vec_id", "embedding", min_sim=0.3,
+        n_centroids=1, max_bucket_size=None,
+    ).orderBy("vec_id")
+
+
 def _q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The decontamination Bloom prefilter path: eval grams build a
     broadcast Bloom bitset with the library's OWN sketch kernels
@@ -1628,6 +1668,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_bloom": _q_decontaminate_bloom,
         "span_dedup": _q_span_dedup,
         "unigram_nll": _q_unigram_nll,
+        "bigram_nll": _q_bigram_nll,
+        "containment_pairs": _q_containment_pairs,
+        "semantic_dedup": _q_semantic_dedup,
         "rebalance_mix": _q_rebalance_mix,
         "global_shuffle": _q_global_shuffle,
         "stratified_split": _q_stratified_split,
@@ -2332,6 +2375,94 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 0.0 END AS avg_nll
             FROM documents d LEFT JOIN pd USING (doc_id)
             ORDER BY d.doc_id
+        """,
+        # conditional bigram nll: the w1 marginal is a window sum over
+        # the bigram vocabulary (same integers Spark re-aggregates);
+        # both engines evaluate ln(double(c1)/c12), fold to micro-nats
+        "bigram_nll": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(text, '\s+'),
+                                   x -> x <> '') AS t
+                FROM documents
+            ), bg AS (
+                SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+                FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+            ), v12 AS (
+                SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+                FROM bg GROUP BY 1, 2
+            ), nll AS (
+                SELECT w1, w2,
+                       CAST(round(ln(CAST(sum(c12) OVER (PARTITION BY w1)
+                                          AS DOUBLE) / c12) * 1e6, 0)
+                            AS BIGINT) AS m
+                FROM v12
+            ), pd AS (
+                SELECT doc_id,
+                       CAST(count(*) AS BIGINT) AS n_bigrams,
+                       CAST(sum(m) AS BIGINT) AS sum_nll_micro
+                FROM bg JOIN nll USING (w1, w2) GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   coalesce(n_bigrams, 0) AS n_bigrams,
+                   coalesce(sum_nll_micro, 0) AS sum_nll_micro,
+                   CASE WHEN coalesce(n_bigrams, 0) > 0
+                        THEN round(sum_nll_micro / 1e6 / n_bigrams, 4)
+                        ELSE 0.0 END AS avg_nll
+            FROM documents d LEFT JOIN pd USING (doc_id)
+            ORDER BY d.doc_id
+        """,
+        # asymmetric containment: same inverted index as
+        # token_jaccard_pairs, least()-side integer threshold
+        "containment_pairs": r"""
+            WITH sh AS (
+                SELECT DISTINCT doc_id AS id, t.token AS sh
+                FROM documents,
+                     unnest(list_filter(string_split_regex(text, '\s+'),
+                                        x -> x <> '')) AS t(token)
+                WHERE doc_id < 200
+            ),
+            sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+            inter AS (
+                SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+                FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+                GROUP BY 1, 2
+            )
+            SELECT i.id_a, i.id_b, i.inter,
+                   sa.n_sh AS n_a, sb.n_sh AS n_b
+            FROM inter i
+            JOIN sizes sa ON sa.id = i.id_a
+            JOIN sizes sb ON sb.id = i.id_b
+            WHERE i.inter * 5 >= least(sa.n_sh, sb.n_sh) * 4
+            ORDER BY i.id_a, i.id_b
+        """,
+        # SemDeDup action: cosine edges -> recursive-CTE closure ->
+        # min-id representative; singletons via the outer left join
+        "semantic_dedup": """
+            WITH RECURSIVE edges AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+                WHERE a.vec_id < 300 AND b.vec_id < 300
+                  AND list_cosine_similarity(a.embedding::DOUBLE[],
+                                             b.embedding::DOUBLE[]) >= 0.3
+            ),
+            bidir AS (
+                SELECT id_a AS s, id_b AS d FROM edges
+                UNION
+                SELECT id_b, id_a FROM edges
+            ),
+            reach(n, m) AS (
+                SELECT s, s FROM bidir
+                UNION
+                SELECT r.n, b.d FROM reach r JOIN bidir b ON b.s = r.m
+            ),
+            comp AS (SELECT n, min(m) AS component FROM reach GROUP BY n)
+            SELECT e.vec_id,
+                   coalesce(c.component, e.vec_id) AS component,
+                   coalesce(c.component, e.vec_id) = e.vec_id AS is_rep
+            FROM embeddings e LEFT JOIN comp c ON c.n = e.vec_id
+            WHERE e.vec_id < 300
+            ORDER BY e.vec_id
         """,
         "bpe_pair_counts": r"""
             WITH tok AS (

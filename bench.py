@@ -362,6 +362,10 @@ QUERY_NAMES = [
     # latency, not throughput; its inner aggregation is bpe_pair_counts)
     "bm25_scores", "bpe_pair_counts", "decontaminate_bloom",
     "span_dedup", "unigram_nll", "rebalance_mix",
+    # bigram nll scales with the corpus; containment/semantic_dedup run
+    # the gate's fixed subsets (doc_id < 200 / vec_id < 300) — they
+    # track plan regressions, not data scaling
+    "bigram_nll", "containment_pairs", "semantic_dedup",
 ]
 
 

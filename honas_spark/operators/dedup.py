@@ -117,6 +117,67 @@ def ngram_jaccard_pairs(
     )
 
 
+def token_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    min_num: int = 4,
+    min_den: int = 5,
+    max_shingle_freq: int | None = 1000,
+) -> DataFrame:
+    """Asymmetric near-SUPERSET detection: keep pairs whose containment
+    C = |A∩B| / min(|A|, |B|) >= min_num/min_den, in pure integer
+    arithmetic (inter * min_den >= min(n_a, n_b) * min_num — no float
+    ever decides a pair).
+
+    Jaccard misses one-document-inside-another duplication: a
+    100-shingle quote embedded verbatim in a 10,000-shingle page has
+    J ~= 0.01 but containment 1.0 — the quotation/boilerplate-inclusion
+    regime that substring dedup targets (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"), scored here at shingle
+    granularity.  Output: (id_a, id_b, inter, n_a, n_b) with
+    id_a < id_b; the smaller side's containment is the score.
+
+    Scale shape is identical to ngram_jaccard_pairs: distinct-shingle
+    inverted index, document-frequency cap via groupBy-count + semi-join
+    (no window sort, no task ever holds a full posting list), integer
+    filter after two size joins.  Note the DF cap SHRINKS effective set
+    sizes for both engines equally — the score stays exact over the
+    capped shingle universe."""
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(shingles(F.col(text_col), n)).alias("sh"),
+    )
+    if max_shingle_freq is not None:
+        good = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_shingle_freq)
+            .select("sh")
+        )
+        sh = sh.join(good.hint("shuffle_hash"), "sh", "left_semi")
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh"))
+               & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a").join(sb, "id_b")
+        .filter(
+            F.col("inter") * min_den
+            >= F.least(F.col("n_a"), F.col("n_b")) * min_num
+        )
+        .select("id_a", "id_b", "inter", "n_a", "n_b")
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,

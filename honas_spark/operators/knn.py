@@ -444,6 +444,46 @@ def embedding_near_dup_pairs(
     )
 
 
+def semantic_dedup(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_sim: float = 0.95,
+    **pair_kwargs,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication ACTION (Abbas et al. 2023,
+    arXiv:2303.09540): turn embedding-cosine near-duplicate PAIRS into a
+    keep/drop decision for every row — connected components over the
+    pair graph, one representative (the min id) kept per component.
+
+    -> (id_col, component, is_rep) for EVERY input row: rows touching
+    no pair are singleton components of themselves (is_rep true);
+    filtering on is_rep is the dedup, grouping on component is the
+    cluster view.
+
+    Scale shape: pair generation is the bucketed/capped
+    embedding_near_dup_pairs (pass method/n_centroids/max_bucket_size
+    through **pair_kwargs); connected_components runs on (id, id) pairs
+    only — O(log diameter) rounds of hash joins, vectors never enter
+    the iteration; the final membership join is one left join of the id
+    projection against the label table."""
+    from honas_spark.operators.dedup import connected_components
+
+    pairs = embedding_near_dup_pairs(
+        vectors, id_col, vec_col, min_sim=min_sim, **pair_kwargs
+    ).select("id_a", "id_b")
+    comp = connected_components(pairs, "id_a", "id_b")
+    base = vectors.select(F.col(id_col))
+    merged = F.coalesce(F.col("component"), F.col(id_col))
+    return base.join(
+        comp, base[id_col] == comp["node"], "left"
+    ).select(
+        id_col,
+        merged.alias("component"),
+        (merged == F.col(id_col)).alias("is_rep"),
+    )
+
+
 def srp_planes(bits: int, dim: int, seed: int = 42) -> np.ndarray:
     """Deterministic integer random-hyperplane matrix for SRP-LSH:
     standard normals from a seeded RNG, scaled and rounded to integers

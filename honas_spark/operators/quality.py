@@ -365,6 +365,77 @@ def unigram_logprob(
     )
 
 
+def bigram_logprob(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Self-trained CONDITIONAL bigram cross-entropy — the next step up
+    from unigram_logprob's bag-of-words score: nll(w2|w1) =
+    ln(c(w1, ·) / c(w1, w2)) per bigram, where c(w1, ·) is the corpus
+    count of bigrams starting with w1.  Word-salad text that sails
+    through a unigram filter (common words, nonsense order) scores high
+    here because its TRANSITIONS are rare.
+
+    -> (id, n_bigrams, sum_nll_micro, avg_nll): sum_nll_micro is the
+    exact integer sum of round(nll * 1e6) per bigram — the same
+    fixed-point micro-nat trick as unigram_logprob, so the aggregate is
+    order-free and a cross-engine oracle hash-matches it.  Docs with
+    fewer than 2 tokens report 0 / 0.0.
+
+    Scale shape: one bigram-vocabulary aggregation (map-side combined),
+    one re-aggregation to the w1 marginal, the per-bigram micro-nll
+    table joins back on (w1, w2) — a plain shuffle join, NOT a
+    broadcast: the bigram vocabulary grows ~linearly with corpus size
+    and does not stay driver-small the way the unigram table does —
+    and the doc aggregation ships only (id, long) pairs."""
+    toks = tokens(F.col(text_col))
+    big = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.when(
+                F.size(toks) >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - 2),
+                    lambda i: F.struct(
+                        F.get(toks, i).alias("w1"),
+                        F.get(toks, i + 1).alias("w2"),
+                    ),
+                ),
+            ).otherwise(
+                F.array().cast("array<struct<w1:string,w2:string>>")
+            )
+        ).alias("_bg"),
+    ).select("_id", F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2"))
+    v12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_c12"))
+    v1 = v12.groupBy("w1").agg(F.sum("_c12").alias("_c1"))
+    nll = v12.join(v1, "w1").select(
+        "w1",
+        "w2",
+        F.round(
+            F.log(F.col("_c1").cast("double") / F.col("_c12")) * 1e6, 0
+        ).cast("long").alias("_nll_micro"),
+    )
+    per_doc = (
+        big.join(nll, ["w1", "w2"])
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("_nll_micro").alias("sum_nll_micro"),
+        )
+    )
+    base = df.select(F.col(id_col))
+    return base.join(per_doc, base[id_col] == per_doc["_id"], "left").select(
+        id_col,
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        F.coalesce("sum_nll_micro", F.lit(0)).alias("sum_nll_micro"),
+        F.when(
+            F.coalesce("n_bigrams", F.lit(0)) > 0,
+            F.round(
+                F.col("sum_nll_micro") / 1e6 / F.col("n_bigrams"), 4
+            ),
+        ).otherwise(F.lit(0.0)).alias("avg_nll"),
+    )
+
+
 def span_dup_stats(
     df: DataFrame, id_col: str, text_col: str, k: int = 8
 ) -> DataFrame:

@@ -1540,3 +1540,118 @@ def test_theta_sketch_agg_and_pair_ops(spark):
     }
     for g, n in ((0, 20_000), (1, 20_000)):
         assert abs(est[g] - n) / n < 0.15, est
+
+
+def test_bigram_logprob_matches_local_model(spark):
+    import math
+
+    from honas_spark.operators.quality import bigram_logprob
+
+    corpus = [
+        (1, "a b a b a c"),   # common transitions
+        (2, "c a b a"),
+        (3, "b c"),           # rare transition
+        (4, "x"),             # < 2 tokens -> 0/0.0
+        (5, ""),
+    ]
+    bigs = []
+    for _, text in corpus:
+        t = text.split()
+        bigs += list(zip(t, t[1:]))
+    from collections import Counter
+
+    c12 = Counter(bigs)
+    c1 = Counter(w1 for w1, _ in bigs)
+    micro = {
+        bg: round(math.log(c1[bg[0]] / c) * 1e6) for bg, c in c12.items()
+    }
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["sum_nll_micro"], r["avg_nll"])
+        for r in bigram_logprob(
+            spark.createDataFrame(corpus, "doc_id long, text string"),
+            "doc_id", "text",
+        ).collect()
+    }
+    for doc_id, text in corpus:
+        t = text.split()
+        bg = list(zip(t, t[1:]))
+        s = sum(micro[b] for b in bg)
+        want_avg = round(s / 1e6 / len(bg), 4) if bg else 0.0
+        assert got[doc_id] == (len(bg), s, want_avg)
+    # the rare-transition doc outscores the stereotypical one
+    assert got[3][2] > got[1][2]
+
+
+def test_token_containment_pairs_finds_subset_jaccard_misses(spark):
+    """A short doc embedded verbatim in a long one: containment 1.0,
+    Jaccard far below any dedup threshold."""
+    from honas_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        token_containment_pairs,
+    )
+
+    quote = "the quick brown fox jumps over the lazy dog"
+    page = quote + " " + " ".join(f"filler{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(1, quote), (2, page), (3, "completely different content here")],
+        "doc_id long, text string",
+    )
+    out = token_containment_pairs(
+        docs, "doc_id", "text", n=3, min_num=9, min_den=10
+    ).collect()
+    assert [(r["id_a"], r["id_b"]) for r in out] == [(1, 2)]
+    r = out[0]
+    assert r["inter"] == r["n_a"] and r["n_a"] < r["n_b"]
+    # same pair is invisible to Jaccard at the same threshold
+    jac = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, min_num=9, min_den=10
+    ).collect()
+    assert jac == []
+
+
+def test_token_containment_integer_threshold_boundary(spark):
+    """inter * den >= min(n_a, n_b) * num is evaluated in integers:
+    exactly-at-threshold passes, one shingle below fails."""
+    from honas_spark.operators.dedup import token_containment_pairs
+
+    # unigram shingles: doc 1 has 4 distinct tokens, 3 shared with doc 2
+    docs = spark.createDataFrame(
+        [(1, "a b c x"), (2, "a b c y z w q")],
+        "doc_id long, text string",
+    )
+    at = token_containment_pairs(
+        docs, "doc_id", "text", n=1, min_num=3, min_den=4
+    ).collect()
+    assert [(r["id_a"], r["id_b"], r["inter"]) for r in at] == [(1, 2, 3)]
+    above = token_containment_pairs(
+        docs, "doc_id", "text", n=1, min_num=4, min_den=5
+    ).collect()
+    assert above == []
+
+
+def test_semantic_dedup_components_and_reps(spark):
+    """Two near-identical vector pairs + one loner: components merge to
+    min id, singletons keep themselves, is_rep marks exactly one row
+    per component."""
+    from honas_spark.operators.knn import semantic_dedup
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0]),    # ~ vec 1
+        (3, [0.0, 1.0, 0.0]),
+        (4, [0.01, 0.999, 0.0]),    # ~ vec 3
+        (5, [0.5, 0.5, 0.7071]),    # loner at ~45 deg from both axes
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r["vec_id"]: (r["component"], r["is_rep"])
+        for r in semantic_dedup(
+            vecs, "vec_id", "embedding", min_sim=0.99,
+            n_centroids=1, max_bucket_size=None,
+        ).collect()
+    }
+    assert out == {
+        1: (1, True), 2: (1, False),
+        3: (3, True), 4: (3, False),
+        5: (5, True),
+    }
