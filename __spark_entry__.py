@@ -325,6 +325,20 @@ def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+def _q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization rollup (10-minute inactivity rule) of
+    the events table: per (user, session) event count + first/last ts +
+    exact integer microsecond duration.  Gap math is integer unix
+    micros end-to-end; the RANGE window frame keeps equal-ts peers in
+    one session, so the result is layout-independent."""
+    from honas_spark.operators.sessionize import session_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return session_stats(ev, "user_id", "ts", gap_sec=600).orderBy(
+        "user_id", "session_seq"
+    )
+
+
 def _q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The decontamination Bloom prefilter path: eval grams build a
     broadcast Bloom bitset with the library's OWN sketch kernels
@@ -1671,6 +1685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_nll": _q_bigram_nll,
         "containment_pairs": _q_containment_pairs,
         "semantic_dedup": _q_semantic_dedup,
+        "sessionize_events": _q_sessionize_events,
         "rebalance_mix": _q_rebalance_mix,
         "global_shuffle": _q_global_shuffle,
         "stratified_split": _q_stratified_split,
@@ -2435,6 +2450,37 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.id = i.id_b
             WHERE i.inter * 5 >= least(sa.n_sh, sb.n_sh) * 4
             ORDER BY i.id_a, i.id_b
+        """,
+        # gap sessionization: identical integer-microsecond boundary
+        # logic; the unframed (RANGE-default) window sum keeps equal-ts
+        # peers in one session in both engines
+        "sessionize_events": """
+            WITH o AS (
+                SELECT user_id, ts, epoch_us(ts) AS us,
+                       lag(epoch_us(ts)) OVER (
+                           PARTITION BY user_id ORDER BY epoch_us(ts)
+                       ) AS prev
+                FROM events
+            ), b AS (
+                SELECT user_id, ts, us,
+                       CASE WHEN prev IS NOT NULL
+                                 AND us - prev > 600 * 1000000
+                            THEN 1 ELSE 0 END AS boundary
+                FROM o
+            ), s AS (
+                SELECT user_id, ts, us,
+                       CAST(sum(boundary) OVER (
+                           PARTITION BY user_id ORDER BY us
+                       ) + 1 AS BIGINT) AS session_seq
+                FROM b
+            )
+            SELECT user_id, session_seq,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   min(ts) AS first_ts,
+                   max(ts) AS last_ts,
+                   CAST(max(us) - min(us) AS BIGINT) AS duration_us
+            FROM s GROUP BY 1, 2
+            ORDER BY 1, 2
         """,
         # SemDeDup action: cosine edges -> recursive-CTE closure ->
         # min-id representative; singletons via the outer left join

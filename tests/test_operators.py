@@ -1655,3 +1655,58 @@ def test_semantic_dedup_components_and_reps(spark):
         3: (3, True), 4: (3, False),
         5: (5, True),
     }
+
+
+def test_sessionize_gap_semantics_and_stats(spark):
+    import datetime as dt
+
+    from honas_spark.operators.sessionize import session_stats, sessionize
+
+    T = dt.datetime(2024, 1, 1)
+    s = dt.timedelta(seconds=1)
+    rows = [
+        (1, T),                    # session 1
+        (1, T + 30 * s),           # <= 60s gap, still session 1
+        (1, T + 90 * s),           # exactly 60s after prev -> extends
+        (1, T + 151 * s),          # 61s gap -> session 2
+        (2, T),                    # independent key
+    ]
+    ev = spark.createDataFrame(rows, "uid long, ts timestamp")
+    got = sorted(
+        (r["uid"], r["ts"], r["session_seq"])
+        for r in sessionize(ev, "uid", "ts", gap_sec=60).collect()
+    )
+    assert [(u, q) for u, _, q in got] == [
+        (1, 1), (1, 1), (1, 1), (1, 2), (2, 1)
+    ]
+    stats = {
+        (r["uid"], r["session_seq"]): (r["n_events"], r["duration_us"])
+        for r in session_stats(ev, "uid", "ts", gap_sec=60).collect()
+    }
+    assert stats == {
+        (1, 1): (3, 90_000_000), (1, 2): (1, 0), (2, 1): (1, 0)
+    }
+    import pytest
+
+    with pytest.raises(ValueError):
+        sessionize(ev, "uid", "ts", gap_sec=0)
+
+
+def test_sessionize_equal_ts_peers_layout_invariant(spark):
+    """Equal-timestamp events straddling a session boundary must land
+    in the SAME session regardless of partition layout — the RANGE
+    window frame guarantees peers share the boundary sum."""
+    import datetime as dt
+
+    from honas_spark.operators.sessionize import sessionize
+
+    T = dt.datetime(2024, 1, 1)
+    s = dt.timedelta(seconds=1)
+    rows = [(1, T)] + [(1, T + 120 * s)] * 4 + [(1, T + 121 * s)]
+    ev = spark.createDataFrame(rows, "uid long, ts timestamp")
+    for df in (ev, ev.repartition(7), ev.coalesce(1)):
+        got = sorted(
+            (r["ts"], r["session_seq"])
+            for r in sessionize(df, "uid", "ts", gap_sec=60).collect()
+        )
+        assert [q for _, q in got] == [1, 2, 2, 2, 2, 2]
