@@ -339,6 +339,49 @@ def _q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation mining (adjacent pairs, count >= 5) in
+    fixed-point micro-nats — marginals re-aggregate the one bigram
+    vocabulary table; products fold in double in BOTH engines."""
+    from honas_spark.operators.quality import collocations
+
+    return collocations(_docs(spark, sf_dir), "text", min_count=5).orderBy(
+        "w1", "w2"
+    )
+
+
+def _q_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-users-to-date per day, EXACT and linear: first
+    appearance per key (groupBy-min), new-key counts, prefix sum over
+    the tiny bucket axis — no distinct-over-expanding-window."""
+    from honas_spark.operators.rollups import cumulative_distinct
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return cumulative_distinct(ev, "user_id", "ts", "day").orderBy(
+        "bucket_start"
+    )
+
+
+def _q_distinct_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k distinct sample (8th sketch sibling) under the EXACT
+    gate: per event_type, the 16 distinct user_ids with the smallest
+    md5-prefix hashes — merge-invariant, so the sampled SET is
+    deterministic and cross-engine reproducible; est_distinct (KMV on
+    the 16th hash) rides along."""
+    from honas_spark.operators.bottomk import bottomk_sample_agg
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sk = bottomk_sample_agg(
+        ev, ["event_type"], "user_id", k=16, hash_fn="md5"
+    )
+    return sk.select(
+        "event_type",
+        "n_sample",
+        "est_distinct",
+        F.posexplode("sample").alias("pos", "user_id_s"),
+    ).orderBy("event_type", "pos")
+
+
 def _q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The decontamination Bloom prefilter path: eval grams build a
     broadcast Bloom bitset with the library's OWN sketch kernels
@@ -1686,6 +1729,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": _q_containment_pairs,
         "semantic_dedup": _q_semantic_dedup,
         "sessionize_events": _q_sessionize_events,
+        "distinct_sample": _q_distinct_sample,
+        "collocations": _q_collocations,
+        "cumulative_distinct": _q_cumulative_distinct,
         "rebalance_mix": _q_rebalance_mix,
         "global_shuffle": _q_global_shuffle,
         "stratified_split": _q_stratified_split,
@@ -2450,6 +2496,97 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.id = i.id_b
             WHERE i.inter * 5 >= least(sa.n_sh, sb.n_sh) * 4
             ORDER BY i.id_a, i.id_b
+        """,
+        # PMI collocations: same bigram CTE as bigram_nll; the PMI
+        # expression folds N*c12/(cl*cr) in double in both engines
+        "collocations": r"""
+            WITH toks AS (
+                SELECT list_filter(string_split_regex(text, '\s+'),
+                                   x -> x <> '') AS t
+                FROM documents
+            ), bg AS (
+                SELECT t[i] AS w1, t[i + 1] AS w2
+                FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+            ), v12 AS (
+                SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+                FROM bg GROUP BY 1, 2
+            ), tot AS (
+                SELECT CAST(sum(c12) AS DOUBLE) AS n FROM v12
+            ), l AS (
+                SELECT w1, CAST(sum(c12) AS BIGINT) AS cl
+                FROM v12 GROUP BY 1
+            ), r AS (
+                SELECT w2, CAST(sum(c12) AS BIGINT) AS cr
+                FROM v12 GROUP BY 1
+            )
+            SELECT v.w1, v.w2, v.c12 AS pair_count,
+                   CAST(round(ln(n * c12 / (CAST(cl AS DOUBLE) * cr))
+                              * 1e6, 0) AS BIGINT) AS pmi_micro
+            FROM v12 v
+            JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN tot
+            WHERE c12 >= 5
+            ORDER BY v.w1, v.w2
+        """,
+        # cumulative distinct: first-appearance bucket per key, then a
+        # prefix sum over the bucket axis — exact in both engines
+        "cumulative_distinct": """
+            WITH f AS (
+                SELECT user_id,
+                       min(CAST(date_trunc('day', ts) AS TIMESTAMP))
+                           AS bucket_start
+                FROM events GROUP BY 1
+            ), nk AS (
+                SELECT bucket_start,
+                       CAST(count(*) AS BIGINT) AS new_keys
+                FROM f GROUP BY 1
+            )
+            SELECT bucket_start, new_keys,
+                   CAST(sum(new_keys) OVER (ORDER BY bucket_start)
+                        AS BIGINT) AS cum_distinct
+            FROM nk ORDER BY bucket_start
+        """,
+        # bottom-k distinct sample: the k smallest md5-prefix hashes of
+        # the distinct set are a deterministic sample; the KMV estimate
+        # folds (k-1)*2^60/h_k identically in both engines
+        "distinct_sample": """
+            WITH dv AS (
+                SELECT DISTINCT event_type,
+                       CAST(user_id AS VARCHAR) AS v
+                FROM events
+            ), h AS (
+                SELECT event_type, v,
+                       CAST(concat('0x', substr(md5(v), 1, 15))
+                            AS BIGINT) AS hk
+                FROM dv
+            ), r AS (
+                SELECT event_type, v, hk,
+                       row_number() OVER (
+                           PARTITION BY event_type ORDER BY hk
+                       ) AS rn
+                FROM h
+            ), kth AS (
+                SELECT event_type,
+                       max(hk) AS h16,
+                       CAST(count(*) AS INT) AS ns
+                FROM r WHERE rn <= 16 GROUP BY 1
+            ), nd AS (
+                SELECT event_type, count(*) AS n_distinct
+                FROM h GROUP BY 1
+            )
+            SELECT r.event_type,
+                   k.ns AS n_sample,
+                   CAST(CASE WHEN n.n_distinct >= 16
+                             THEN round(15 * 1152921504606846976.0
+                                        / k.h16, 0)
+                             ELSE n.n_distinct END AS BIGINT)
+                       AS est_distinct,
+                   CAST(r.rn - 1 AS INT) AS pos,
+                   r.v AS user_id_s
+            FROM r
+            JOIN kth k ON k.event_type = r.event_type
+            JOIN nd n ON n.event_type = r.event_type
+            WHERE r.rn <= 16
+            ORDER BY r.event_type, r.rn
         """,
         # gap sessionization: identical integer-microsecond boundary
         # logic; the unframed (RANGE-default) window sum keeps equal-ts

@@ -366,7 +366,8 @@ QUERY_NAMES = [
     # the gate's fixed subsets (doc_id < 200 / vec_id < 300) — they
     # track plan regressions, not data scaling
     "bigram_nll", "containment_pairs", "semantic_dedup",
-    "sessionize_events",
+    "sessionize_events", "distinct_sample", "collocations",
+    "cumulative_distinct",
 ]
 
 

@@ -365,6 +365,30 @@ def unigram_logprob(
     )
 
 
+def _bigram_rows(df: DataFrame, text_col: str, carry=()) -> DataFrame:
+    """One row per adjacent token pair: (*carry, w1, w2)."""
+    toks = tokens(F.col(text_col))
+    return df.select(
+        *carry,
+        F.explode(
+            F.when(
+                F.size(toks) >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - 2),
+                    lambda i: F.struct(
+                        F.get(toks, i).alias("w1"),
+                        F.get(toks, i + 1).alias("w2"),
+                    ),
+                ),
+            ).otherwise(
+                F.array().cast("array<struct<w1:string,w2:string>>")
+            )
+        ).alias("_bg"),
+    ).select(
+        *carry, F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2")
+    )
+
+
 def bigram_logprob(
     df: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:
@@ -387,25 +411,19 @@ def bigram_logprob(
     broadcast: the bigram vocabulary grows ~linearly with corpus size
     and does not stay driver-small the way the unigram table does —
     and the doc aggregation ships only (id, long) pairs."""
-    toks = tokens(F.col(text_col))
-    big = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(
-            F.when(
-                F.size(toks) >= 2,
-                F.transform(
-                    F.sequence(F.lit(0), F.size(toks) - 2),
-                    lambda i: F.struct(
-                        F.get(toks, i).alias("w1"),
-                        F.get(toks, i + 1).alias("w2"),
-                    ),
-                ),
-            ).otherwise(
-                F.array().cast("array<struct<w1:string,w2:string>>")
-            )
-        ).alias("_bg"),
-    ).select("_id", F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2"))
-    v12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_c12"))
+    big = _bigram_rows(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col)),
+        text_col,
+        carry=("_id",),
+    )
+    # the bigram vocabulary feeds both the w1 marginal and the nll
+    # join — localCheckpoint so the corpus-sized extraction + agg runs
+    # once (the remaining corpus pass is the per-doc scoring join)
+    v12 = (
+        big.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("_c12"))
+        .localCheckpoint()
+    )
     v1 = v12.groupBy("w1").agg(F.sum("_c12").alias("_c1"))
     nll = v12.join(v1, "w1").select(
         "w1",
@@ -433,6 +451,59 @@ def bigram_logprob(
                 F.col("sum_nll_micro") / 1e6 / F.col("n_bigrams"), 4
             ),
         ).otherwise(F.lit(0.0)).alias("avg_nll"),
+    )
+
+
+def collocations(
+    df: DataFrame, text_col: str, min_count: int = 5
+) -> DataFrame:
+    """PMI collocation mining over adjacent token pairs — the classic
+    phrase-discovery pass a tokenizer/corpus-prep pipeline runs before
+    deciding multi-word units: pmi = ln(N * c(w1,w2) / (c(w1,·) ·
+    c(·,w2))) with N the total bigram count, folded to fixed-point
+    micro-nats (integer, order-free, cross-engine exact).
+
+    -> (w1, w2, pair_count, pmi_micro) for pairs with pair_count >=
+    min_count.  High PMI = the words co-occur far above chance
+    ("los angeles"); frequent-but-independent pairs ("of the") score
+    near 0 or negative.
+
+    Scale shape: everything aggregates from the ONE bigram-vocabulary
+    table (map-side combined) — the left/right marginals are
+    re-aggregations of that table, not new corpus passes; marginal
+    products compute in double (long x long would overflow ANSI mode at
+    web scale)."""
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1: {min_count}")
+    big = _bigram_rows(df, text_col)
+    # the vocabulary table feeds FOUR consumers (total, left marginal,
+    # right marginal, the pair rows themselves) — localCheckpoint it so
+    # the corpus-sized bigram extraction runs once, and the three
+    # downstream branches scan the (much smaller) materialized vocab
+    v12 = (
+        big.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("_c12"))
+        .localCheckpoint()
+    )
+    total = v12.agg(F.sum("_c12")).first()[0] or 0
+    left = v12.groupBy("w1").agg(F.sum("_c12").alias("_cl"))
+    right = v12.groupBy("w2").agg(F.sum("_c12").alias("_cr"))
+    return (
+        v12.filter(F.col("_c12") >= min_count)
+        .join(left, "w1")
+        .join(right, "w2")
+        .select(
+            "w1",
+            "w2",
+            F.col("_c12").alias("pair_count"),
+            F.round(
+                F.log(
+                    F.lit(float(total)) * F.col("_c12")
+                    / (F.col("_cl").cast("double") * F.col("_cr"))
+                ) * 1e6,
+                0,
+            ).cast("long").alias("pmi_micro"),
+        )
     )
 
 

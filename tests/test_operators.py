@@ -1710,3 +1710,70 @@ def test_sessionize_equal_ts_peers_layout_invariant(spark):
             for r in sessionize(df, "uid", "ts", gap_sec=60).collect()
         )
         assert [q for _, q in got] == [1, 2, 2, 2, 2, 2]
+
+
+def test_collocations_pmi_matches_local_model(spark):
+    import math
+
+    from honas_spark.operators.quality import collocations
+
+    corpus = [
+        (1, "new york new york city"),
+        (2, "the new deal in new york"),
+        (3, "the the the"),
+    ]
+    from collections import Counter
+
+    bigs = []
+    for _, text in corpus:
+        t = text.split()
+        bigs += list(zip(t, t[1:]))
+    c12 = Counter(bigs)
+    cl = Counter(w1 for w1, _ in bigs)
+    cr = Counter(w2 for _, w2 in bigs)
+    n = len(bigs)
+    got = {
+        (r["w1"], r["w2"]): (r["pair_count"], r["pmi_micro"])
+        for r in collocations(
+            spark.createDataFrame(corpus, "doc_id long, text string"),
+            "text", min_count=2,
+        ).collect()
+    }
+    want = {
+        bg: (c, round(math.log(float(n) * c / (cl[bg[0]] * cr[bg[1]])) * 1e6))
+        for bg, c in c12.items()
+        if c >= 2
+    }
+    assert got == want
+    assert got[("new", "york")][1] > 0  # co-occurs far above chance
+    import pytest
+
+    with pytest.raises(ValueError):
+        collocations(
+            spark.createDataFrame(corpus, "doc_id long, text string"),
+            "text", min_count=0,
+        )
+
+
+def test_cumulative_distinct_exact(spark):
+    import datetime as dt
+
+    from honas_spark.operators.rollups import cumulative_distinct
+
+    D = dt.datetime
+    rows = [
+        (1, D(2024, 1, 1, 5)),
+        (2, D(2024, 1, 1, 9)),
+        (1, D(2024, 1, 2, 1)),   # repeat -> not new
+        (3, D(2024, 1, 2, 2)),
+        (1, D(2024, 1, 4, 3)),   # repeat only -> day 4 absent
+        (4, D(2024, 1, 5, 0)),
+    ]
+    ev = spark.createDataFrame(rows, "uid long, ts timestamp")
+    got = [
+        (r["bucket_start"].day, r["new_keys"], r["cum_distinct"])
+        for r in cumulative_distinct(ev, "uid", "ts")
+        .orderBy("bucket_start")
+        .collect()
+    ]
+    assert got == [(1, 2, 2), (2, 1, 3), (5, 1, 4)]

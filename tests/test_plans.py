@@ -225,3 +225,39 @@ def test_span_dup_no_window_no_cartesian(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "Cartesian" not in plan
+
+
+def test_sessionize_single_key_shuffle(spark):
+    """Sessionization is ONE shuffle on the key (the ordered window);
+    the rollup adds only the groupBy on (key, session_seq)."""
+    import datetime as dt
+
+    from honas_spark.operators.sessionize import session_stats, sessionize
+
+    ev = spark.createDataFrame(
+        [
+            (i % 5, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i))
+            for i in range(100)
+        ],
+        "uid long, ts timestamp",
+    )
+    assert_max_shuffles(sessionize(ev, "uid", "ts", 60), 1)
+    assert_max_shuffles(session_stats(ev, "uid", "ts", 60), 2)
+
+
+def test_cumulative_distinct_window_sees_buckets_not_events(spark):
+    """The unpartitioned prefix-sum window must sit ABOVE both
+    aggregations (it orders |buckets| rows, never the event log)."""
+    import datetime as dt
+
+    from honas_spark.operators.rollups import cumulative_distinct
+
+    ev = spark.createDataFrame(
+        [(i % 7, dt.datetime(2024, 1, 1 + i % 3)) for i in range(50)],
+        "uid long, ts timestamp",
+    )
+    df = cumulative_distinct(ev, "uid", "ts")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    # Window is the plan ROOT side; both Aggregates appear beneath it
+    w = plan.index("Window")
+    assert plan.index("Aggregate") > w, "window must run on aggregated buckets"

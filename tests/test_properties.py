@@ -471,3 +471,51 @@ def test_kmv_merge_associative_commutative_idempotent(v1, v2, v3, k):
     assert np.array_equal(left, whole)
     # pack/unpack round-trips the state exactly
     assert np.array_equal(K.kmv_unpack(K.kmv_pack(left)), left)
+
+
+bk_vals = st.lists(
+    st.text(alphabet="abcdef", min_size=1, max_size=4),
+    min_size=0, max_size=30,
+)
+
+
+@given(bk_vals, bk_vals, bk_vals, st.integers(min_value=2, max_value=8))
+def test_bottomk_merge_associative_and_split_invariant(v1, v2, v3, k):
+    """The bottom-k (hash, value) state must be identical under any
+    merge grouping and equal to the one-shot build — the property that
+    makes the distinct sample deterministic under any partitioning."""
+    import hashlib
+
+    import numpy as np
+
+    from honas_spark.operators.bottomk import _bottomk
+
+    def h(v):
+        return np.int64(int(hashlib.md5(v.encode()).hexdigest()[:15], 16))
+
+    def build(vals):
+        if not vals:
+            return (np.array([], dtype=np.int64),
+                    np.array([], dtype=object))
+        hs = np.array([h(v) for v in vals], dtype=np.int64)
+        vs = np.array(list(vals), dtype=object)
+        return _bottomk(hs, vs, k)
+
+    def merge(a, b):
+        return _bottomk(
+            np.concatenate([a[0], b[0]]),
+            np.concatenate([a[1], b[1]]),
+            k,
+        )
+
+    a, b, c = build(v1), build(v2), build(v3)
+    left = merge(merge(a, b), c)
+    right = merge(a, merge(b, c))
+    swapped = merge(c, merge(a, b))
+    whole = build(v1 + v2 + v3)
+    for other in (right, swapped, whole):
+        assert np.array_equal(left[0], other[0])
+        assert list(left[1]) == list(other[1])
+    # idempotent
+    aa = merge(a, a)
+    assert np.array_equal(aa[0], a[0]) and list(aa[1]) == list(a[1])

@@ -158,3 +158,68 @@ def test_component_scoped_update_matches_full():
     assert np.array_equal(merged.filters, full.filters)
     assert np.array_equal(merged.hll_items, full.hll_items)
     assert np.array_equal(merged.cms, full.cms * 2)
+
+
+# ------------------------------------------------- bottom-k sample
+
+
+def test_bottomk_sample_matches_local_model_and_is_mergeable(spark):
+    """The md5-family bottom-k distinct sample equals a local model's
+    k smallest md5-prefix hashes over the distinct set, under ANY
+    partitioning — the merge-invariance that makes it a sketch."""
+    import hashlib
+
+    from honas_spark.operators.bottomk import bottomk_sample_agg
+
+    rows = [(f"g{i % 3}", f"v{i % 40}") for i in range(400)]
+    df = spark.createDataFrame(rows, "g string, v string")
+
+    def local_bottomk(vals, k):
+        hs = sorted(
+            (int(hashlib.md5(v.encode()).hexdigest()[:15], 16), v)
+            for v in set(vals)
+        )
+        return [v for _, v in hs[:k]]
+
+    expected = {
+        g: local_bottomk(
+            [v for gg, v in rows if gg == g], 8
+        )
+        for g in ("g0", "g1", "g2")
+    }
+    for layout in (df, df.repartition(11), df.coalesce(1)):
+        got = {
+            r["g"]: (r["sample"], r["n_sample"], r["est_distinct"])
+            for r in bottomk_sample_agg(
+                layout, ["g"], "v", k=8, hash_fn="md5"
+            ).collect()
+        }
+        for g, want in expected.items():
+            assert got[g][0] == want
+            assert got[g][1] == 8
+
+
+def test_bottomk_sample_exact_below_k_and_estimate_band(spark):
+    from honas_spark.operators.bottomk import bottomk_sample_agg
+
+    # 5 distinct values, k=16 -> the sample IS the distinct set, exact
+    small = spark.createDataFrame(
+        [("a", str(i % 5)) for i in range(50)], "g string, v string"
+    )
+    r = bottomk_sample_agg(small, ["g"], "v", k=16).collect()[0]
+    assert sorted(r["sample"]) == ["0", "1", "2", "3", "4"]
+    assert r["n_sample"] == 5 and r["est_distinct"] == 5
+    # 2000 distinct, k=64 -> ~1/sqrt(64) relative error; allow 4 sigma
+    big = spark.createDataFrame(
+        [("a", str(i)) for i in range(2000)], "g string, v string"
+    )
+    est = bottomk_sample_agg(big, ["g"], "v", k=64).collect()[0][
+        "est_distinct"
+    ]
+    assert abs(est - 2000) / 2000 < 0.5
+    import pytest
+
+    with pytest.raises(ValueError):
+        bottomk_sample_agg(small, ["g"], "v", k=1)
+    with pytest.raises(ValueError):
+        bottomk_sample_agg(small, ["g"], "v", hash_fn="sha1")
