@@ -339,6 +339,39 @@ def _q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule battery (word bounds, mean word length, alpha-word
+    ratio, symbol ratio, stopword floor) — every verdict decided by
+    integer cross-multiplication, zero shuffle."""
+    from honas_spark.operators.quality import gopher_rules
+
+    return gopher_rules(_docs(spark, sf_dir), "doc_id", "text").orderBy(
+        "doc_id"
+    )
+
+
+def _q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (rows-only like knn_ivf: k-means
+    codebooks are float-iterative): 64-dim embeddings compressed to 4
+    codebook indices, ADC top-5 per query over codes only — recall is
+    pinned by tests/test_operators.py::test_pq_roundtrip_recall_and_compression."""
+    from honas_spark.operators.knn import pq_encode, pq_topk, pq_train
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("query_vec"),
+    )
+    cands = emb.filter(F.col("vec_id") >= 3)
+    cb = pq_train(cands, m=4, codebook_size=16)
+    codes = pq_encode(cands, cb)
+    return (
+        pq_topk(codes, cb, queries, k=5)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
 def _q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PMI collocation mining (adjacent pairs, count >= 5) in
     fixed-point micro-nats — marginals re-aggregate the one bigram
@@ -1732,6 +1765,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_sample": _q_distinct_sample,
         "collocations": _q_collocations,
         "cumulative_distinct": _q_cumulative_distinct,
+        "gopher_quality": _q_gopher_quality,
+        "knn_pq": _q_knn_pq,
         "rebalance_mix": _q_rebalance_mix,
         "global_shuffle": _q_global_shuffle,
         "stratified_split": _q_stratified_split,
@@ -2496,6 +2531,52 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.id = i.id_b
             WHERE i.inter * 5 >= least(sa.n_sh, sb.n_sh) * 4
             ORDER BY i.id_a, i.id_b
+        """,
+        # gopher rules: every verdict is integer cross-multiplication;
+        # the '...' count divides an exact multiple of 3, so DuckDB's
+        # rounding double->int cast equals Spark's truncation
+        "gopher_quality": r"""
+            WITH t AS (
+                SELECT doc_id, text,
+                       list_filter(string_split_regex(text, '\s+'),
+                                   x -> x <> '') AS toks
+                FROM documents
+            ), m AS (
+                SELECT doc_id,
+                       CAST(len(toks) AS INT) AS n_words,
+                       CAST(coalesce(list_sum(list_transform(toks,
+                            x -> length(x))), 0) AS INT) AS sum_word_len,
+                       CAST(len(list_filter(toks,
+                            x -> regexp_matches(x, '[a-zA-Z]')))
+                            AS INT) AS n_alpha_words,
+                       CAST(length(text)
+                            - length(replace(text, '#', ''))
+                            + (length(text)
+                               - length(replace(text, '...', ''))) / 3
+                            AS BIGINT) AS n_symbols,
+                       CAST(len(list_filter(
+                            string_split_regex(lower(text), '\s+'),
+                            x -> x IN ('the','a','an','and','or','of',
+                                       'to','in','is','it','for','on',
+                                       'with','as','by','at','from')))
+                            AS INT) AS n_stopwords_g
+                FROM t
+            )
+            SELECT doc_id, n_words, sum_word_len, n_alpha_words,
+                   n_symbols, n_stopwords_g,
+                   (n_words >= 50 AND n_words <= 100000) AS rule_words,
+                   (sum_word_len >= n_words * 3
+                    AND sum_word_len <= n_words * 10) AS rule_mean_len,
+                   (n_alpha_words * 5 >= n_words * 4) AS rule_alpha,
+                   (n_symbols * 10 <= n_words * 1) AS rule_symbol,
+                   (n_stopwords_g >= 2) AS rule_stopwords,
+                   ((n_words >= 50 AND n_words <= 100000)
+                    AND (sum_word_len >= n_words * 3
+                         AND sum_word_len <= n_words * 10)
+                    AND (n_alpha_words * 5 >= n_words * 4)
+                    AND (n_symbols * 10 <= n_words * 1)
+                    AND (n_stopwords_g >= 2)) AS passes
+            FROM m ORDER BY doc_id
         """,
         # PMI collocations: same bigram CTE as bigram_nll; the PMI
         # expression folds N*c12/(cl*cr) in double in both engines

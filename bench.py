@@ -367,7 +367,7 @@ QUERY_NAMES = [
     # track plan regressions, not data scaling
     "bigram_nll", "containment_pairs", "semantic_dedup",
     "sessionize_events", "distinct_sample", "collocations",
-    "cumulative_distinct",
+    "cumulative_distinct", "gopher_quality", "knn_pq",
 ]
 
 

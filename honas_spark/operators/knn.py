@@ -224,6 +224,173 @@ def ivf_topk(
     )
 
 
+def _lloyd_local(X: np.ndarray, k: int, iters: int = 8) -> np.ndarray:
+    """Deterministic plain-L2 Lloyd on a driver-side sample: stride
+    init over the (given) row order, argmin ties to the lowest index,
+    empty clusters keep their previous centroid."""
+    n = X.shape[0]
+    k = min(k, n)
+    init_idx = (np.arange(k) * max(n // k, 1)) % n
+    cents = X[init_idx].astype(np.float64).copy()
+    for _ in range(iters):
+        d = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        a = np.argmin(d, axis=1)
+        for j in range(k):
+            sel = X[a == j]
+            if sel.shape[0]:
+                cents[j] = sel.mean(axis=0)
+    return cents
+
+
+def pq_train(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    codebook_size: int = 16,
+    train_rows: int = 4096,
+    iters: int = 8,
+) -> np.ndarray:
+    """Product-quantization codebooks (Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search"): split the dimension
+    into m subspaces, k-means each on a deterministic stride sample.
+
+    -> ndarray (m, codebook_size, d/m).  The sample is driver-side
+    (train_rows vectors) — PQ codebooks are tiny (m*ks*dsub floats)
+    and training needs only a representative sample; encoding and
+    search stay fully distributed."""
+    total = vectors.count()
+    if total == 0:
+        raise ValueError("cannot train PQ on an empty vector table")
+    stride = max(total // train_rows, 1)
+    rows = (
+        vectors.filter((F.col(id_col) % stride) == 0)
+        .orderBy(id_col)
+        .limit(train_rows)
+        .select(vec_col)
+        .collect()
+    )
+    X = np.array([r[0] for r in rows], dtype=np.float64)
+    d = X.shape[1]
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    return np.stack(
+        [
+            _lloyd_local(X[:, j * dsub:(j + 1) * dsub], codebook_size, iters)
+            for j in range(m)
+        ]
+    )
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """-> (id, codes array<int>): each vector compressed to m codebook
+    indices (m bytes at ks<=256 vs 4*d float bytes — the 100 TB
+    memory story: a billion 768-dim float32 vectors are 3 TB raw but
+    ~16-64 GB as PQ codes, broadcastable shard by shard).
+
+    One vectorized matmul-free argmin per Arrow batch per subspace;
+    codebooks ride the closure (tiny)."""
+    mm, ks, dsub = codebooks.shape
+    cb = codebooks.astype(np.float64)
+    cb_sq = (cb ** 2).sum(axis=2)  # (m, ks)
+
+    def encode(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+            codes = np.empty((X.shape[0], mm), dtype=np.int32)
+            for j in range(mm):
+                sub = X[:, j * dsub:(j + 1) * dsub]
+                # ||x-c||^2 = ||c||^2 - 2 x.c (+ ||x||^2, constant per row)
+                d = cb_sq[j][None, :] - 2.0 * (sub @ cb[j].T)
+                codes[:, j] = np.argmin(d, axis=1)
+            yield pd.DataFrame(
+                {"_id": pdf["_id"], "codes": list(codes)}
+            )
+
+    out = vectors.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+    ).mapInPandas(encode, schema="_id long, codes array<int>")
+    return out.withColumnRenamed("_id", id_col)
+
+
+def pq_topk(
+    codes: DataFrame,
+    codebooks: np.ndarray,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    k: int = 5,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: each query
+    precomputes an (m, ks) lookup table of exact subspace distances,
+    every code row then scores with m table lookups — no float vector
+    is ever touched again.
+
+    Output: (query_id, neighbor_id, rank, adist) — adist is the
+    approximate squared L2 distance.  Scale shape: queries + LUTs ride
+    the closure (broadcast); each partition emits only its LOCAL top-k
+    per query, so the final exact rank sorts P*k*|Q| candidate rows,
+    never the corpus."""
+    mm, ks, dsub = codebooks.shape
+    cb = codebooks.astype(np.float64)
+    qrows = queries.collect()
+    luts = []  # (query_id, (m, ks) LUT)
+    for r in qrows:
+        qv = np.asarray(r[query_vec_col], dtype=np.float64)
+        lut = np.stack(
+            [
+                ((cb[j] - qv[j * dsub:(j + 1) * dsub][None, :]) ** 2).sum(
+                    axis=1
+                )
+                for j in range(mm)
+            ]
+        )
+        luts.append((r[query_id_col], lut))
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            C = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            ids = pdf[id_col].to_numpy()
+            out_q, out_i, out_d = [], [], []
+            for qid, lut in luts:
+                d = lut[np.arange(mm)[None, :], C].sum(axis=1)
+                top = np.argsort(d, kind="stable")[:k]
+                out_q += [qid] * len(top)
+                out_i += list(ids[top])
+                out_d += list(d[top])
+            yield pd.DataFrame(
+                {
+                    query_id_col: out_q,
+                    "neighbor_id": out_i,
+                    "adist": out_d,
+                }
+            )
+
+    cand = codes.mapInPandas(
+        score,
+        schema=f"{query_id_col} long, neighbor_id long, adist double",
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.asc("adist"), F.asc("neighbor_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "rank", "adist")
+    )
+
+
 def _spherical_kmeans_local(
     X: np.ndarray, k: int, iters: int = 10
 ) -> np.ndarray:

@@ -15,7 +15,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-from ..functions.text import tokens
+from ..functions.text import stopword_count, tokens
 
 
 from .common import resplit_small as _resplit_small  # shared rule
@@ -504,6 +504,90 @@ def collocations(
                 0,
             ).cast("long").alias("pmi_micro"),
         )
+    )
+
+
+def gopher_rules(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: int = 3,
+    max_mean_word_len: int = 10,
+    min_alpha_ratio_num: int = 4,
+    min_alpha_ratio_den: int = 5,
+    max_symbol_ratio_num: int = 1,
+    max_symbol_ratio_den: int = 10,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """Gopher-style repetition-free quality rule battery (Rae et al.
+    2021, "Scaling Language Models", Table A1 — the document-level
+    rules; the duplicate-line family lives in ngram_repetition /
+    span_dup_stats): word-count bounds, mean word length in [3, 10],
+    >= 80% of words containing an alphabetic character, symbol
+    (#/ellipsis) to word ratio <= 0.1, and >= 2 stop words.
+
+    Every rule evaluates in INTEGER cross-multiplication (mean length
+    in [a, b] becomes a*n <= sum_len <= b*n; ratios likewise), so the
+    verdicts are exact and cross-engine reproducible — no float ever
+    decides a document.
+
+    -> (id, n_words, sum_word_len, n_alpha_words, n_symbols,
+    n_stopwords_g, rule_words, rule_mean_len, rule_alpha, rule_symbol,
+    rule_stopwords, passes).  Pure projection — zero shuffle; at 100 TB
+    this runs at scan speed and the filter composes with pushdown."""
+    c = F.col(text_col)
+    toks = tokens(c)
+    n_words = F.size(toks)
+    sum_len = F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.length(t)
+    )
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]")))
+    # non-overlapping occurrence counts via replace-shrinkage — both
+    # engines replace greedily left-to-right, so the counts agree
+    n_symbols = (
+        F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
+        + (F.length(c) - F.length(F.replace(c, F.lit("..."), F.lit(""))))
+        / F.lit(3)
+    ).cast("long")
+    n_stop = stopword_count(c)
+    rule_words = (n_words >= min_words) & (n_words <= max_words)
+    rule_mean = (
+        (sum_len >= n_words * min_mean_word_len)
+        & (sum_len <= n_words * max_mean_word_len)
+    )
+    rule_alpha = (
+        n_alpha * min_alpha_ratio_den >= n_words * min_alpha_ratio_num
+    )
+    rule_symbol = (
+        F.col("n_symbols") * max_symbol_ratio_den
+        <= F.col("n_words") * max_symbol_ratio_num
+    )
+    rule_stop = n_stop >= min_stopwords
+    out = df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        sum_len.alias("sum_word_len"),
+        n_alpha.alias("n_alpha_words"),
+        n_symbols.alias("n_symbols"),
+        n_stop.alias("n_stopwords_g"),
+        rule_words.alias("rule_words"),
+        rule_mean.alias("rule_mean_len"),
+        rule_alpha.alias("rule_alpha"),
+        rule_stop.alias("rule_stopwords"),
+    ).withColumn("rule_symbol", rule_symbol)
+    return out.withColumn(
+        "passes",
+        F.col("rule_words")
+        & F.col("rule_mean_len")
+        & F.col("rule_alpha")
+        & F.col("rule_symbol")
+        & F.col("rule_stopwords"),
+    ).select(
+        id_col, "n_words", "sum_word_len", "n_alpha_words", "n_symbols",
+        "n_stopwords_g", "rule_words", "rule_mean_len", "rule_alpha",
+        "rule_symbol", "rule_stopwords", "passes",
     )
 
 

@@ -1777,3 +1777,80 @@ def test_cumulative_distinct_exact(spark):
         .collect()
     ]
     assert got == [(1, 2, 2), (2, 1, 3), (5, 1, 4)]
+
+
+def test_gopher_rules_integer_verdicts(spark):
+    from honas_spark.operators.quality import gopher_rules
+
+    docs = spark.createDataFrame(
+        [
+            # passes everything (10 words, mean len in [3,10], alpha,
+            # no symbols, stopwords "the" x2)
+            (1, "the quick brown fox jumps over the lazy sleepy dog"),
+            # too few words
+            (2, "short text"),
+            # symbol-heavy: 3 hashes vs 6 words > 1/10
+            (3, "the code ### uses the hash tags"),
+            # no stopwords
+            (4, "alpha beta gamma delta epsilon zeta eta theta iota kap"),
+            # mean word length too long (all 12+ chars)
+            (5, "the characteristically "
+                + " ".join(["incomprehensibility"] * 8)),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (
+            r["passes"], r["rule_words"], r["rule_symbol"],
+            r["rule_stopwords"], r["rule_mean_len"],
+        )
+        for r in gopher_rules(
+            docs, "doc_id", "text", min_words=5, max_words=100,
+        ).collect()
+    }
+    assert got[1][0] is True
+    assert got[2] == (False, False, True, False, True)
+    assert got[3][2] is False and got[3][0] is False   # symbol rule
+    assert got[4][3] is False and got[4][0] is False   # stopword rule
+    assert got[5][4] is False and got[5][0] is False   # mean length
+
+
+def test_pq_roundtrip_recall_and_compression(spark):
+    """PQ codes: encode is deterministic, ADC top-k recovers the exact
+    neighbors on well-separated clusters, and the code width is m."""
+    import numpy as np
+
+    from honas_spark.operators.knn import pq_encode, pq_topk, pq_train
+
+    rng = np.random.RandomState(7)
+    centers = np.eye(4, dtype=np.float64) * 10  # 4 well-separated blobs
+    rows = []
+    for i in range(200):
+        c = i % 4
+        v = centers[c] + rng.normal(0, 0.05, 4)
+        rows.append((i, [float(x) for x in v]))
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cb = pq_train(vecs, m=2, codebook_size=8, train_rows=200)
+    assert cb.shape == (2, 8, 2)
+    codes = pq_encode(vecs, cb)
+    first = codes.orderBy("vec_id").limit(4).collect()
+    assert all(len(r["codes"]) == 2 for r in first)
+    # same input -> same codes under any layout
+    again = pq_encode(vecs.repartition(9), cb)
+    assert (
+        sorted((r["vec_id"], tuple(r["codes"])) for r in codes.collect())
+        == sorted((r["vec_id"], tuple(r["codes"])) for r in again.collect())
+    )
+    # queries = one per blob; ADC top-5 must return same-blob members
+    queries = spark.createDataFrame(
+        [(q, [float(x) for x in centers[q]]) for q in range(4)],
+        "query_id long, query_vec array<double>",
+    )
+    top = pq_topk(codes, cb, queries, k=5).collect()
+    assert len(top) == 20
+    for r in top:
+        assert r["neighbor_id"] % 4 == r["query_id"], r
+    import pytest
+
+    with pytest.raises(ValueError):
+        pq_train(vecs, m=3)  # 4 dims not divisible

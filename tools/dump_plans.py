@@ -112,6 +112,49 @@ NOTES = {
         "gram stream plus true hits reach the exact join that keeps "
         "the flags exact."
     ),
+    "sessionize_events": (
+        "Batch sessionization: ONE exchange on the key feeds the "
+        "ordered window (plan-asserted); the default RANGE frame keeps "
+        "equal-ts peers in one session; the rollup groupBy reuses the "
+        "window's partitioning where AQE allows."
+    ),
+    "distinct_sample": (
+        "Bottom-k distinct sample: values hash JVM-side in the scan "
+        "projection; mapInPandas folds per-split bottom-k states so "
+        "only P x k (hash, value) pairs per group reach the merge "
+        "exchange — the raw rows never shuffle."
+    ),
+    "bigram_nll": (
+        "Conditional bigram scoring: the bigram vocabulary aggregates "
+        "once and is localCheckpoint'd (truncated lineage) before "
+        "feeding the w1 marginal and the nll join; the per-doc "
+        "aggregation ships (id, long) pairs.  Measured: SMJ beats "
+        "shuffle_hash and per-doc pre-aggregation here (both "
+        "re-tested at sf0.1)."
+    ),
+    "semantic_dedup": (
+        "SemDeDup action: cosine pair generation is the capped "
+        "in-bucket join; connected components iterates on (id, id) "
+        "label pairs with per-round localCheckpoint — vectors never "
+        "enter the loop; final membership is one left join."
+    ),
+    "collocations": (
+        "PMI mining: ONE corpus bigram extraction feeds a "
+        "localCheckpoint'd vocabulary; total, left and right marginals "
+        "are re-aggregations of that checkpoint, so the corpus scans "
+        "once; marginal products fold in double (ANSI-safe)."
+    ),
+    "gopher_quality": (
+        "Pure projection — zero exchange below the output sort; every "
+        "rule is integer cross-multiplication inside whole-stage "
+        "codegen, so the filter composes with parquet pushdown."
+    ),
+    "knn_pq": (
+        "PQ/ADC search: codes are m small ints per vector (encode is "
+        "one vectorized argmin per Arrow batch); each partition emits "
+        "only its LOCAL top-k per query, so the final rank window "
+        "sorts P*k*|Q| candidate rows, never the corpus."
+    ),
     "theta_intersect": (
         "Theta/KMV set operations: values hash JVM-side (xxhash64 in "
         "the codegen scan projection), partial sketches per split fold "
