@@ -365,7 +365,10 @@ def pq_topk(
             out_q, out_i, out_d = [], [], []
             for qid, lut in luts:
                 d = lut[np.arange(mm)[None, :], C].sum(axis=1)
-                top = np.argsort(d, kind="stable")[:k]
+                # local cut in the SAME (adist, id) total order the
+                # global rank uses: every global top-k row then
+                # survives its partition cut under any layout
+                top = np.lexsort((ids, d))[:k]
                 out_q += [qid] * len(top)
                 out_i += list(ids[top])
                 out_d += list(d[top])

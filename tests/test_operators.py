@@ -1850,6 +1850,14 @@ def test_pq_roundtrip_recall_and_compression(spark):
     assert len(top) == 20
     for r in top:
         assert r["neighbor_id"] % 4 == r["query_id"], r
+    # layout sweep: equal-adist ties (identical codes) must resolve to
+    # the same ids under any partitioning — the local cut uses the same
+    # (adist, id) order as the global rank
+    top2 = pq_topk(codes.repartition(9), cb, queries, k=5).collect()
+    as_set = lambda rs: sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"]) for r in rs
+    )
+    assert as_set(top) == as_set(top2)
     import pytest
 
     with pytest.raises(ValueError):
