@@ -1735,6 +1735,25 @@ def _q_sizing_advice(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang", "target_fpr")
 
 
+def _q_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSketch sibling (kernels.DDSketch; Masson-Rim-Lee VLDB'19):
+    RELATIVE-error quantiles per return flag over lineitem prices.
+    EXACT cross-engine gate — unlike KLL/t-digest the sketch is a
+    deterministic pure function of the input multiset, so the DuckDB
+    oracle replays the log-bucket math (ceil(ln(x)/ln(gamma) - eps))
+    and must reproduce the bucket indexes bit-for-bit; value estimates
+    2*gamma^j/(gamma+1) are rounded to 4dp.  Error bound + merge
+    associativity are asserted in tests/test_ddsketch.py."""
+    from honas_spark.operators.quantiles import ddsketch_agg
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = li.filter(F.col("l_extendedprice") > 0)
+    return ddsketch_agg(
+        li, ["l_returnflag"], "l_extendedprice", alpha=0.01,
+        quantiles=(0.5, 0.9, 0.99),
+    ).orderBy("l_returnflag")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def shipped(fn):
         def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1752,6 +1771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # hard-signal row; tools/check_oracle.py --emit covers all of them
     # every round as CORRECTNESS_local.json.
     return {k: shipped(v) for k, v in {
+        "ddsketch_quantiles": _q_ddsketch_quantiles,
         "bm25_scores": _q_bm25_scores,
         "bpe_pair_counts": _q_bpe_pair_counts,
         "bpe_merges": _q_bpe_merges,
@@ -2300,6 +2320,57 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, source, n_chars FROM r
             WHERE rn <= 20 ORDER BY doc_id
+        """,
+        # DDSketch: the sketch output is a deterministic pure function
+        # of the input multiset, so the oracle replays the log-bucket
+        # math exactly — gamma literal 1.02020202020202 is the shortest
+        # repr of (1+0.01)/(1-0.01), the -1e-9 epsilon resolves
+        # boundary values DOWN in both engines, and the rank convention
+        # floor(q*(n-1))+1 matches kernels.DDSketch.quantile_bucket
+        "ddsketch_quantiles": r"""
+            WITH v AS (
+                SELECT l_returnflag,
+                       CAST(ceil(ln(l_extendedprice)
+                                 / ln(1.02020202020202::DOUBLE)
+                                 - 0.000000001) AS BIGINT) AS bk
+                FROM lineitem
+                WHERE l_extendedprice > 0
+            ),
+            c AS (
+                SELECT l_returnflag, bk, COUNT(*) AS cnt
+                FROM v GROUP BY 1, 2
+            ),
+            w AS (
+                SELECT l_returnflag, bk,
+                       SUM(cnt) OVER (PARTITION BY l_returnflag
+                                      ORDER BY bk) AS cum,
+                       SUM(cnt) OVER (PARTITION BY l_returnflag) AS n
+                FROM c
+            ),
+            q AS (
+                SELECT l_returnflag, MAX(n) AS n,
+                       MIN(bk) FILTER (WHERE cum >=
+                           CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1)
+                           AS b_50,
+                       MIN(bk) FILTER (WHERE cum >=
+                           CAST(floor(0.9 * (n - 1)) AS BIGINT) + 1)
+                           AS b_90,
+                       MIN(bk) FILTER (WHERE cum >=
+                           CAST(floor(0.99 * (n - 1)) AS BIGINT) + 1)
+                           AS b_99
+                FROM w GROUP BY 1
+            )
+            SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+                   b_50,
+                   ROUND(2 * pow(1.02020202020202::DOUBLE, b_50)
+                         / 2.02020202020202::DOUBLE, 4) AS q_50,
+                   b_90,
+                   ROUND(2 * pow(1.02020202020202::DOUBLE, b_90)
+                         / 2.02020202020202::DOUBLE, 4) AS q_90,
+                   b_99,
+                   ROUND(2 * pow(1.02020202020202::DOUBLE, b_99)
+                         / 2.02020202020202::DOUBLE, 4) AS q_99
+            FROM q ORDER BY l_returnflag
         """,
         # BM25: the oracle evaluates the IDENTICAL expression tree
         # (same literal placement, same left-associativity, every

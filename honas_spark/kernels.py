@@ -867,6 +867,121 @@ class TDigest:
 
 
 # ---------------------------------------------------------------------------
+# DDSketch (Masson, Rim & Lee, VLDB 2019): logarithmic-bucket quantile
+# sketch with a RELATIVE-error guarantee — every quantile estimate is
+# within alpha of the true value, at every quantile (KLL/t-digest bound
+# rank error instead).  Bucket j holds values in (gamma^(j-1), gamma^j]
+# with gamma = (1+alpha)/(1-alpha); the canonical estimate for bucket j
+# is 2*gamma^j/(gamma+1), the point with equal relative distance to both
+# bucket edges.  State is canonical sorted (bucket, count) arrays, so
+# merge is bucketwise counter ADDITION — exactly associative/commutative
+# and byte-identical under any merge ordering, the same bitset-equality
+# property as Bloom/CMS (and unlike KLL, whose merges are only
+# bound-equivalent).  Because the whole sketch is a deterministic pure
+# function of the multiset of inputs, its output can be cross-checked
+# EXACTLY against a SQL oracle that replays the bucket math.
+# Memory is bounded by collapsing the LOWEST buckets when the bucket
+# count exceeds max_buckets (upper quantiles keep full accuracy —
+# the paper's collapsing variant).
+# ---------------------------------------------------------------------------
+
+
+class DDSketch:
+    __slots__ = ("alpha", "gamma", "_lg", "max_buckets", "n", "keys", "counts")
+
+    _MAGIC = 0x44445331  # "DDS1"
+    # epsilon guard: values within 1e-9 of a bucket boundary in log space
+    # resolve DOWN in both this kernel and the SQL oracle, so a 1-ulp libm
+    # difference between engines cannot flip the bucket index.
+    _EPS = 1e-9
+
+    def __init__(self, alpha: float = 0.01, max_buckets: int = 2048):
+        self.alpha = float(alpha)
+        self.gamma = (1.0 + self.alpha) / (1.0 - self.alpha)
+        self._lg = math.log(self.gamma)
+        self.max_buckets = int(max_buckets)
+        self.n = 0
+        self.keys = np.empty(0, dtype=np.int64)
+        self.counts = np.empty(0, dtype=np.int64)
+
+    def _index(self, values: np.ndarray) -> np.ndarray:
+        """Bucket index: ceil(log_gamma(x) - eps).  Strictly positive input."""
+        return np.ceil(np.log(values) / self._lg - self._EPS).astype(np.int64)
+
+    def add(self, values: np.ndarray) -> None:
+        values = np.asarray(values, dtype=np.float64)
+        values = values[~np.isnan(values) & (values > 0.0)]
+        if values.size == 0:
+            return
+        self.n += int(values.size)
+        k, c = np.unique(self._index(values), return_counts=True)
+        self._absorb(k, c.astype(np.int64))
+
+    def _absorb(self, keys: np.ndarray, counts: np.ndarray) -> None:
+        allk = np.concatenate([self.keys, keys])
+        allc = np.concatenate([self.counts, counts])
+        uk, inv = np.unique(allk, return_inverse=True)
+        uc = np.zeros(uk.size, dtype=np.int64)
+        np.add.at(uc, inv, allc)
+        self.keys, self.counts = uk, uc
+        if self.keys.size > self.max_buckets:
+            # collapse lowest buckets into the lowest KEPT bucket
+            keep_from = self.keys.size - self.max_buckets
+            low = int(self.counts[: keep_from + 1].sum())
+            self.keys = self.keys[keep_from:].copy()
+            self.counts = np.concatenate(
+                [np.array([low], dtype=np.int64), self.counts[keep_from + 1 :]]
+            )
+
+    def merge(self, other: "DDSketch") -> "DDSketch":
+        assert abs(self.alpha - other.alpha) < 1e-12, "alpha mismatch"
+        out = DDSketch(self.alpha, self.max_buckets)
+        out.n = self.n + other.n
+        out.keys, out.counts = self.keys, self.counts
+        out._absorb(other.keys, other.counts)
+        return out
+
+    def quantile(self, q: float) -> float:
+        """Value estimate at rank floor(q*(n-1))+1 (1-based, ascending)."""
+        j = self.quantile_bucket(q)
+        if j is None:
+            return float("nan")
+        return 2.0 * self.gamma**j / (self.gamma + 1.0)
+
+    def quantile_bucket(self, q: float):
+        if self.n == 0:
+            return None
+        rank = int(math.floor(q * (self.n - 1))) + 1
+        cum = np.cumsum(self.counts)
+        i = int(np.searchsorted(cum, rank, side="left"))
+        return int(self.keys[min(i, self.keys.size - 1)])
+
+    # --- serialization: magic u32, max_buckets u32, alpha f64, n u64,
+    #     nbuckets u32, keys i64[], counts i64[] ------------------------
+    def to_bytes(self) -> bytes:
+        head = struct.pack(
+            "<IIdQI", self._MAGIC, self.max_buckets, self.alpha, self.n,
+            self.keys.size,
+        )
+        return (
+            head
+            + self.keys.astype("<i8").tobytes()
+            + self.counts.astype("<i8").tobytes()
+        )
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "DDSketch":
+        magic, mb, alpha, n, size = struct.unpack_from("<IIdQI", data, 0)
+        assert magic == cls._MAGIC, "corrupt DDSketch payload"
+        obj = cls(alpha, mb)
+        obj.n = n
+        off = struct.calcsize("<IIdQI")
+        obj.keys = np.frombuffer(data, "<i8", size, off).copy()
+        obj.counts = np.frombuffer(data, "<i8", size, off + 8 * size).copy()
+        return obj
+
+
+# ---------------------------------------------------------------------------
 # Combination unranking (src/combinations.c:35-69): lexicographic enumeration
 # of u-subsets of {0..F-1}; a client's filter subset is table[client_hash %
 # C(F,u)] (honas_state.c:280-283).  F,u are tiny -> precompute the table.
