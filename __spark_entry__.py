@@ -1754,6 +1754,38 @@ def _q_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("l_returnflag")
 
 
+def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-line removal (dedup.line_dedup, RefinedWeb-style):
+    lines shared by >= 2 distinct documents are dropped everywhere and
+    documents are reassembled in order.  The synthetic documents are
+    single-line, so a multi-line corpus is derived deterministically in
+    BOTH engines by turning every literal ' a ' token gap into a
+    newline (plain left-to-right string replace, identical semantics in
+    Spark and DuckDB)."""
+    from honas_spark.operators.dedup import line_dedup
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.replace(F.col("text"), F.lit(" a "), F.lit("\n")).alias("text"),
+    )
+    return line_dedup(docs, "doc_id", "text", min_docs=2).orderBy("doc_id")
+
+
+def _q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering key (operators/zorder.py): Morton interleave
+    of (o_custkey, days-since-epoch of o_orderdate) — the layout key a
+    re-clustering write would range-partition on so BOTH dimensions
+    prune at scan time.  Pure integer bit math, exact cross-engine."""
+    from honas_spark.operators.zorder import zorder_key
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    days = F.unix_date(F.col("o_orderdate").cast("date"))
+    return orders.select(
+        "o_orderkey",
+        zorder_key(F.col("o_custkey"), days, bits=16).alias("zkey"),
+    ).orderBy("o_orderkey")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def shipped(fn):
         def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1772,6 +1804,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # every round as CORRECTNESS_local.json.
     return {k: shipped(v) for k, v in {
         "ddsketch_quantiles": _q_ddsketch_quantiles,
+        "line_dedup": _q_line_dedup,
+        "zorder_key": _q_zorder_key,
         "bm25_scores": _q_bm25_scores,
         "bpe_pair_counts": _q_bpe_pair_counts,
         "bpe_merges": _q_bpe_merges,
@@ -1861,6 +1895,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     nonmembers_sql = ", ".join(
         f"(1000 + {i}, '{t}')" for i, t in enumerate(_NONMEMBERS)
+    )
+    # Morton key: the oracle evaluates the SAME generated bit-interleave
+    # expression the library exposes for external engines
+    from honas_spark.operators.zorder import zorder_key_sql
+
+    _zexpr = zorder_key_sql(
+        ["o_custkey", "(CAST(o_orderdate AS DATE) - DATE '1970-01-01')"],
+        bits=16,
+    )
+    zorder_sql = (
+        f"SELECT o_orderkey, CAST({_zexpr} AS BIGINT) AS zkey "
+        "FROM orders ORDER BY o_orderkey"
     )
     # 16-bit simhash recomputation: per-bit +-1 votes over md5-prefix
     # token hashes, sign-folded back into an integer (built per-bit here
@@ -2371,6 +2417,39 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(2 * pow(1.02020202020202::DOUBLE, b_99)
                          / 2.02020202020202::DOUBLE, 4) AS q_99
             FROM q ORDER BY l_returnflag
+        """,
+        "zorder_key": zorder_sql,
+        # line-level dedup: DuckDB 1.0 has no WITH ORDINALITY, so line
+        # positions come from the generate_series index-map idiom; the
+        # oracle groups by raw line text where Spark groups by md5(line)
+        # — identical grouping (the fingerprint is injective in practice
+        # and any collision would fail this very gate)
+        "line_dedup": r"""
+            WITH d2 AS (
+                SELECT doc_id, replace(text, ' a ', chr(10)) AS t
+                FROM documents
+            ),
+            L0 AS (SELECT doc_id, string_split(t, chr(10)) AS l FROM d2),
+            L1 AS (
+                SELECT doc_id, l,
+                       unnest(generate_series(1, len(l))) AS pos
+                FROM L0
+            ),
+            L AS (SELECT doc_id, pos, l[pos] AS line FROM L1),
+            c AS (
+                SELECT line, COUNT(DISTINCT doc_id) AS nd
+                FROM L GROUP BY 1
+            ),
+            f AS (
+                SELECT L.doc_id, L.pos, L.line, (c.nd >= 2) AS is_b
+                FROM L JOIN c USING (line)
+            )
+            SELECT doc_id,
+                   coalesce(string_agg(line, chr(10) ORDER BY pos)
+                            FILTER (WHERE NOT is_b), '') AS text,
+                   COUNT(*) FILTER (WHERE NOT is_b) AS n_kept,
+                   COUNT(*) FILTER (WHERE is_b) AS n_removed
+            FROM f GROUP BY doc_id ORDER BY doc_id
         """,
         # BM25: the oracle evaluates the IDENTICAL expression tree
         # (same literal placement, same left-associativity, every

@@ -771,3 +771,67 @@ def lsh_params(
         if best is None or key < best[0]:
             best = (key, b, r)
     return best[1], best[2]
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+    delim: str = "\n",
+) -> DataFrame:
+    """Boilerplate-line removal (line-level dedup as in RefinedWeb /
+    CCNet corpus prep): any line occurring in >= `min_docs` DISTINCT
+    documents is dropped from every document, and the surviving lines
+    are reassembled in their original order.  Output: one row per input
+    document — (id, text, n_kept, n_removed), text == '' when every
+    line was boilerplate.
+
+    Scale shape (100 TB): the document-frequency count never shuffles
+    line CONTENT — each line folds to a 16-byte md5 fingerprint first,
+    so that groupBy carries (fp, id) pairs only.  The boilerplate set
+    (df >= min_docs) is tiny relative to the corpus (headers, footers,
+    nav chrome), so AQE turns the marking join into a broadcast; the
+    one full-text shuffle is the final reassembly groupBy(id), which
+    any pass that rewrites documents must pay.  Line order is restored
+    by array_sort on (pos, line) structs — no window, no single
+    partition anywhere.
+    """
+    import re as _re
+
+    lines = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            F.split(F.col(text_col), _re.escape(delim), -1)
+        ).alias("_pos", "_line"),
+    ).withColumn("_fp", F.md5(F.col("_line")))
+
+    boiler = (
+        lines.groupBy("_fp")
+        .agg(F.countDistinct("_id").alias("_nd"))
+        .filter(F.col("_nd") >= int(min_docs))
+        .select("_fp", F.lit(True).alias("_is_b"))
+    )
+
+    # self-join lineage: alias both sides so the analyzer cannot
+    # conflate the shared parent's attributes
+    flagged = (
+        lines.alias("L")
+        .join(boiler.alias("B"), F.col("L._fp") == F.col("B._fp"), "left")
+        .select("L._id", "L._pos", "L._line", "B._is_b")
+    )
+    kept = F.when(F.col("_is_b").isNull(), F.struct("_pos", "_line"))
+    return (
+        flagged.groupBy("_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept)), lambda x: x["_line"]
+                ),
+                delim,
+            ).alias("text"),
+            F.count(kept).alias("n_kept"),
+            F.count(F.when(F.col("_is_b"), 1)).alias("n_removed"),
+        )
+        .select(F.col("_id").alias(id_col), "text", "n_kept", "n_removed")
+    )

@@ -1862,3 +1862,121 @@ def test_pq_roundtrip_recall_and_compression(spark):
 
     with pytest.raises(ValueError):
         pq_train(vecs, m=3)  # 4 dims not divisible
+
+
+def test_line_dedup_removes_shared_lines_preserves_order(spark):
+    from honas_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "COPYRIGHT\nalpha one\nbeta two"),
+            (2, "COPYRIGHT\ngamma three"),
+            (3, "delta four\nCOPYRIGHT\ndelta four"),
+            (4, "unique only"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in line_dedup(docs, min_docs=2).collect()}
+    assert len(out) == 4
+    assert out[1]["text"] == "alpha one\nbeta two"
+    assert out[1]["n_kept"] == 2 and out[1]["n_removed"] == 1
+    assert out[2]["text"] == "gamma three"
+    # 'delta four' repeats only WITHIN doc 3 -> distinct-doc count is 1,
+    # both copies survive, in order
+    assert out[3]["text"] == "delta four\ndelta four"
+    assert out[3]["n_removed"] == 1
+    assert out[4]["text"] == "unique only" and out[4]["n_removed"] == 0
+
+
+def test_line_dedup_fully_boilerplate_doc_kept_empty(spark):
+    from honas_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "same\nsame2"), (2, "same\nsame2"), (3, "same")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in line_dedup(docs, min_docs=2).collect()}
+    assert out[1]["text"] == "" and out[1]["n_kept"] == 0
+    assert out[2]["n_removed"] == 2
+    assert out[3]["text"] == "" and out[3]["n_removed"] == 1
+
+
+def test_line_dedup_threshold_disables_removal(spark):
+    from honas_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a\nb"), (2, "a\nc")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in line_dedup(docs, min_docs=99).collect()}
+    assert out[1]["text"] == "a\nb" and out[1]["n_removed"] == 0
+    assert out[2]["text"] == "a\nc"
+
+
+def test_zorder_key_matches_python_reference(spark):
+    from honas_spark.operators.zorder import zorder_key, zorder_key_sql
+
+    def morton(vals, bits=16):
+        z = 0
+        for i, v in enumerate(vals):
+            v &= (1 << bits) - 1
+            for b in range(bits):
+                z |= ((v >> b) & 1) << (b * len(vals) + i)
+        return z
+
+    rows = [(a, d) for a in (0, 1, 5, 1499, 65535, 70000)
+            for d in (0, 3, 9999)]
+    df = spark.createDataFrame(rows, "a long, d long")
+    out = df.select("a", "d", zorder_key("a", "d").alias("z")).collect()
+    for r in out:
+        assert r["z"] == morton([r["a"], r["d"]]), (r["a"], r["d"])
+    # the exported SQL expression computes the identical key in Spark SQL
+    df.createOrReplaceTempView("zt")
+    sql_out = spark.sql(
+        f"SELECT a, d, {zorder_key_sql(['a', 'd'])} AS z FROM zt"
+    ).collect()
+    assert sorted((r["a"], r["d"], r["z"]) for r in sql_out) == sorted(
+        (r["a"], r["d"], r["z"]) for r in out
+    )
+
+
+def test_zorder_key_is_pure_projection(spark):
+    from honas_spark.operators.zorder import zorder_key
+
+    df = spark.range(100).select(
+        F.col("id").alias("a"), (F.col("id") * 3).alias("b")
+    )
+    plan = df.select(zorder_key("a", "b").alias("z"))._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cluster_by_zorder_ranges_disjoint(spark):
+    from honas_spark.operators.zorder import cluster_by_zorder
+
+    df = spark.createDataFrame(
+        [(i % 37, (i * 7) % 53) for i in range(2000)], "x long, y long"
+    )
+    out = cluster_by_zorder(df, ["x", "y"], num_partitions=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower()
+    parts = out.select("zkey").rdd.glom().collect()
+    ranges = [(min(r["zkey"] for r in p), max(r["zkey"] for r in p))
+              for p in parts if p]
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # contiguous, non-overlapping key ranges
+    # within each partition rows are sorted by the key
+    for p in parts:
+        ks = [r["zkey"] for r in p]
+        assert ks == sorted(ks)
+
+
+def test_zorder_key_validation():
+    import pytest as _pytest
+    from honas_spark.operators.zorder import zorder_key
+
+    with _pytest.raises(ValueError):
+        zorder_key()
+    with _pytest.raises(ValueError):
+        zorder_key("a", "b", "c", "d", bits=16)
