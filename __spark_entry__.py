@@ -1786,6 +1786,28 @@ def _q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderkey")
 
 
+def _q_join_size_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact twin for join_size_cms: the true lineitem self-join size on
+    l_partkey (sum of squared key frequencies = F2), computed as an
+    aggregation instead of materializing the join."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    counts = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    return counts.agg(
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("true_join_rows")
+    )
+
+
+def _q_join_size_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS inner-product join-size estimate (operators/joinsize.py) for
+    the same self-join — rows-only: the estimate is pinned by the exact
+    twin join_size_exact and the one-sided error bound asserted in
+    tests/test_operators.py::test_cms_join_size_bound."""
+    from honas_spark.operators.joinsize import cms_join_size
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return cms_join_size(li, "l_partkey", li, "l_partkey")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def shipped(fn):
         def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1806,6 +1828,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ddsketch_quantiles": _q_ddsketch_quantiles,
         "line_dedup": _q_line_dedup,
         "zorder_key": _q_zorder_key,
+        "join_size_exact": _q_join_size_exact,
+        "join_size_cms": _q_join_size_cms,
         "bm25_scores": _q_bm25_scores,
         "bpe_pair_counts": _q_bpe_pair_counts,
         "bpe_merges": _q_bpe_merges,
@@ -2419,6 +2443,10 @@ def oracle_sql() -> dict[str, str]:
             FROM q ORDER BY l_returnflag
         """,
         "zorder_key": zorder_sql,
+        "join_size_exact": r"""
+            SELECT CAST(SUM(c * c) AS BIGINT) AS true_join_rows
+            FROM (SELECT COUNT(*) AS c FROM lineitem GROUP BY l_partkey)
+        """,
         # line-level dedup: DuckDB 1.0 has no WITH ORDINALITY, so line
         # positions come from the generate_series index-map idiom; the
         # oracle groups by raw line text where Spark groups by md5(line)

@@ -639,6 +639,22 @@ def cms_query(counts: np.ndarray, keys: np.ndarray) -> np.ndarray:
     return ests.min(axis=0)
 
 
+def cms_inner_product(a: np.ndarray, b: np.ndarray) -> int:
+    """CMS/AMS inner-product estimate: min over depth rows of the
+    row-wise dot product.  When the two sketches hold the per-key
+    frequency vectors of two equi-join sides this estimates the JOIN
+    OUTPUT CARDINALITY sum_k fA(k)*fB(k) (self-join => the second
+    frequency moment F2) without executing the join — the classic
+    sketch-based join planner statistic (Alon-Matias-Szegedy 1996;
+    Cormode-Muthukrishnan 2005 §4.2).  Always an overestimate; within
+    e * ||fA||_1 * ||fB||_1 / width with probability 1 - exp(-depth).
+    float64 accumulation: exact until products sum past 2^53, far
+    beyond the estimate's own error at that magnitude."""
+    assert a.shape == b.shape, "sketch shapes differ"
+    dots = (a.astype(np.float64) * b.astype(np.float64)).sum(axis=1)
+    return int(round(dots.min()))
+
+
 # ---------------------------------------------------------------------------
 # KLL quantile sketch (Karnin, Lang & Liberty 2016, simplified as in the
 # Apache DataSketches KLL).  Level l holds items of weight 2^l; when a level

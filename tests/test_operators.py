@@ -1980,3 +1980,60 @@ def test_zorder_key_validation():
         zorder_key()
     with _pytest.raises(ValueError):
         zorder_key("a", "b", "c", "d", bits=16)
+
+
+def test_cms_join_size_bound(spark):
+    import math as _math
+    from honas_spark.operators.joinsize import cms_join_size
+
+    # skewed key frequencies on both sides (zipf-ish), disjoint builds
+    rows_a = [(k,) for k in range(1, 200) for _ in range(200 // k)]
+    rows_b = [(k,) for k in range(1, 300) for _ in range(3 if k % 2 else 9)]
+    a = spark.createDataFrame(rows_a, "k long").repartition(5)
+    b = spark.createDataFrame(rows_b, "k long").repartition(3)
+    fa = {}
+    for (k,) in rows_a:
+        fa[k] = fa.get(k, 0) + 1
+    fb = {}
+    for (k,) in rows_b:
+        fb[k] = fb.get(k, 0) + 1
+    true = sum(c * fb.get(k, 0) for k, c in fa.items())
+
+    r = cms_join_size(a, "k", b, "k", depth=5, width=1 << 14).collect()[0]
+    assert r["n_a"] == len(rows_a) and r["n_b"] == len(rows_b)
+    est = r["est_join_rows"]
+    bound = _math.e * len(rows_a) * len(rows_b) / (1 << 14)
+    assert true <= est <= true + bound, (true, est, bound)
+
+
+def test_cms_join_size_self_join_f2(spark):
+    from honas_spark.operators.joinsize import cms_join_size
+
+    rows = [(k,) for k in range(50) for _ in range(k % 7 + 1)]
+    df = spark.createDataFrame(rows, "k long").repartition(4)
+    freq = {}
+    for (k,) in rows:
+        freq[k] = freq.get(k, 0) + 1
+    f2 = sum(c * c for c in freq.values())
+    est = cms_join_size(df, "k", df, "k").collect()[0]["est_join_rows"]
+    # tiny key set, wide sketch: estimate is exact
+    assert est == f2
+
+
+def test_cms_inner_product_kernel():
+    import numpy as np
+    from honas_spark import kernels as K
+
+    rng = np.random.default_rng(5)
+    ka = rng.integers(0, 500, 4000).astype(np.uint64)
+    kb = rng.integers(0, 700, 6000).astype(np.uint64)
+    a = K.cms_zero(5, 1 << 14)
+    b = K.cms_zero(5, 1 << 14)
+    K.cms_add(a, ka)
+    K.cms_add(b, kb)
+    ca = np.bincount(ka.astype(int), minlength=700)
+    cb = np.bincount(kb.astype(int), minlength=700)
+    true = int((ca * cb).sum())
+    est = K.cms_inner_product(a, b)
+    import math as _math
+    assert true <= est <= true + _math.e * 4000 * 6000 / (1 << 14)
