@@ -1808,6 +1808,84 @@ def _q_join_size_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_join_size(li, "l_partkey", li, "l_partkey")
 
 
+def _q_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned equi-join (operators/bloomjoin.py): lineitem rows
+    are filtered through a broadcast Bloom filter of the matching part
+    keys BEFORE the join shuffle — shuffled bytes scale with match
+    rate + FPR, not input size.  EXACT gate: Bloom pruning keeps a
+    superset (no false negatives) and the final equi-join removes the
+    false positives, so the oracle is the plain SQL join.  Prune-rate
+    and plan shape are asserted in tests/test_plans.py."""
+    from honas_spark.operators.bloomjoin import bloom_prune_join
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").filter(
+        F.col("p_size") <= 2
+    )
+    joined = bloom_prune_join(
+        li.select("l_orderkey", "l_linenumber", "l_partkey"),
+        "l_partkey",
+        part.select(
+            F.col("p_partkey").alias("l_partkey"), "p_name", "p_size"
+        ),
+        "l_partkey",
+        m_bits=1 << 14,
+    )
+    return joined.select(
+        "l_orderkey", "l_linenumber", "l_partkey", "p_name",
+        F.col("p_size").cast("int").alias("p_size"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+def _q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style one-pass column profile (operators/profile.py):
+    completeness, exact distinct, min/max, Shannon entropy (integer
+    milli-nats) for four documents columns.  One scan regardless of
+    column count (unpivot + two grouped aggregations); the oracle
+    recomputes each column's stats from its own value-frequency CTE.
+    String-cast min/max keeps the profile heterogeneous; the profiled
+    columns here are integer/varchar so the casts agree cross-engine."""
+    from honas_spark.operators.profile import profile_table
+
+    docs = _docs(spark, sf_dir)
+    return profile_table(
+        docs, ["doc_id", "lang", "source", "n_chars"]
+    ).orderBy("col_name")
+
+
+def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point integer PageRank (operators/graph.py), 5 power
+    iterations over a deterministic bipartite-ish graph derived from
+    orders (customer -> orderkey mod 1000).  Ranks live in integer
+    micro-units with explicit floors, so the result is a pure function
+    of the edge multiset — the DuckDB oracle unrolls the identical 5
+    iterations with integer `//` division and matches hash-exact.
+    Second iterative-dataflow family next to connected components."""
+    from honas_spark.operators.graph import pagerank
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    edges = orders.select(
+        F.col("o_custkey").alias("src"),
+        (F.col("o_orderkey") % 1000).alias("dst"),
+    )
+    return pagerank(edges, iterations=5).orderBy("node")
+
+
+def _q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier stats per return flag
+    (operators/robust.py).  Median and MAD are order statistics (picks
+    or means-of-two-picks, never accumulations), so both engines
+    produce bit-identical doubles and the strict |x-med| > z*MAD
+    comparison is deterministic — z=1.2 so the uniform synthetic
+    prices actually yield non-zero flag counts."""
+    from honas_spark.operators.robust import mad_outliers
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return mad_outliers(
+        li, ["l_returnflag"], "l_extendedprice", z=1.2
+    ).orderBy("l_returnflag")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def shipped(fn):
         def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1825,6 +1903,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # hard-signal row; tools/check_oracle.py --emit covers all of them
     # every round as CORRECTNESS_local.json.
     return {k: shipped(v) for k, v in {
+        "bloom_prune_join": _q_bloom_prune_join,
+        "profile_table": _q_profile_table,
+        "pagerank": _q_pagerank,
+        "mad_outliers": _q_mad_outliers,
         "ddsketch_quantiles": _q_ddsketch_quantiles,
         "line_dedup": _q_line_dedup,
         "zorder_key": _q_zorder_key,
@@ -2390,6 +2472,114 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, source, n_chars FROM r
             WHERE rn <= 20 ORDER BY doc_id
+        """,
+        # Bloom-pruned join is EXACTLY the plain join (no false
+        # negatives + the real join removes false positives)
+        "bloom_prune_join": r"""
+            SELECT l_orderkey, l_linenumber, l_partkey, p_name,
+                   CAST(p_size AS INTEGER) AS p_size
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_size <= 2
+            ORDER BY l_orderkey, l_linenumber
+        """,
+        # per-column profile: one value-frequency CTE per column feeds
+        # count/distinct/min/max and the entropy fold
+        # H = ln(N) - sum(c*ln(c))/N, floored to integer milli-nats
+        "profile_table": " UNION ALL ".join(
+            f"""
+            SELECT * FROM (
+            WITH vc AS (
+                SELECT CAST({c} AS VARCHAR) AS v, COUNT(*) AS c
+                FROM documents GROUP BY 1
+            ), s AS (
+                SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
+                       CAST(COALESCE(SUM(CASE WHEN v IS NOT NULL
+                                     THEN c END), 0) AS BIGINT)
+                           AS n_nonnull,
+                       CAST(COUNT(CASE WHEN v IS NOT NULL THEN 1 END)
+                            AS BIGINT) AS n_distinct,
+                       MIN(v) AS min_val, MAX(v) AS max_val,
+                       SUM(CASE WHEN v IS NOT NULL THEN
+                           CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+                           END) AS clnc
+                FROM vc
+            )
+            SELECT '{c}' AS col_name, n_rows, n_nonnull, n_distinct,
+                   min_val, max_val,
+                   CAST(CASE WHEN n_nonnull > 0 THEN
+                       floor((ln(CAST(n_nonnull AS DOUBLE))
+                              - clnc / CAST(n_nonnull AS DOUBLE))
+                             * CAST(1000.0 AS DOUBLE))
+                       ELSE 0 END AS BIGINT) AS entropy_mnats
+            FROM s )
+            """
+            for c in ("doc_id", "lang", "source", "n_chars")
+        ) + " ORDER BY col_name",
+        # PageRank: the same 5 integer power iterations unrolled as
+        # CTE layers — floor division via `//`, identical to Spark's
+        # floor(a/b) on the all-positive ranks
+        "pagerank": (
+            """
+            WITH e AS (
+                SELECT o_custkey AS src, o_orderkey % 1000 AS dst
+                FROM orders
+            ),
+            nodes AS (
+                SELECT src AS node FROM e
+                UNION SELECT dst FROM e
+            ),
+            deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+            r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank
+                   FROM nodes)
+            """
+            + "".join(
+                f""",
+            c{i} AS (
+                SELECT e.dst AS node,
+                       CAST(SUM(r.rank // d.outdeg) AS BIGINT) AS s
+                FROM e JOIN deg d ON e.src = d.src
+                       JOIN r{i - 1} r ON r.node = e.src
+                GROUP BY e.dst
+            ),
+            r{i} AS (
+                SELECT n.node,
+                       CAST(150000 + (COALESCE(c.s, 0) * 85) // 100
+                            AS BIGINT) AS rank
+                FROM nodes n LEFT JOIN c{i} c ON n.node = c.node
+            )
+            """
+                for i in range(1, 6)
+            )
+            + "SELECT node, rank AS rank_micro FROM r5 ORDER BY node"
+        ),
+        # median/MAD are order statistics — identical doubles in both
+        # engines, so even the strict z*MAD comparison is deterministic
+        "mad_outliers": r"""
+            WITH v AS (
+                SELECT l_returnflag AS g, l_extendedprice AS x
+                FROM lineitem WHERE l_extendedprice IS NOT NULL
+            ),
+            m AS (SELECT g, median(x) AS med FROM v GROUP BY g),
+            d AS (
+                SELECT v.g, abs(x - med) AS adev
+                FROM v JOIN m USING (g)
+            ),
+            md AS (
+                SELECT d.g, COUNT(*) AS n, median(adev) AS mad
+                FROM d GROUP BY d.g
+            ),
+            fl AS (
+                SELECT d.g,
+                       COUNT(CASE WHEN d.adev >
+                             CAST(1.2 AS DOUBLE) * md.mad THEN 1 END)
+                           AS n_outliers
+                FROM d JOIN md USING (g) GROUP BY d.g
+            )
+            SELECT m.g AS l_returnflag, CAST(md.n AS BIGINT) AS n,
+                   round(m.med, 4) AS med, round(md.mad, 4) AS mad,
+                   CAST(fl.n_outliers AS BIGINT) AS n_outliers
+            FROM m JOIN md ON m.g = md.g JOIN fl ON m.g = fl.g
+            ORDER BY l_returnflag
         """,
         # DDSketch: the sketch output is a deterministic pure function
         # of the input multiset, so the oracle replays the log-bucket

@@ -655,6 +655,22 @@ def cms_inner_product(a: np.ndarray, b: np.ndarray) -> int:
     return int(round(dots.min()))
 
 
+def bloom64_offsets(keys: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """(N,) uint64 keys -> (N, k) int64 bit offsets for a GENERIC Bloom
+    filter over 64-bit pre-hashed keys (Kirsch-Mitzenmacher 2006 double
+    hashing: g_i = h1 + i*h2 mod m, h2 forced odd).  This is the
+    lightweight sibling of the reference-faithful SHA-256 derivation
+    (bloom_offsets): it exists for INTERNAL uses — join pruning,
+    semi-join filters — where keys are already xxhash64-folded JVM-side
+    and bit-compatibility with honas `.hs` state files is not required.
+    Shares bloom_zero/bloom_build/bloom_probe with the faithful path."""
+    mixed = _splitmix64(keys.astype(np.uint64, copy=False))
+    h1 = _splitmix64(mixed ^ U64(0xA5A5A5A5A5A5A5A5))
+    h2 = (mixed | U64(1))
+    i = np.arange(k, dtype=np.uint64)[None, :]
+    return ((h1[:, None] + i * h2[:, None]) % U64(m_bits)).astype(np.int64)
+
+
 # ---------------------------------------------------------------------------
 # KLL quantile sketch (Karnin, Lang & Liberty 2016, simplified as in the
 # Apache DataSketches KLL).  Level l holds items of weight 2^l; when a level

@@ -1,0 +1,111 @@
+"""Table profiling — ANALYZE-style per-column statistics in one pass.
+
+Every 100 TB pipeline starts with "what is actually in this table":
+completeness per column, distinct cardinalities, ranges, value entropy.
+Deequ/Great-Expectations run this as N separate jobs; here it is ONE
+unpivot + two aggregations, so the input is scanned once no matter how
+many columns are profiled.
+
+Plan shape: select -> explode(array(struct(col_name, value_as_string)))
+multiplies rows by n_cols inside the scan stage (same cost class as
+Spark's own Expand for multi-count-distinct), then
+  groupBy(col_name, value)  -- partial counts map-side, so the shuffle
+                               carries (col x distinct-value) rows,
+                               not (col x input) rows
+  groupBy(col_name)         -- a second tiny shuffle over value groups
+Entropy comes from the value-frequency groups (sum c*ln(c) fold), so it
+rides the same aggregation instead of a separate job per column.
+
+Exact by construction — distinct counts are real COUNT(DISTINCT), not
+HLL (distinct is free once entropy forced the per-value grouping).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def profile_table(
+    df: DataFrame,
+    columns: Sequence[str] | None = None,
+) -> DataFrame:
+    """One row per profiled column:
+      col_name, n_rows, n_nonnull, n_distinct, min_val, max_val (both
+      as strings — the profile is heterogeneous by nature),
+      entropy_mnats (Shannon entropy of the value distribution in
+      milli-nats, an integer so the gate is exact cross-engine).
+
+    NULL handling matches SQL aggregates: n_distinct / min / max /
+    entropy are over non-null values; completeness = n_nonnull/n_rows
+    is left to the caller (both operands are returned)."""
+    cols = list(columns) if columns is not None else df.columns
+    exploded = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col_name"),
+                        F.col(c).cast("string").alias("val"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("cv")
+    ).select("cv.col_name", "cv.val")
+
+    per_value = exploded.groupBy("col_name", "val").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+
+    # n_distinct is free and EXACT here: the entropy fold already
+    # grouped by value, so distinct = count of non-null value groups.
+    # (For an ultra-high-cardinality column where even the value groups
+    # are too many and entropy is not wanted, the right tool is a
+    # single agg of approx_count_distinct / the package HLL — different
+    # query, same scan shape, no per-value shuffle.)
+    distinct_agg = F.count(F.when(F.col("val").isNotNull(), 1))
+    # entropy of the non-null value distribution:
+    #   H = ln(N) - sum(c*ln(c))/N   (N = n_nonnull)
+    # computed from the value-frequency groups; milli-nats as BIGINT so
+    # both engines floor the same double: per-group ln(c) products are
+    # order-independent, only the final fold sums doubles, and at
+    # milli-nat resolution a boundary flip needs the true value within
+    # ~1e-9 relative of a grid line — summation-order ULPs are orders
+    # of magnitude below that
+    prof = per_value.groupBy("col_name").agg(
+        F.sum("c").alias("n_rows"),
+        F.sum(F.when(F.col("val").isNotNull(), F.col("c"))).alias(
+            "_n_nonnull"
+        ),
+        distinct_agg.alias("n_distinct"),
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
+        F.sum(
+            F.when(
+                F.col("val").isNotNull(),
+                F.col("c").cast("double") * F.log(F.col("c").cast("double")),
+            )
+        ).alias("_clnc"),
+    )
+    n_nonnull = F.coalesce(F.col("_n_nonnull"), F.lit(0)).cast("long")
+    entropy = F.when(
+        n_nonnull > 0,
+        F.floor(
+            (
+                F.log(n_nonnull.cast("double"))
+                - F.col("_clnc") / n_nonnull.cast("double")
+            )
+            * F.lit(1_000.0)
+        ),
+    ).otherwise(F.lit(0)).cast("long")
+    return prof.select(
+        "col_name",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        n_nonnull.alias("n_nonnull"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        "min_val",
+        "max_val",
+        entropy.alias("entropy_mnats"),
+    )

@@ -2037,3 +2037,222 @@ def test_cms_inner_product_kernel():
     est = K.cms_inner_product(a, b)
     import math as _math
     assert true <= est <= true + _math.e * 4000 * 6000 / (1 << 14)
+
+
+# ---------------------------------------------------------------------------
+# Bloom-pruned join (operators/bloomjoin.py)
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_prune_join_exact_vs_plain_join(spark):
+    from honas_spark.operators.bloomjoin import bloom_prune_join
+
+    big = spark.createDataFrame(
+        [(i, i % 500) for i in range(5000)], "rid long, k long"
+    ).repartition(4)
+    small = spark.createDataFrame(
+        [(k, f"v{k}") for k in range(0, 500, 25)], "k long, payload string"
+    )
+    got = bloom_prune_join(big, "k", small, "k").collect()
+    want = big.join(small, on="k").collect()
+    key = lambda r: (r["rid"], r["k"])
+    assert sorted(map(key, got)) == sorted(map(key, want))
+    assert len(got) == 200  # 20 matching keys x 10 rows each
+
+
+def test_bloom_prune_join_null_keys_never_match(spark):
+    from honas_spark.operators.bloomjoin import bloom_prune_join
+
+    big = spark.createDataFrame(
+        [(1, None), (2, 7), (3, 8)], "rid long, k long"
+    )
+    small = spark.createDataFrame([(7,), (None,)], "k long")
+    got = bloom_prune_join(big, "k", small, "k").collect()
+    assert [(r["rid"], r["k"]) for r in got] == [(2, 7)]
+
+
+def test_build_key_bloom_superset_and_fpr(spark):
+    import numpy as np
+
+    from honas_spark import kernels as K
+    from honas_spark.operators.bloomjoin import build_key_bloom
+
+    members = spark.createDataFrame(
+        [(i,) for i in range(1000)], "k long"
+    ).repartition(3)
+    filt_bytes, stats = build_key_bloom(members, "k", fpp=1e-3)
+    assert stats["n_keys"] == 1000
+    filt = K.bloom_unpack(filt_bytes, 1, stats["m_bits"] // 8)[0]
+
+    # no false negatives: every member's xxhash64 must probe True
+    member_h = np.array(
+        [
+            r["h"]
+            for r in members.selectExpr("xxhash64(k) AS h").collect()
+        ],
+        dtype=np.int64,
+    ).view(np.uint64)
+    hit = K.bloom_probe(
+        filt, K.bloom64_offsets(member_h, stats["m_bits"], stats["k"])
+    )
+    assert hit.all()
+
+    # false-positive rate over disjoint keys stays near the target
+    non = spark.createDataFrame(
+        [(i,) for i in range(1_000_000, 1_020_000)], "k long"
+    )
+    non_h = np.array(
+        [r["h"] for r in non.selectExpr("xxhash64(k) AS h").collect()],
+        dtype=np.int64,
+    ).view(np.uint64)
+    fp = K.bloom_probe(
+        filt, K.bloom64_offsets(non_h, stats["m_bits"], stats["k"])
+    ).sum()
+    assert fp / 20_000 < 10 * 1e-3, fp  # 10x slack on a 20k sample
+
+
+def test_bloom64_offsets_shape_and_range():
+    import numpy as np
+
+    from honas_spark import kernels as K
+
+    keys = np.arange(100, dtype=np.uint64) * 0x9E3779B97F4A7C15
+    off = K.bloom64_offsets(keys, 1 << 12, 7)
+    assert off.shape == (100, 7)
+    assert off.min() >= 0 and off.max() < (1 << 12)
+    # deterministic
+    assert (off == K.bloom64_offsets(keys, 1 << 12, 7)).all()
+
+
+# ---------------------------------------------------------------------------
+# Table profile (operators/profile.py)
+# ---------------------------------------------------------------------------
+
+
+def test_profile_table_counts_nulls_and_entropy(spark):
+    import math as _math
+
+    from honas_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (4, "a"), (None, "b")],
+        "x long, s string",
+    )
+    rows = {r["col_name"]: r for r in profile_table(df).collect()}
+    assert rows["x"]["n_rows"] == 5
+    assert rows["x"]["n_nonnull"] == 4
+    assert rows["x"]["n_distinct"] == 4
+    assert rows["x"]["min_val"] == "1" and rows["x"]["max_val"] == "4"
+    # uniform over 4 values -> H = ln(4)
+    assert rows["x"]["entropy_mnats"] == _math.floor(_math.log(4) * 1000)
+    assert rows["s"]["n_nonnull"] == 4
+    assert rows["s"]["n_distinct"] == 2
+    # two values, 2/2 split of the non-nulls -> ln(2)
+    assert rows["s"]["entropy_mnats"] == _math.floor(_math.log(2) * 1000)
+
+
+def test_profile_table_all_null_column(spark):
+    from honas_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame([(1, None), (2, None)], "x long, s string")
+    rows = {r["col_name"]: r for r in profile_table(df, ["s"]).collect()}
+    r = rows["s"]
+    assert r["n_rows"] == 2 and r["n_nonnull"] == 0
+    assert r["n_distinct"] == 0 and r["entropy_mnats"] == 0
+    assert r["min_val"] is None and r["max_val"] is None
+
+
+def test_profile_table_single_scan(spark, tmp_path):
+    from honas_spark.operators.profile import profile_table
+
+    p = str(tmp_path / "prof.parquet")
+    spark.range(100).selectExpr(
+        "id AS a", "id % 3 AS b", "CAST(id AS STRING) AS c"
+    ).write.parquet(p)
+    df = spark.read.parquet(p)
+    plan = profile_table(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
+
+
+# ---------------------------------------------------------------------------
+# PageRank (operators/graph.py)
+# ---------------------------------------------------------------------------
+
+
+def test_pagerank_two_node_cycle_fixed_point(spark):
+    from honas_spark.operators.graph import pagerank
+
+    e = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    rows = {
+        r["node"]: r["rank_micro"]
+        for r in pagerank(e, iterations=8).collect()
+    }
+    # the symmetric cycle is the fixed point of the update itself:
+    # 150000 + floor(0.85 * 1_000_000) = 1_000_000
+    assert rows == {1: 1_000_000, 2: 1_000_000}
+
+
+def test_pagerank_star_matches_local_model(spark):
+    from honas_spark.operators.graph import pagerank
+
+    # 4 leaves -> center 0; center -> leaf 1
+    edges = [(i, 0) for i in range(1, 5)] + [(0, 1)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["rank_micro"]
+        for r in pagerank(e, iterations=5).collect()
+    }
+
+    # exact local replay of the integer recurrence
+    nodes = {0, 1, 2, 3, 4}
+    outdeg = {0: 1, 1: 1, 2: 1, 3: 1, 4: 1}
+    rank = {n: 1_000_000 for n in nodes}
+    for _ in range(5):
+        s = {n: 0 for n in nodes}
+        for u, v in edges:
+            s[v] += rank[u] // outdeg[u]
+        rank = {n: 150_000 + (s[n] * 85) // 100 for n in nodes}
+    assert got == rank
+
+
+def test_pagerank_ignores_null_endpoints(spark):
+    from honas_spark.operators.graph import pagerank
+
+    e = spark.createDataFrame(
+        [(1, 2), (None, 2), (1, None)], "src long, dst long"
+    )
+    rows = pagerank(e, iterations=2).collect()
+    assert {r["node"] for r in rows} == {1, 2}
+
+
+# ---------------------------------------------------------------------------
+# MAD outliers (operators/robust.py)
+# ---------------------------------------------------------------------------
+
+
+def test_mad_outliers_hand_computed(spark):
+    from honas_spark.operators.robust import mad_outliers
+
+    # group g: values 1..9 plus a 100 outlier; med=5.5 over 10 values
+    vals = [float(v) for v in range(1, 10)] + [100.0]
+    df = spark.createDataFrame([("g", v) for v in vals], "grp string, v double")
+    r = mad_outliers(df, ["grp"], "v", z=3.0).collect()[0]
+    assert r["n"] == 10
+    assert r["med"] == 5.5
+    # deviations: 4.5,3.5,2.5,1.5,0.5,0.5,1.5,2.5,3.5,94.5 -> MAD 2.5
+    assert r["mad"] == 2.5
+    # only 100 exceeds 5.5 + 3*2.5 = 13
+    assert r["n_outliers"] == 1
+
+
+def test_mad_outliers_nulls_and_degenerate_group(spark):
+    from honas_spark.operators.robust import mad_outliers
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", None), ("a", 1.0), ("b", 2.0)],
+        "grp string, v double",
+    )
+    rows = {r["grp"]: r for r in mad_outliers(df, ["grp"], "v").collect()}
+    assert rows["a"]["n"] == 2  # null ignored
+    assert rows["a"]["mad"] == 0.0 and rows["a"]["n_outliers"] == 0
+    assert rows["b"]["n"] == 1 and rows["b"]["n_outliers"] == 0

@@ -261,3 +261,43 @@ def test_cumulative_distinct_window_sees_buckets_not_events(spark):
     # Window is the plan ROOT side; both Aggregates appear beneath it
     w = plan.index("Window")
     assert plan.index("Aggregate") > w, "window must run on aggregated buckets"
+
+
+def test_bloom_prune_join_filters_before_exchange(spark):
+    """The Bloom probe must run in the big side's SCAN stage — an
+    ArrowEvalPython (vectorized pandas_udf over the 8-byte hash only)
+    BELOW the join, so the exchange moves survivors, not the input."""
+    from honas_spark.operators.bloomjoin import bloom_prune_join
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    part = spark.read.parquet(f"{SF}/part.parquet").filter("p_size <= 2")
+    out = bloom_prune_join(
+        li.select("l_orderkey", "l_partkey"),
+        "l_partkey",
+        part.select(F.col("p_partkey").alias("l_partkey"), "p_name"),
+        "l_partkey",
+        m_bits=1 << 13,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan, plan
+    join_pos = max(plan.find("SortMergeJoin"), plan.find("BroadcastHashJoin"))
+    assert join_pos >= 0, plan
+    # tree prints root-first: the probe appears after (= below) the join
+    assert plan.find("ArrowEvalPython") > join_pos, plan
+    # only the xxhash64 fold crosses into Python, never content columns
+    probe_seg = plan[plan.find("ArrowEvalPython"):][:400]
+    assert "xxhash64" in probe_seg, probe_seg
+
+
+def test_pagerank_no_cartesian_bounded_shuffles(spark):
+    from honas_spark.operators.graph import pagerank
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    e = orders.select(
+        F.col("o_custkey").alias("src"),
+        (F.col("o_orderkey") % 100).alias("dst"),
+    )
+    pr = pagerank(e, iterations=2, checkpoint_every=0)  # keep full plan
+    plan = pr._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
