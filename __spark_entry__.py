@@ -1886,6 +1886,36 @@ def _q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("l_returnflag")
 
 
+def _q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy string matching (operators/fuzzyjoin.py): part
+    names within edit distance 2, candidates generated by
+    (prefix/suffix, length-bucket) blocking with a deterministic
+    hot-block cap, ONE JVM levenshtein per distinct candidate pair.
+    The oracle replays the identical blocking rule, so the gate is
+    exact even though blocking recall is (documented) < 100%."""
+    from honas_spark.operators.fuzzyjoin import fuzzy_pairs
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    return fuzzy_pairs(
+        part, "p_partkey", "p_name", max_distance=2
+    ).orderBy("id_a", "id_b")
+
+
+def _q_hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel rolling-median/MAD spike detection
+    (operators/robust.py): per-user event series, centered 5-row
+    frames via explode(sequence(rn-2, rn+2)) + two grouped medians —
+    no per-key sort-and-collect, so a hot key never serializes one
+    task.  Medians are order statistics: exact cross-engine including
+    the strict z*MAD flag."""
+    from honas_spark.operators.robust import hampel_filter
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return hampel_filter(
+        ev, ["user_id"], ["event_id"], "value", half_window=2, z=2.0
+    ).orderBy("user_id", "event_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def shipped(fn):
         def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1903,6 +1933,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # hard-signal row; tools/check_oracle.py --emit covers all of them
     # every round as CORRECTNESS_local.json.
     return {k: shipped(v) for k, v in {
+        "fuzzy_pairs": _q_fuzzy_pairs,
+        "hampel_filter": _q_hampel_filter,
         "bloom_prune_join": _q_bloom_prune_join,
         "profile_table": _q_profile_table,
         "pagerank": _q_pagerank,
@@ -2472,6 +2504,83 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, source, n_chars FROM r
             WHERE rn <= 20 ORDER BY doc_id
+        """,
+        # fuzzy matching: the oracle replays the same blocking rule
+        # (2-char prefix/suffix + length//4 bucket, |len diff| <= 2,
+        # block-size cap) and the same lowercased/trimmed levenshtein
+        "fuzzy_pairs": r"""
+            WITH base AS (
+                SELECT p_partkey AS id, lower(trim(p_name)) AS t
+                FROM part WHERE p_name IS NOT NULL
+            ),
+            b AS (
+                SELECT id, t, length(t) AS L,
+                       unnest([
+                           'p:' || substr(t, 1, 2) || ':'
+                               || CAST(length(t) // 4 AS VARCHAR),
+                           's:' || substr(t, greatest(length(t) - 1, 1), 2)
+                               || ':' || CAST(length(t) // 4 AS VARCHAR)
+                       ]) AS bk
+                FROM base
+            ),
+            kept AS (
+                SELECT bk FROM (
+                    SELECT bk, COUNT(*) AS c FROM b GROUP BY 1
+                ) WHERE c <= 1000
+            ),
+            bb AS (SELECT b.* FROM b JOIN kept USING (bk)),
+            cand AS (
+                SELECT DISTINCT x.id AS id_a, y.id AS id_b,
+                                x.t AS ta, y.t AS tb
+                FROM bb x JOIN bb y
+                  ON x.bk = y.bk AND x.id < y.id
+                 AND abs(x.L - y.L) <= 2
+            )
+            SELECT id_a, id_b,
+                   CAST(levenshtein(ta, tb) AS INTEGER) AS dist
+            FROM cand WHERE levenshtein(ta, tb) <= 2
+            ORDER BY id_a, id_b
+        """,
+        # Hampel: identical fan-out frames (rn-2..rn+2), medians are
+        # order statistics so even the strict z*MAD flag is exact
+        "hampel_filter": r"""
+            WITH v AS (
+                SELECT user_id, event_id, value AS x
+                FROM events WHERE value IS NOT NULL
+            ),
+            r AS (
+                SELECT user_id, event_id, x,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY event_id) AS rn
+                FROM v
+            ),
+            fan AS (
+                SELECT user_id, x,
+                       unnest(generate_series(rn - 2, rn + 2)) AS c
+                FROM r
+            ),
+            fan2 AS (SELECT * FROM fan WHERE c >= 1),
+            med AS (
+                SELECT user_id, c, median(x) AS med, COUNT(*) AS nf
+                FROM fan2 GROUP BY 1, 2
+            ),
+            mad AS (
+                SELECT f.user_id, f.c,
+                       median(abs(f.x - m.med)) AS mad
+                FROM fan2 f JOIN med m
+                  ON f.user_id = m.user_id AND f.c = m.c
+                GROUP BY 1, 2
+            )
+            SELECT r.user_id AS user_id, r.event_id AS event_id,
+                   r.x AS value,
+                   CAST(m.nf AS BIGINT) AS n_frame,
+                   round(m.med, 4) AS med, round(d.mad, 4) AS mad,
+                   CAST(CASE WHEN abs(r.x - m.med) >
+                        CAST(2.0 AS DOUBLE) * d.mad
+                        THEN 1 ELSE 0 END AS INTEGER) AS is_outlier
+            FROM r JOIN med m ON r.user_id = m.user_id AND r.rn = m.c
+                   JOIN mad d ON r.user_id = d.user_id AND r.rn = d.c
+            ORDER BY user_id, event_id
         """,
         # Bloom-pruned join is EXACTLY the plain join (no false
         # negatives + the real join removes false positives)

@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def mad_outliers(
@@ -74,5 +74,80 @@ def mad_outliers(
             F.round(F.col("_med"), 4).alias("med"),
             F.round(F.col("_mad"), 4).alias("mad"),
             F.col("n_outliers").cast("long").alias("n_outliers"),
+        )
+    )
+
+
+def hampel_filter(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+    *,
+    half_window: int = 2,
+    z: float = 3.0,
+) -> DataFrame:
+    """Hampel outlier filter (Hampel 1974; the rolling sibling of
+    mad_outliers): per key series ordered by `order_cols`, each row is
+    compared against the median and MAD of its CENTERED window of
+    2*half_window+1 rows — |x - med| > z * MAD flags a spike without a
+    global distribution assumption.  Edge rows use their truncated
+    window (standard behavior).
+
+    Returns key_cols + order_cols + value + (n_frame, med, mad rounded
+    4dp, is_outlier int).  Exact cross-engine: medians are order
+    statistics and every other op is per-row.
+
+    Scale shape: NO per-key sort-and-collect.  A row_number per key
+    (one shuffle, same as any sessionization) places each row, then
+    explode(sequence(rn-k, rn+k)) fans every row out to the 2k+1 frames
+    it participates in — two grouped aggregations over (key, center)
+    compute frame medians and frame MADs, and one final join tags the
+    center rows.  Cost is (2k+1)x rows through hash aggregations,
+    independent of key skew (a million-row key is fine: frames are
+    size-bounded, nothing sorts the whole key in one task)."""
+    g = list(key_cols)
+    o = list(order_cols)
+    k = int(half_window)
+
+    w = Window.partitionBy(*g).orderBy(*o)
+    rows = df.select(*g, *o, F.col(value_col).alias("_v")).filter(
+        F.col("_v").isNotNull()
+    ).withColumn("_rn", F.row_number().over(w))
+
+    # every row feeds the frames centered at rn-k .. rn+k
+    fan = rows.select(
+        *g, "_v",
+        F.explode(
+            F.sequence(F.col("_rn") - k, F.col("_rn") + k)
+        ).alias("_c"),
+    ).filter(F.col("_c") >= 1)
+
+    meds = fan.groupBy(*g, "_c").agg(
+        F.median("_v").alias("_med"),
+        F.count(F.lit(1)).alias("_nf"),
+    )
+    mads = (
+        fan.join(meds, on=g + ["_c"])
+        .groupBy(*g, "_c")
+        .agg(F.median(F.abs(F.col("_v") - F.col("_med"))).alias("_mad"))
+    )
+    # frames centered beyond the series end exist in `fan` (rn+k > max
+    # rn) but no row has _rn == _c there, so the final inner join on
+    # the center row drops them — no explicit max-rn filter needed
+    return (
+        rows.join(meds.withColumnRenamed("_c", "_rn"), on=g + ["_rn"])
+        .join(mads.withColumnRenamed("_c", "_rn"), on=g + ["_rn"])
+        .select(
+            *g, *o,
+            F.col("_v").alias(value_col),
+            F.col("_nf").cast("long").alias("n_frame"),
+            F.round("_med", 4).alias("med"),
+            F.round("_mad", 4).alias("mad"),
+            F.when(
+                F.abs(F.col("_v") - F.col("_med"))
+                > F.lit(float(z)) * F.col("_mad"),
+                1,
+            ).otherwise(0).cast("int").alias("is_outlier"),
         )
     )

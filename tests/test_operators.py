@@ -2256,3 +2256,83 @@ def test_mad_outliers_nulls_and_degenerate_group(spark):
     assert rows["a"]["n"] == 2  # null ignored
     assert rows["a"]["mad"] == 0.0 and rows["a"]["n_outliers"] == 0
     assert rows["b"]["n"] == 1 and rows["b"]["n_outliers"] == 0
+
+
+def test_hampel_filter_hand_computed(spark):
+    from honas_spark.operators.robust import hampel_filter
+
+    # series 1,1,1,10,1,1,1: only the centered frame around the spike
+    # has it as its own center; every frame's median is 1 and MAD 0,
+    # so exactly the spike row (dev 9 > z*0) is flagged
+    df = spark.createDataFrame(
+        [("u", i, 10.0 if i == 4 else 1.0) for i in range(1, 8)],
+        "k string, t int, v double",
+    )
+    rows = {
+        r["t"]: r
+        for r in hampel_filter(
+            df, ["k"], ["t"], "v", half_window=2, z=3.0
+        ).collect()
+    }
+    assert [rows[t]["is_outlier"] for t in range(1, 8)] == [0, 0, 0, 1, 0, 0, 0]
+    # edge rows see truncated frames: rn=1 -> rows 1..3, rn=2 -> 1..4
+    assert rows[1]["n_frame"] == 3
+    assert rows[2]["n_frame"] == 4
+    assert rows[4]["n_frame"] == 5
+    assert rows[7]["n_frame"] == 3
+    assert rows[4]["med"] == 1.0 and rows[4]["mad"] == 0.0
+
+
+def test_hampel_filter_keys_independent_and_nulls(spark):
+    from honas_spark.operators.robust import hampel_filter
+
+    # a second key with its own scale must not borrow frames from the
+    # first; nulls drop before row-numbering (frames close over them)
+    df = spark.createDataFrame(
+        [("a", 1, 1.0), ("a", 2, None), ("a", 3, 1.0), ("a", 4, 1.0),
+         ("b", 1, 1000.0), ("b", 2, 1000.0), ("b", 3, 1000.0)],
+        "k string, t int, v double",
+    )
+    out = hampel_filter(df, ["k"], ["t"], "v", half_window=1).collect()
+    assert len(out) == 6  # the null row is gone
+    assert all(r["is_outlier"] == 0 for r in out)
+    a = {r["t"]: r for r in out if r["k"] == "a"}
+    # rn(1)=1, rn(3)=2, rn(4)=3: the middle frame spans all three rows
+    assert a[3]["n_frame"] == 3
+
+
+def test_fuzzy_pairs_blocking_and_distance(spark):
+    from honas_spark.operators.fuzzyjoin import fuzzy_pairs
+
+    df = spark.createDataFrame(
+        [(1, "kitten"), (2, "sitten"), (3, "mitten"),
+         (4, "zzzzzz"),                      # same length, distance > 2
+         (5, "aitten"), (6, "kitteb")],      # both ends differ: blocked out
+        "id int, name string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in fuzzy_pairs(df, "id", "name", max_distance=2).collect()
+    }
+    # the *itten family shares the s:en block; each pair is distance 1-2
+    assert got[(1, 2)] == 1 and got[(1, 3)] == 1 and got[(2, 3)] == 1
+    assert got[(1, 5)] == 1 and got[(2, 5)] == 1 and got[(3, 5)] == 1
+    assert got[(1, 6)] == 1
+    assert (1, 4) not in got and (2, 4) not in got
+    # (5, 6) differ in BOTH first two and last two chars -> out of
+    # blocking scope by construction even though distance is 2
+    assert (5, 6) not in got
+
+
+def test_fuzzy_pairs_block_cap_and_case(spark):
+    from honas_spark.operators.fuzzyjoin import fuzzy_pairs
+
+    trip = spark.createDataFrame(
+        [(1, "Same"), (2, "saME "), (3, "same")], "id int, name string"
+    )
+    # normalization: lower+trim makes all three identical (distance 0)
+    got = fuzzy_pairs(trip, "id", "name").collect()
+    assert {(r["id_a"], r["id_b"]) for r in got} == {(1, 2), (1, 3), (2, 3)}
+    assert all(r["dist"] == 0 for r in got)
+    # every block holds all 3 rows; cap 2 deterministically drops them
+    assert fuzzy_pairs(trip, "id", "name", max_block_size=2).count() == 0
