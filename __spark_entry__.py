@@ -1916,6 +1916,54 @@ def _q_hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "event_id")
 
 
+def _q_f2_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact second frequency moment (self-join size) per event type —
+    the ground-truth twin of f2_moment_cs, same protocol as
+    distinct_exact vs hll_distinct_text."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    per_key = (
+        ev.filter(F.col("user_id").isNotNull())
+        .groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    return (
+        per_key.groupBy("event_type")
+        .agg(
+            F.sum("_c").cast("long").alias("n"),
+            F.sum(F.col("_c") * F.col("_c")).cast("long").alias("f2"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _q_f2_moment_cs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Sketch / AMS F2 estimate (operators/countsketch.py): the
+    sketch is a plain groupBy SUM over (group, depth-row, bucket) —
+    no pandas, shuffle bounded by groups*depth*width — and the md5
+    family makes the estimate a deterministic integer the DuckDB
+    oracle replays EXACTLY (the estimator's error vs true F2 is
+    bound-tested in tests/test_sketches.py)."""
+    from honas_spark.operators.countsketch import count_sketch_f2
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return count_sketch_f2(
+        ev, ["event_type"], "user_id", depth=5, width=256, hash_fn="md5"
+    ).orderBy("event_type")
+
+
+def _q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift (operators/drift.py):
+    distribution distance between click and purchase event values.
+    Integer-exact cross-engine: the statistic is max |cum_a*n_b -
+    cum_b*n_a| over pooled distinct values (decimal(38,0)); the global
+    cumsum uses range-repartition + per-partition prefix offsets — no
+    Exchange SinglePartition."""
+    from honas_spark.operators.drift import ks_drift
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ks_drift(ev, "value", "event_type", "click", "purchase")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def shipped(fn):
         def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1933,6 +1981,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # hard-signal row; tools/check_oracle.py --emit covers all of them
     # every round as CORRECTNESS_local.json.
     return {k: shipped(v) for k, v in {
+        "ks_drift": _q_ks_drift,
+        "f2_exact": _q_f2_exact,
+        "f2_moment_cs": _q_f2_moment_cs,
         "fuzzy_pairs": _q_fuzzy_pairs,
         "hampel_filter": _q_hampel_filter,
         "bloom_prune_join": _q_bloom_prune_join,
@@ -2504,6 +2555,85 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, source, n_chars FROM r
             WHERE rn <= 20 ORDER BY doc_id
+        """,
+        "f2_exact": r"""
+            SELECT event_type,
+                   CAST(SUM(c) AS BIGINT) AS n,
+                   CAST(SUM(c * c) AS BIGINT) AS f2
+            FROM (
+                SELECT event_type, user_id, COUNT(*) AS c
+                FROM events WHERE user_id IS NOT NULL
+                GROUP BY 1, 2
+            ) GROUP BY 1 ORDER BY event_type
+        """,
+        # Count-Sketch replay: same md5-prefix hash, same integer
+        # bucket/sign split of h mod 2w, same odd-depth order-statistic
+        # median -- the estimate is a deterministic integer both
+        # engines derive identically
+        "f2_moment_cs": r"""
+            WITH rows_ AS (
+                SELECT event_type AS g, CAST(user_id AS VARCHAR) AS v
+                FROM events WHERE user_id IS NOT NULL
+            ),
+            fan AS (
+                SELECT g, v, r
+                FROM rows_
+                CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS r) d
+            ),
+            h AS (
+                SELECT g, r,
+                       CAST(concat('0x',
+                            substr(md5(v || ':' || CAST(r AS VARCHAR)),
+                                   1, 15)) AS BIGINT) AS hk
+                FROM fan
+            ),
+            s AS (
+                SELECT g, r, hk % 256 AS b,
+                       CASE WHEN hk % 512 >= 256 THEN 1 ELSE -1 END AS sg
+                FROM h
+            ),
+            c AS (SELECT g, r, b, SUM(sg) AS cc FROM s GROUP BY 1, 2, 3),
+            f2r AS (
+                SELECT g, r, SUM(CAST(cc AS HUGEINT) * cc) AS f2r
+                FROM c GROUP BY 1, 2
+            ),
+            med AS (
+                SELECT g, (list_sort(list(f2r)))[3] AS f2_est
+                FROM f2r GROUP BY 1
+            ),
+            n AS (SELECT g, COUNT(*) AS n FROM rows_ GROUP BY 1)
+            SELECT n.g AS event_type, CAST(n.n AS BIGINT) AS n,
+                   CAST(med.f2_est AS HUGEINT) AS f2_est
+            FROM n JOIN med ON n.g = med.g ORDER BY event_type
+        """,
+        # KS drift: integer numerator (cum_a*n_b - cum_b*n_a) is exact
+        # in HUGEINT/decimal(38,0); the double ks is derived from the
+        # SAME integers with the SAME double expression tree, rounded
+        "ks_drift": r"""
+            WITH f AS (
+                SELECT value AS v, event_type AS s FROM events
+                WHERE value IS NOT NULL AND NOT isnan(value)
+                  AND event_type IN ('click', 'purchase')
+            ),
+            c AS (
+                SELECT v,
+                       SUM(CASE WHEN s = 'click' THEN 1 ELSE 0 END) AS ca,
+                       SUM(CASE WHEN s = 'purchase' THEN 1 ELSE 0 END) AS cb
+                FROM f GROUP BY 1
+            ),
+            cum AS (
+                SELECT sum(ca) OVER (ORDER BY v) AS sa,
+                       sum(cb) OVER (ORDER BY v) AS sb
+                FROM c
+            ),
+            tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM c)
+            SELECT CAST(na AS BIGINT) AS n_a,
+                   CAST(nb AS BIGINT) AS n_b,
+                   CAST(max(abs(sa * nb - sb * na)) AS HUGEINT) AS ks_num,
+                   round(CAST(max(abs(sa * nb - sb * na)) AS DOUBLE)
+                         / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)),
+                         6) AS ks
+            FROM cum, tot GROUP BY na, nb
         """,
         # fuzzy matching: the oracle replays the same blocking rule
         # (2-char prefix/suffix + length//4 bucket, |len diff| <= 2,

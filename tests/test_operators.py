@@ -2336,3 +2336,71 @@ def test_fuzzy_pairs_block_cap_and_case(spark):
     assert all(r["dist"] == 0 for r in got)
     # every block holds all 3 rows; cap 2 deterministically drops them
     assert fuzzy_pairs(trip, "id", "name", max_block_size=2).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# KS drift (operators/drift.py)
+# ---------------------------------------------------------------------------
+
+
+def test_ks_drift_hand_computed(spark):
+    from honas_spark.operators.drift import ks_drift
+
+    # disjoint supports -> KS = 1
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0)],
+        "s string, v double",
+    )
+    r = ks_drift(df, "v", "s", "a", "b").collect()[0]
+    assert (r["n_a"], r["n_b"]) == (2, 2)
+    assert int(r["ks_num"]) == 4 and r["ks"] == 1.0
+
+    # identical samples -> KS = 0
+    same = spark.createDataFrame(
+        [(s, float(v)) for s in ("a", "b") for v in (1, 2, 3)],
+        "s string, v double",
+    )
+    r = ks_drift(same, "v", "s", "a", "b").collect()[0]
+    assert int(r["ks_num"]) == 0 and r["ks"] == 0.0
+
+    # ties across sides: a=[1,1,2] b=[1,2,2] -> max|ca*3 - cb*3| = 3
+    t = spark.createDataFrame(
+        [("a", 1.0), ("a", 1.0), ("a", 2.0),
+         ("b", 1.0), ("b", 2.0), ("b", 2.0)],
+        "s string, v double",
+    )
+    r = ks_drift(t, "v", "s", "a", "b").collect()[0]
+    assert int(r["ks_num"]) == 3 and r["ks"] == 0.333333
+
+
+def test_ks_drift_partition_layout_independent(spark):
+    from honas_spark.operators.drift import ks_drift
+
+    rows = [("a", float(i % 17)) for i in range(200)] + [
+        ("b", float((i * 7) % 23)) for i in range(150)
+    ]
+    df = spark.createDataFrame(rows, "s string, v double")
+    got = {
+        p: ks_drift(df, "v", "s", "a", "b", num_partitions=p)
+        .collect()[0]
+        .asDict()
+        for p in (1, 3, 16)
+    }
+    assert got[1] == got[3] == got[16]
+    assert got[1]["n_a"] == 200 and got[1]["n_b"] == 150
+
+
+def test_ks_drift_null_nan_excluded_and_empty_side_raises(spark):
+    import math
+    import pytest
+    from honas_spark.operators.drift import ks_drift
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", None), ("a", math.nan), ("b", 1.0), ("c", 9.0)],
+        "s string, v double",
+    )
+    r = ks_drift(df, "v", "s", "a", "b").collect()[0]
+    # null/NaN dropped from side a; side c ignored entirely
+    assert (r["n_a"], r["n_b"]) == (1, 1) and r["ks"] == 0.0
+    with pytest.raises(ValueError, match="non-empty"):
+        ks_drift(df.filter("s <> 'b'"), "v", "s", "a", "b")

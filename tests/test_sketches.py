@@ -223,3 +223,79 @@ def test_bottomk_sample_exact_below_k_and_estimate_band(spark):
         bottomk_sample_agg(small, ["g"], "v", k=1)
     with pytest.raises(ValueError):
         bottomk_sample_agg(small, ["g"], "v", hash_fn="sha1")
+
+
+# ---------------------------------------------------------------------------
+# Count-Sketch F2 (operators/countsketch.py)
+# ---------------------------------------------------------------------------
+
+
+def test_count_sketch_f2_accuracy_and_determinism(spark):
+    from honas_spark.operators.countsketch import count_sketch_f2
+
+    # skewed frequency vector per group: F2 is dominated by hot keys
+    rows = []
+    for gname, mult in (("a", 1), ("b", 3)):
+        for key in range(40):
+            for _ in range((key % 7 + 1) * mult):
+                rows.append((gname, f"k{key}"))
+    df = spark.createDataFrame(rows, "g string, v string")
+    exact = {}
+    from collections import Counter
+
+    for gname, mult in (("a", 1), ("b", 3)):
+        c = Counter(
+            f"k{k}" for k in range(40) for _ in range((k % 7 + 1) * mult)
+        )
+        exact[gname] = sum(n * n for n in c.values())
+
+    got = {
+        r["g"]: r
+        for r in count_sketch_f2(df, ["g"], "v", depth=5, width=512).collect()
+    }
+    for gname in ("a", "b"):
+        est = int(got[gname]["f2_est"])
+        assert abs(est - exact[gname]) <= 0.3 * exact[gname], (
+            gname, est, exact[gname]
+        )
+    assert got["a"]["n"] == sum((k % 7 + 1) for k in range(40))
+
+    # deterministic hash family: identical re-run, any partitioning
+    again = {
+        r["g"]: int(r["f2_est"])
+        for r in count_sketch_f2(
+            df.repartition(13), ["g"], "v", depth=5, width=512
+        ).collect()
+    }
+    assert again == {g: int(r["f2_est"]) for g, r in got.items()}
+
+
+def test_count_sketch_f2_merge_is_union(spark):
+    """Sketching two halves and summing counters == sketching the
+    union: with the deterministic family this means the ESTIMATE from
+    the unioned DataFrame equals the estimate from the whole."""
+    from honas_spark.operators.countsketch import count_sketch_f2
+
+    rows = [("g", f"k{i % 11}", i) for i in range(300)]
+    df = spark.createDataFrame(rows, "g string, v string, i int")
+    half1 = df.filter("i < 150")
+    half2 = df.filter("i >= 150")
+    whole = int(count_sketch_f2(df, ["g"], "v").collect()[0]["f2_est"])
+    unioned = int(
+        count_sketch_f2(half1.union(half2), ["g"], "v")
+        .collect()[0]["f2_est"]
+    )
+    assert whole == unioned
+
+
+def test_count_sketch_f2_validation(spark):
+    import pytest
+    from honas_spark.operators.countsketch import count_sketch_f2
+
+    df = spark.createDataFrame([("g", "x")], "g string, v string")
+    with pytest.raises(ValueError, match="odd"):
+        count_sketch_f2(df, ["g"], "v", depth=4)
+    with pytest.raises(ValueError, match="width"):
+        count_sketch_f2(df, ["g"], "v", width=1)
+    with pytest.raises(ValueError, match="hash_fn"):
+        count_sketch_f2(df, ["g"], "v", hash_fn="sha1")
