@@ -1916,6 +1916,35 @@ def _q_hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "event_id")
 
 
+def _q_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 generalized to a grouping-set lattice
+    (sketch_agg.rollup_hierarchy): hourly x event-type leaf sketches
+    merged up to (hour), (event_type) and () in ONE scan of the leaf
+    table.  The merged n_rows/first_ts/last_ts counters are exact at
+    every level (SQL-checkable); the sketch bytes themselves are
+    bit-equal to direct builds per tests/test_sketches.py."""
+    spec = SketchSpec(
+        m_bits=1 << 13, k=5, cms_width=256, kll_k=64, window="1 hour"
+    )
+    ev = _events(spark, sf_dir)
+    keyed = with_window(sha256_key(ev, "event_type"), "ts", "1 hour")
+    leaf = build_sketches(
+        keyed, spec, group_cols=["window_start", "event_type"],
+        ts_col="ts", mode="map_combine",
+    )
+    from honas_spark.operators import rollup_hierarchy
+
+    cube = rollup_hierarchy(
+        leaf, spec, ["window_start", "event_type"],
+        sets=[("window_start", "event_type"), ("window_start",),
+              ("event_type",), ()],
+    )
+    return cube.select(
+        F.col("gid").cast("int").alias("gid"),
+        "window_start", "event_type", "n_rows", "first_ts", "last_ts",
+    ).orderBy("gid", "window_start", "event_type")
+
+
 def _q_f2_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact second frequency moment (self-join size) per event type —
     the ground-truth twin of f2_moment_cs, same protocol as
@@ -1982,6 +2011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # every round as CORRECTNESS_local.json.
     return {k: shipped(v) for k, v in {
         "ks_drift": _q_ks_drift,
+        "hierarchy_rollup": _q_hierarchy_rollup,
         "f2_exact": _q_f2_exact,
         "f2_moment_cs": _q_f2_moment_cs,
         "fuzzy_pairs": _q_fuzzy_pairs,
@@ -2555,6 +2585,34 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, source, n_chars FROM r
             WHERE rn <= 20 ORDER BY doc_id
+        """,
+        # hierarchy rollup: exact merged counters per grouping set;
+        # gid bitmask is Spark grouping_id convention (bit = dim
+        # aggregated away, MSB = first dim)
+        "hierarchy_rollup": r"""
+            WITH e AS (
+                SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w,
+                       event_type AS et, ts
+                FROM events
+            )
+            SELECT * FROM (
+                SELECT CAST(0 AS INTEGER) AS gid, w AS window_start,
+                       et AS event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                       min(ts) AS first_ts, max(ts) AS last_ts
+                FROM e GROUP BY 2, 3
+                UNION ALL
+                SELECT 1, w, NULL, CAST(COUNT(*) AS BIGINT),
+                       min(ts), max(ts)
+                FROM e GROUP BY 2
+                UNION ALL
+                SELECT 2, NULL, et, CAST(COUNT(*) AS BIGINT),
+                       min(ts), max(ts)
+                FROM e GROUP BY 3
+                UNION ALL
+                SELECT 3, NULL, NULL, CAST(COUNT(*) AS BIGINT),
+                       min(ts), max(ts)
+                FROM e
+            ) ORDER BY gid, window_start, event_type
         """,
         "f2_exact": r"""
             SELECT event_type,

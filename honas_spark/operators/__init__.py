@@ -1,5 +1,5 @@
 from .sketch_agg import (
-    build_sketches, rollup_sketches, finalize_stats, per_filter_stats,
+    build_sketches, rollup_sketches, rollup_hierarchy, finalize_stats, per_filter_stats,
     with_window, sha256_key, with_client_hash,
 )
 from .probe import probe_sketches, cms_probe
@@ -17,7 +17,7 @@ from .pareto import pareto_coverage
 from .quality import contamination_flags, ngram_repetition, span_dup_stats
 
 __all__ = [
-    "build_sketches", "rollup_sketches", "finalize_stats",
+    "build_sketches", "rollup_sketches", "rollup_hierarchy", "finalize_stats",
     "per_filter_stats", "with_window", "sha256_key", "with_client_hash",
     "probe_sketches", "cms_probe",
     "longest_prefix_join", "cidr_longest_prefix_join",

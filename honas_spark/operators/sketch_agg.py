@@ -437,3 +437,66 @@ def _states_row_pdf(gvals: dict, state: SketchState) -> pd.DataFrame:
     for k2, v in state.to_fields().items():
         out[k2] = [v]
     return pd.DataFrame(out)
+
+
+def rollup_hierarchy(
+    sketch_df: DataFrame,
+    spec: SketchSpec,
+    dim_cols: Sequence[str],
+    sets: "Optional[Sequence[Sequence[str]]]" = None,
+) -> DataFrame:
+    """Merge a LEAF sketch table up an aggregation lattice in ONE scan:
+    every requested grouping set (default: the rollup chain
+    (d1..dk), (d1..dk-1), ..., ()) gets its own merged sketch row, with
+    aggregated-away dims NULLed and a `gid` bitmask in Spark's
+    grouping_id convention (bit set = dim aggregated; MSB = first dim).
+
+    This is W2 generalized from the time axis to arbitrary dimensions:
+    hourly x repo leaf sketches answer "per hour", "per repo" AND
+    "global" questions without re-touching raw data — the CRDT algebra
+    (bitwise OR / register max / counter add) makes every lattice level
+    BIT-IDENTICAL to a direct build at that grouping
+    (tests/test_sketches.py::test_rollup_hierarchy_bit_equal).
+
+    Scale shape: one projection explodes each leaf row to its |sets|
+    lattice coordinates (leaf rows are already tiny — sketch bytes, not
+    raw keys), then ONE hash shuffle on (gid, dims) and a per-partition
+    vectorized merge.  The coarse levels concentrate rows by design
+    (the global cell receives every leaf partial exactly once — same
+    fan-in a direct global aggregation would pay)."""
+    dims = list(dim_cols)
+    if sets is None:
+        sets = [tuple(dims[:i]) for i in range(len(dims), -1, -1)]
+    sets = [tuple(s) for s in sets]
+    gids = []
+    for s in sets:
+        unknown = set(s) - set(dims)
+        if unknown:
+            raise ValueError(f"set {s} has unknown dims: {sorted(unknown)}")
+        m = 0
+        for i, d in enumerate(dims):
+            if d not in s:
+                m |= 1 << (len(dims) - 1 - i)
+        gids.append(m)
+    if len(set(gids)) != len(gids):
+        raise ValueError(f"duplicate grouping sets: {sets}")
+
+    exploded = sketch_df.select(
+        F.explode(F.array([F.lit(g) for g in gids])).alias("gid"), "*"
+    )
+    masked = exploded.select(
+        "gid",
+        *[
+            F.when(
+                F.col("gid").bitwiseAND(1 << (len(dims) - 1 - i)) == 0,
+                F.col(d),
+            ).alias(d)
+            for i, d in enumerate(dims)
+        ],
+        *[f.split()[0].strip() for f in SKETCH_VALUE_FIELDS.split(",")],
+    )
+    group_ddl = _group_fields_ddl(masked, ["gid"] + dims)
+    return masked.repartition("gid", *dims).mapInPandas(
+        _merge_by_group(spec, ["gid"] + dims),
+        schema=f"{group_ddl}, {SKETCH_VALUE_FIELDS}",
+    )

@@ -299,3 +299,80 @@ def test_count_sketch_f2_validation(spark):
         count_sketch_f2(df, ["g"], "v", width=1)
     with pytest.raises(ValueError, match="hash_fn"):
         count_sketch_f2(df, ["g"], "v", hash_fn="sha1")
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical rollup (sketch_agg.rollup_hierarchy)
+# ---------------------------------------------------------------------------
+
+
+def test_rollup_hierarchy_bit_equal(spark):
+    """Every lattice level must be BIT-IDENTICAL to a direct build at
+    that grouping — the merge-associativity guarantee across dims."""
+    from honas_spark import SketchSpec
+    from honas_spark.operators import (
+        build_sketches, rollup_hierarchy, sha256_key, with_window,
+    )
+    from honas_spark.sources.corpus import generate_corpus
+
+    spec = SketchSpec(m_bits=1 << 12, k=4, cms_width=64, kll_k=32,
+                      window="1 hour")
+    corpus = generate_corpus(spark, 2000, n_hours=3)
+    keyed = with_window(
+        sha256_key(corpus, "path"), "commit_ts", "1 hour"
+    )
+    leaf = build_sketches(
+        keyed, spec, group_cols=["window_start", "lang"],
+        ts_col="commit_ts",
+    )
+    cube = rollup_hierarchy(
+        leaf, spec, ["window_start", "lang"],
+        sets=[("window_start", "lang"), ("window_start",), ("lang",), ()],
+    ).collect()
+    by_gid = {}
+    for r in cube:
+        by_gid.setdefault(r["gid"], []).append(r)
+
+    def direct(cols):
+        if not cols:
+            from pyspark.sql import functions as F
+
+            # build_sketches needs >= 1 group col; a constant gives the
+            # global cell
+            src = keyed.withColumn("_one", F.lit(1))
+            return build_sketches(
+                src, spec, group_cols=["_one"], ts_col="commit_ts"
+            ).collect()
+        return build_sketches(
+            keyed, spec, group_cols=cols, ts_col="commit_ts"
+        ).collect()
+
+    def key_of(r, cols):
+        return tuple(r[c] for c in cols)
+
+    checks = [(0, ["window_start", "lang"]), (1, ["window_start"]),
+              (2, ["lang"]), (3, [])]
+    for gid, cols in checks:
+        want = {key_of(r, cols): r for r in direct(cols)}
+        got = {key_of(r, cols): r for r in by_gid[gid]}
+        assert set(got) == set(want), (gid, set(got) ^ set(want))
+        for k in want:
+            for fld in ("filters", "hll_clients", "hll_items", "cms",
+                        "kll", "n_rows", "first_ts", "last_ts"):
+                assert got[k][fld] == want[k][fld], (gid, k, fld)
+    # NULLed dims on aggregated levels
+    assert all(r["lang"] is None for r in by_gid[1])
+    assert all(r["window_start"] is None for r in by_gid[2])
+
+
+def test_rollup_hierarchy_validation(spark):
+    import pytest
+    from honas_spark import SketchSpec
+    from honas_spark.operators import rollup_hierarchy
+
+    spec = SketchSpec(m_bits=1 << 10, k=3)
+    df = spark.range(1).selectExpr("CAST(id AS STRING) AS a")
+    with pytest.raises(ValueError, match="unknown dims"):
+        rollup_hierarchy(df, spec, ["a"], sets=[("b",)])
+    with pytest.raises(ValueError, match="duplicate"):
+        rollup_hierarchy(df, spec, ["a"], sets=[("a",), ("a",)])
