@@ -1916,6 +1916,97 @@ def _q_hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "event_id")
 
 
+def _q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Misra-Gries (streaming/heavyhitters.py) under the
+    EXACT gate: corpus tokens (doc_id < 300) arrive as THREE
+    availableNow waves against one checkpoint — counts accumulating
+    across two restarts prove the per-group MG state survives.
+    Capacity far above the distinct count => the summary is exact, so
+    the latest snapshot per state group hash-matches plain SQL token
+    counts (md5 routing replayed by the oracle); the lossy path's n/c
+    bound is asserted in tests/test_streaming_heavyhitters.py."""
+    import tempfile
+
+    from honas_spark.streaming.heavyhitters import heavy_hitters_stream
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
+    base = tempfile.mkdtemp(prefix="honas_shh_")
+    src, out, ckpt = f"{base}/src", f"{base}/out", f"{base}/ckpt"
+    for lo, hi in ((0, 100), (100, 200), (200, 300)):
+        docs.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).select(
+            F.explode(
+                F.filter(
+                    F.split(F.col("text"), r"\s+"), lambda t: t != ""
+                )
+            ).alias("token")
+        ).coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema("token string").parquet(src)
+        q = (
+            heavy_hitters_stream(
+                stream, "token", capacity=200_000,
+                num_state_groups=8, hash_fn="md5",
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    snaps = spark.read.parquet(out)
+    latest = snaps.groupBy("grp").agg(F.max("n_seen").alias("n_seen"))
+    return (
+        snaps.join(latest, on=["grp", "n_seen"])
+        .select("grp", "token", "est_count")
+        .orderBy("token")
+    )
+
+
+def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-frame-sampling plumbing (functions/multimodal.py
+    sample_frames): binary payload -> evenly spaced 64-byte frame
+    slices, exploded one row per frame.  ASCII-sanitized payload makes
+    the byte arithmetic exactly replayable as string ops in the DuckDB
+    oracle (same trick as image_features)."""
+    from honas_spark.functions.multimodal import sample_frames
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.encode(
+            F.regexp_replace(F.col("text"), r"[^\x20-\x7e]", ""), "utf-8"
+        ).alias("payload"),
+    )
+    fr = sample_frames(docs, "payload", "doc_id", n_frames=4)
+    return fr.select(
+        "doc_id",
+        "frame_idx",
+        F.length("frame_bytes").cast("int").alias("frame_len"),
+        F.decode(F.col("frame_bytes"), "utf-8").alias("frame_text"),
+    ).orderBy("doc_id", "frame_idx")
+
+
+def _q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio framing plumbing (functions/multimodal.py
+    extract_audio_features): payload bytes framed into 256-sample
+    windows with integer energy sums — the frame/hop shape of MFCC-
+    style extraction with the DSP stubbed deterministically; real
+    decoders (soundfile) autodetect executor-side behind the same
+    framing.  Exact cross-engine via the ASCII-payload trick."""
+    from honas_spark.functions.multimodal import extract_audio_features
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.encode(
+            F.regexp_replace(F.col("text"), r"[^\x20-\x7e]", ""), "utf-8"
+        ).alias("payload"),
+    )
+    return extract_audio_features(
+        docs, "payload", "doc_id", window=256
+    ).orderBy("doc_id", "window_idx")
+
+
 def _q_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W2 generalized to a grouping-set lattice
     (sketch_agg.rollup_hierarchy): hourly x event-type leaf sketches
@@ -2012,6 +2103,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {k: shipped(v) for k, v in {
         "ks_drift": _q_ks_drift,
         "hierarchy_rollup": _q_hierarchy_rollup,
+        "streaming_heavy_hitters": _q_streaming_heavy_hitters,
+        "frame_sample": _q_frame_sample,
+        "audio_features": _q_audio_features,
         "f2_exact": _q_f2_exact,
         "f2_moment_cs": _q_f2_moment_cs,
         "fuzzy_pairs": _q_fuzzy_pairs,
@@ -2585,6 +2679,79 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, source, n_chars FROM r
             WHERE rn <= 20 ORDER BY doc_id
+        """,
+        # streaming MG at exact capacity == plain token counts; the
+        # md5 state-group routing is replayed so grp pins the shuffle
+        "streaming_heavy_hitters": r"""
+            WITH toks AS (
+                SELECT unnest(list_filter(
+                    string_split_regex(text, '\s+'),
+                    x -> x <> '')) AS token
+                FROM documents WHERE doc_id < 300
+            )
+            SELECT CAST(CAST(concat('0x', substr(md5(token), 1, 15))
+                             AS BIGINT) % 8 AS INT) AS grp,
+                   token,
+                   CAST(count(*) AS BIGINT) AS est_count
+            FROM toks GROUP BY 1, 2 ORDER BY token
+        """,
+        # frame sampling: ASCII payload => byte slicing == substr; the
+        # step uses floor division in both engines (Spark cast-to-int
+        # truncates the positive double; DuckDB // floors)
+        "frame_sample": r"""
+            WITH s AS (
+                SELECT doc_id,
+                       regexp_replace(text, '[^\x20-\x7e]', '', 'g') AS t
+                FROM documents
+            ),
+            f AS (
+                SELECT doc_id, t,
+                       greatest(len(t) // 4, 1) AS step
+                FROM s
+            ),
+            fr AS (
+                SELECT doc_id, CAST(u.i AS INT) AS frame_idx,
+                       substr(t, CAST(u.i * step + 1 AS INT), 64) AS ft
+                FROM f, unnest(range(0, 4)) AS u(i)
+            )
+            SELECT doc_id, frame_idx,
+                   CAST(len(ft) AS INT) AS frame_len,
+                   ft AS frame_text
+            FROM fr ORDER BY doc_id, frame_idx
+        """,
+        # audio framing: per-window ascii-code sums; the window
+        # skeleton LEFT JOIN keeps the zero row an empty payload emits
+        "audio_features": r"""
+            WITH s AS (
+                SELECT doc_id,
+                       regexp_replace(text, '[^\x20-\x7e]', '', 'g') AS t
+                FROM documents
+            ),
+            f AS (
+                SELECT doc_id, t,
+                       greatest((len(t) + 255) // 256, 1) AS nw
+                FROM s
+            ),
+            w AS (
+                SELECT doc_id, CAST(u.i AS INT) AS wi
+                FROM f, unnest(range(0, nw)) AS u(i)
+            ),
+            ch AS (
+                SELECT doc_id,
+                       CAST((u.i - 1) // 256 AS INT) AS wi,
+                       ascii(substr(t, CAST(u.i AS INT), 1)) AS code
+                FROM s, unnest(range(1, len(t) + 1)) AS u(i)
+            ),
+            agg AS (
+                SELECT doc_id, wi, COUNT(*) AS ns, SUM(code) AS cs
+                FROM ch GROUP BY 1, 2
+            )
+            SELECT w.doc_id AS doc_id, w.wi AS window_idx,
+                   CAST(coalesce(a.ns, 0) AS INT) AS n_samples,
+                   CAST(coalesce(a.cs, 0) AS BIGINT) AS code_sum
+            FROM w LEFT JOIN agg a
+              ON w.doc_id = a.doc_id AND w.wi = a.wi
+            ORDER BY doc_id, window_idx
         """,
         # hierarchy rollup: exact merged counters per grouping set;
         # gid bitmask is Spark grouping_id convention (bit = dim

@@ -368,6 +368,10 @@ QUERY_NAMES = [
     "bigram_nll", "containment_pairs", "semantic_dedup",
     "sessionize_events", "distinct_sample", "collocations",
     "cumulative_distinct", "gopher_quality", "knn_pq",
+    # round 6, late additions: fuzzy blocking, rolling outliers, drift,
+    # DataFrame-native count-sketch, lattice rollup, multimodal framing
+    "fuzzy_pairs", "hampel_filter", "ks_drift", "f2_moment_cs",
+    "hierarchy_rollup", "frame_sample", "audio_features",
 ]
 
 

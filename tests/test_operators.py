@@ -2404,3 +2404,26 @@ def test_ks_drift_null_nan_excluded_and_empty_side_raises(spark):
     assert (r["n_a"], r["n_b"]) == (1, 1) and r["ks"] == 0.0
     with pytest.raises(ValueError, match="non-empty"):
         ks_drift(df.filter("s <> 'b'"), "v", "s", "a", "b")
+
+
+def test_extract_audio_features_hand_computed(spark):
+    from honas_spark.functions.multimodal import extract_audio_features
+
+    payloads = [
+        (1, b"abcd" * 100),   # 400 bytes -> windows of 256: [256, 144]
+        (2, b""),             # empty -> one zero window
+        (3, b"\x01" * 256),   # exactly one full window
+    ]
+    df = spark.createDataFrame(payloads, "doc_id long, payload binary")
+    rows = {
+        (r["doc_id"], r["window_idx"]): r
+        for r in extract_audio_features(df, "payload", "doc_id").collect()
+    }
+    s = sum(b"abcd")  # 394 per 4 bytes
+    assert rows[(1, 0)]["n_samples"] == 256
+    assert rows[(1, 0)]["code_sum"] == s * 64  # 256/4 repeats
+    assert rows[(1, 1)]["n_samples"] == 144
+    assert rows[(1, 1)]["code_sum"] == s * 36
+    assert rows[(2, 0)]["n_samples"] == 0 and rows[(2, 0)]["code_sum"] == 0
+    assert rows[(3, 0)]["n_samples"] == 256 and rows[(3, 0)]["code_sum"] == 256
+    assert len(rows) == 4
