@@ -1916,6 +1916,97 @@ def _q_hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "event_id")
 
 
+_BPE_FIXED_MERGES = [
+    # (rank, left, right) — a fixed merge table exercises encode
+    # independently of training (bpe_merges gates training); chosen so
+    # chained merges fire on the corpus ("scan" needs 4 of them)
+    (0, "a", "n"), (1, "a", "t"), (2, "an", "</w>"), (3, "r", "o"),
+    (4, "ro", "w"), (5, "row", "</w>"), (6, "s", "c"),
+    (7, "sc", "an</w>"),
+]
+
+
+def _bpe_encode_oracle_sql() -> str:
+    """Build the DuckDB twin: symbols live in a chr(31)-separated,
+    chr(31)-wrapped string; each merge rank is one replace() — plain
+    string replace is left-to-right non-overlapping, exactly
+    _encode_word's single pass per rank."""
+    us = "chr(31)"
+    s = (
+        f"{us} || array_to_string(string_split(w, ''), chr(31))"
+        f" || {us} || '</w>' || {us}"
+    )
+    for _, left, right in _BPE_FIXED_MERGES:
+        pat = f"{us} || '{left}' || {us} || '{right}' || {us}"
+        rep = f"{us} || '{left}{right}' || {us}"
+        s = f"replace({s}, {pat}, {rep})"
+    return f"""
+        WITH d AS (
+            SELECT doc_id,
+                   regexp_replace(text, '[^\\x20-\\x7e]', '', 'g') AS t
+            FROM documents WHERE doc_id < 200
+        ),
+        toks AS (
+            SELECT doc_id,
+                   unnest(list_filter(string_split_regex(t, '\\s+'),
+                                      x -> x <> '')) AS w,
+                   unnest(range(1, len(list_filter(
+                       string_split_regex(t, '\\s+'),
+                       x -> x <> '')) + 1)) AS pos
+            FROM d
+        ),
+        vocab AS (SELECT DISTINCT w FROM toks),
+        enc AS (SELECT w, {s} AS sym FROM vocab),
+        pieces AS (
+            SELECT w,
+                   list_filter(string_split(sym, chr(31)),
+                               x -> x <> '') AS ps
+            FROM enc
+        ),
+        joined AS (
+            SELECT t.doc_id, t.pos, p.ps
+            FROM toks t JOIN pieces p USING (w)
+        ),
+        perdoc AS (
+            SELECT doc_id,
+                   flatten(list(ps ORDER BY pos)) AS pieces
+            FROM joined GROUP BY doc_id
+        )
+        SELECT doc_id, CAST(len(pieces) AS INT) AS n_pieces,
+               array_to_string(pieces, chr(31)) AS pieces_str
+        FROM perdoc ORDER BY doc_id
+    """
+
+
+def _q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE encoding (operators/bpetrain.bpe_encode_docs): apply a merge
+    table to documents — the pandas encoder touches only DISTINCT
+    words; docs rebuild their piece sequence by position.  A FIXED
+    literal merge table makes this exactly replayable: one
+    left-to-right non-overlapping pass per merge rank == one string
+    replace over a separator-wrapped symbol string, so the DuckDB twin
+    is 8 nested replace() calls."""
+    from honas_spark.operators.bpetrain import bpe_encode_docs
+
+    merges = spark.createDataFrame(
+        [(r, l, rr, l + rr, 0) for r, l, rr in _BPE_FIXED_MERGES],
+        "rank int, left_sym string, right_sym string,"
+        " merged string, pair_count long",
+    )
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200).select(
+        "doc_id",
+        # ASCII-sanitized so both engines split words into the same
+        # per-character symbols (same trick as the multimodal gates)
+        F.regexp_replace(F.col("text"), r"[^\x20-\x7e]", "").alias("text"),
+    )
+    enc = bpe_encode_docs(docs, "doc_id", "text", merges)
+    return enc.select(
+        "doc_id",
+        F.col("n_pieces").cast("int").alias("n_pieces"),
+        F.concat_ws("\x1f", F.col("pieces")).alias("pieces_str"),
+    ).orderBy("doc_id")
+
+
 def _q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming Misra-Gries (streaming/heavyhitters.py) under the
     EXACT gate: corpus tokens (doc_id < 300) arrive as THREE
@@ -2103,6 +2194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {k: shipped(v) for k, v in {
         "ks_drift": _q_ks_drift,
         "hierarchy_rollup": _q_hierarchy_rollup,
+        "bpe_encode": _q_bpe_encode,
         "streaming_heavy_hitters": _q_streaming_heavy_hitters,
         "frame_sample": _q_frame_sample,
         "audio_features": _q_audio_features,
@@ -2680,6 +2772,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, n_chars FROM r
             WHERE rn <= 20 ORDER BY doc_id
         """,
+        # BPE encode replay: one merge rank == one non-overlapping
+        # left-to-right replace over a chr(31)-wrapped symbol string
+        "bpe_encode": _bpe_encode_oracle_sql(),
         # streaming MG at exact capacity == plain token counts; the
         # md5 state-group routing is replayed so grp pins the shuffle
         "streaming_heavy_hitters": r"""
