@@ -111,9 +111,16 @@ def hampel_filter(
     k = int(half_window)
 
     w = Window.partitionBy(*g).orderBy(*o)
-    rows = df.select(*g, *o, F.col(value_col).alias("_v")).filter(
-        F.col("_v").isNotNull()
-    ).withColumn("_rn", F.row_number().over(w))
+    # localCheckpoint: `rows` feeds three consumers (the fan-out, the
+    # MAD join and the final center join) — without it the physical
+    # plan recomputes the row_number shuffle+sort once PER consumer
+    # (3x the data through the exchange at 100 TB)
+    rows = (
+        df.select(*g, *o, F.col(value_col).alias("_v"))
+        .filter(F.col("_v").isNotNull())
+        .withColumn("_rn", F.row_number().over(w))
+        .localCheckpoint()
+    )
 
     # every row feeds the frames centered at rn-k .. rn+k
     fan = rows.select(

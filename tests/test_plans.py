@@ -301,3 +301,62 @@ def test_pagerank_no_cartesian_bounded_shuffles(spark):
     plan = pr._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ks_drift_no_single_partition_exchange(spark):
+    """The global ECDF cumsum must come from the range-partition trick,
+    never an Exchange SinglePartition window over the value domain."""
+    import __spark_entry__ as E
+
+    df = E.queries()["ks_drift"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "windowspecdefinition(" in line:
+            assert "_pid" in line, line
+        if "Exchange SinglePartition" in line:
+            # the only allowed funnel is the FINAL scalar max: its
+            # child must be a map-side partial aggregate (one row per
+            # partition crosses), never raw data or a sort
+            child = lines[i + 1] if i + 1 < len(lines) else ""
+            assert "partial_max" in child, plan
+
+
+def test_count_sketch_f2_pure_jvm_aggregation(spark):
+    """The sketch is a DataFrame: no Python workers anywhere in the
+    plan (no mapInPandas/ArrowEvalPython), and the counter aggregation
+    partial-aggregates map-side before its shuffle."""
+    import __spark_entry__ as E
+
+    df = E.queries()["f2_moment_cs"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                 "FlatMapGroupsInPandas"):
+        assert node not in plan, node
+    assert "partial_" in plan.lower() or "HashAggregate" in plan
+
+
+def test_fuzzy_pairs_broadcasts_block_keeplist(spark):
+    """The block-size cap must reach the blocked rows as a broadcast
+    semi-join (tiny keep-list), and no CartesianProduct may appear."""
+    import __spark_entry__ as E
+
+    df = E.queries()["fuzzy_pairs"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_hampel_no_full_key_sort_beyond_row_number(spark):
+    """Frame medians come from grouped aggregations over the fan-out,
+    not per-key sorted windows: exactly one windowed row_number (the
+    placement), every other step a hash aggregation or join."""
+    import __spark_entry__ as E
+
+    df = E.queries()["hampel_filter"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_windows = sum(
+        1 for line in plan.splitlines() if "Window" in line.split("(")[0]
+    )
+    assert n_windows <= 1, plan
