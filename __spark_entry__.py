@@ -2234,7 +2234,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salient_terms": _q_salient_terms,
         "theta_intersect": _q_theta_intersect,
         "streaming_neardedup": _q_streaming_neardedup,
-        "sha_guard": _q_sha_guard,
         "curate": _q_curate,
         "srp_pairs": _q_srp_pairs,
         "minhash_lsh_md5": _q_minhash_lsh_md5,
@@ -2244,6 +2243,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample_grp": _q_weighted_sample_grp,
         "pack_by_budget": _q_pack_by_budget,
         "heavy_hitters": _q_heavy_hitters,
+        # sha_guard: recorded in an early driver snapshot — demoted
+        # below the never-recorded block so the 50-slot driver window
+        # holds only first-time keys
+        "sha_guard": _q_sha_guard,
         "bloom_membership": _q_bloom_membership,
         "hll_distinct_text": _q_hll_distinct_text,
         "distinct_exact": _q_distinct_exact,

@@ -66,16 +66,38 @@ def test_local_gate_artifact_round_trips():
 def test_never_recorded_keys_sit_in_driver_window():
     """Any queries() key absent from every driver CORRECTNESS_r*.json
     must be among the first DRIVER_WINDOW entries, so the next driver
-    round finally records it."""
+    round finally records it.  When MORE than DRIVER_WINDOW keys have
+    never been recorded (the registry grew faster than the window),
+    the strongest achievable invariant holds instead: every window
+    slot is spent on a never-recorded key (no already-recorded key
+    wastes one), and the overflow keys are green in the local gate
+    artifact."""
     E = _entry()
     qkeys = list(E.queries().keys())
     recorded = set()
     for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
         recorded |= set(json.load(open(p)).keys())
     never = [k for k in qkeys if k not in recorded]
-    window = set(qkeys[:DRIVER_WINDOW])
-    out = [k for k in never if k not in window]
-    assert not out, (
-        f"never-driver-recorded queries outside the first "
-        f"{DRIVER_WINDOW} positions: {out}"
-    )
+    window = qkeys[:DRIVER_WINDOW]
+    if len(never) <= DRIVER_WINDOW:
+        out = [k for k in never if k not in set(window)]
+        assert not out, (
+            f"never-driver-recorded queries outside the first "
+            f"{DRIVER_WINDOW} positions: {out}"
+        )
+    else:
+        wasted = [k for k in window if k in recorded]
+        assert not wasted, (
+            f"window slots wasted on already-recorded keys while "
+            f"{len(never) - DRIVER_WINDOW} never-recorded keys wait "
+            f"outside: {wasted}"
+        )
+        overflow = [k for k in never if k not in set(window)]
+        local = json.load(
+            open(os.path.join(REPO, "CORRECTNESS_local.json"))
+        )
+        for k in overflow:
+            v = local.get(k, {})
+            assert (
+                v.get("hash_match") is True or v.get("err") == "no_oracle"
+            ), (k, v)

@@ -155,6 +155,44 @@ NOTES = {
         "only its LOCAL top-k per query, so the final rank window "
         "sorts P*k*|Q| candidate rows, never the corpus."
     ),
+    "ks_drift": (
+        "Two-sample KS: per-value side counts (one shuffle, bounded "
+        "by distinct values), range-repartition by value + broadcast "
+        "prefix offsets, ECDF window partitioned by the range "
+        "partition id.  The only SinglePartition exchange is the "
+        "final scalar max of per-partition partial maxes (one row per "
+        "partition crosses) — plan-asserted."
+    ),
+    "f2_moment_cs": (
+        "Count-Sketch F2 with NO Python anywhere (plan-asserted): "
+        "depth fan-out and md5 bucket/sign split run inside the "
+        "codegen scan projection; the counter matrix is a plain "
+        "hash aggregation with map-side partials, so the shuffle "
+        "carries at most groups*depth*width counter rows regardless "
+        "of input size."
+    ),
+    "hierarchy_rollup": (
+        "Lattice rollup: leaf sketch rows (already tiny — sketch "
+        "bytes, not raw keys) explode to their grouping-set "
+        "coordinates, ONE hash shuffle on (gid, dims), vectorized "
+        "CRDT merge per partition.  Raw data is scanned once for the "
+        "leaf build; every coarser level derives from leaf partials."
+    ),
+    "fuzzy_pairs": (
+        "Blocked fuzzy matching: block keys from a codegen "
+        "projection, hot-block cap as a broadcast semi-join of the "
+        "tiny keep-list (plan-asserted, no cartesian), length band "
+        "pushed into the block equi-join, one threshold-form "
+        "levenshtein per DISTINCT candidate pair."
+    ),
+    "hampel_filter": (
+        "Rolling median/MAD with no per-key sort-and-collect: the "
+        "row_number placement is computed ONCE (localCheckpoint — "
+        "three consumers would otherwise each recompute its "
+        "shuffle+sort), frames fan out via explode(sequence), and "
+        "medians are grouped aggregations, so a hot key spreads "
+        "across tasks instead of serializing one."
+    ),
     "theta_intersect": (
         "Theta/KMV set operations: values hash JVM-side (xxhash64 in "
         "the codegen scan projection), partial sketches per split fold "
