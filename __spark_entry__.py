@@ -1901,6 +1901,20 @@ def _q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def _q_entity_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end (operators/fuzzyjoin.
+    resolve_entities): blocked fuzzy pairs -> connected components ->
+    canonical min-id entity per row, singletons of themselves.  The
+    oracle replays the blocking + levenshtein edge rule and closes it
+    with a recursive CTE (the semantic_dedup/dedup_clusters pattern)."""
+    from honas_spark.operators.fuzzyjoin import resolve_entities
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    return resolve_entities(
+        part, "p_partkey", "p_name", max_distance=2
+    ).orderBy("p_partkey")
+
+
 def _q_hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hampel rolling-median/MAD spike detection
     (operators/robust.py): per-user event series, centered 5-row
@@ -2201,6 +2215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f2_exact": _q_f2_exact,
         "f2_moment_cs": _q_f2_moment_cs,
         "fuzzy_pairs": _q_fuzzy_pairs,
+        "entity_resolve": _q_entity_resolve,
         "hampel_filter": _q_hampel_filter,
         "bloom_prune_join": _q_bloom_prune_join,
         "profile_table": _q_profile_table,
@@ -2993,6 +3008,54 @@ def oracle_sql() -> dict[str, str]:
                    CAST(levenshtein(ta, tb) AS INTEGER) AS dist
             FROM cand WHERE levenshtein(ta, tb) <= 2
             ORDER BY id_a, id_b
+        """,
+        # entity resolution: fuzzy blocking edge rule replayed, closed
+        # by a recursive CTE; singletons land via the outer join
+        "entity_resolve": r"""
+            WITH RECURSIVE base AS (
+                SELECT p_partkey AS id, lower(trim(p_name)) AS t
+                FROM part WHERE p_name IS NOT NULL
+            ),
+            b AS (
+                SELECT id, t, length(t) AS L,
+                       unnest([
+                           'p:' || substr(t, 1, 2) || ':'
+                               || CAST(length(t) // 4 AS VARCHAR),
+                           's:' || substr(t, greatest(length(t) - 1, 1), 2)
+                               || ':' || CAST(length(t) // 4 AS VARCHAR)
+                       ]) AS bk
+                FROM base
+            ),
+            kept AS (
+                SELECT bk FROM (
+                    SELECT bk, COUNT(*) AS c FROM b GROUP BY 1
+                ) WHERE c <= 1000
+            ),
+            bb AS (SELECT b.* FROM b JOIN kept USING (bk)),
+            edges AS (
+                SELECT DISTINCT x.id AS id_a, y.id AS id_b
+                FROM bb x JOIN bb y
+                  ON x.bk = y.bk AND x.id < y.id
+                 AND abs(x.L - y.L) <= 2
+                WHERE levenshtein(x.t, y.t) <= 2
+            ),
+            bidir AS (
+                SELECT id_a AS s, id_b AS d FROM edges
+                UNION
+                SELECT id_b, id_a FROM edges
+            ),
+            reach(n, m) AS (
+                SELECT s, s FROM bidir
+                UNION
+                SELECT r.n, b2.d FROM reach r JOIN bidir b2 ON b2.s = r.m
+            ),
+            comp AS (SELECT n, min(m) AS entity FROM reach GROUP BY n)
+            SELECT p.p_partkey,
+                   coalesce(c.entity, p.p_partkey) AS entity,
+                   coalesce(c.entity, p.p_partkey) = p.p_partkey
+                       AS is_canonical
+            FROM part p LEFT JOIN comp c ON c.n = p.p_partkey
+            ORDER BY p.p_partkey
         """,
         # Hampel: identical fan-out frames (rn-2..rn+2), medians are
         # order statistics so even the strict z*MAD flag is exact

@@ -104,3 +104,42 @@ def fuzzy_pairs(
         cand.select("id_a", "id_b", dist.alias("dist"))
         .filter(F.col("dist") >= 0)  # threshold form returns -1 above d
     )
+
+
+def resolve_entities(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_distance: int = 2,
+    **block_kwargs,
+) -> DataFrame:
+    """Entity resolution ACTION on top of fuzzy_pairs: connected
+    components over the fuzzy-match graph, canonical entity = the min
+    id per component (the semantic_dedup shape, knn.py:617, applied to
+    string identity instead of embedding cosine).
+
+    -> (id_col, entity, is_canonical) for EVERY input row: rows
+    touching no fuzzy pair are singleton entities of themselves.
+    Filtering on is_canonical dedups the catalog; grouping on entity
+    gives the merge view.
+
+    Scale shape: pair generation is the blocked/capped fuzzy_pairs
+    (band/block_chars/max_block_size pass through); components run on
+    (id, id) pairs only — strings never enter the iteration; final
+    membership lands via one left join."""
+    from .dedup import connected_components
+
+    pairs = fuzzy_pairs(
+        df, id_col, text_col, max_distance=max_distance, **block_kwargs
+    ).select("id_a", "id_b")
+    comp = connected_components(pairs, "id_a", "id_b")
+    base = df.select(F.col(id_col))
+    merged = F.coalesce(F.col("component"), F.col(id_col))
+    return base.join(
+        comp, base[id_col] == comp["node"], "left"
+    ).select(
+        id_col,
+        merged.alias("entity"),
+        (merged == F.col(id_col)).alias("is_canonical"),
+    )

@@ -2427,3 +2427,21 @@ def test_extract_audio_features_hand_computed(spark):
     assert rows[(2, 0)]["n_samples"] == 0 and rows[(2, 0)]["code_sum"] == 0
     assert rows[(3, 0)]["n_samples"] == 256 and rows[(3, 0)]["code_sum"] == 256
     assert len(rows) == 4
+
+
+def test_resolve_entities_components_and_singletons(spark):
+    from honas_spark.operators.fuzzyjoin import resolve_entities
+
+    df = spark.createDataFrame(
+        [(1, "kitten"), (2, "sitten"), (3, "mitten"),   # one entity via 2
+         (7, "zzzzzz"),                                  # singleton
+         (9, "walrus"), (10, "walrux")],                 # pair entity
+        "id int, name string",
+    )
+    rows = {r["id"]: r for r in resolve_entities(df, "id", "name").collect()}
+    assert len(rows) == 6
+    assert rows[1]["entity"] == rows[2]["entity"] == rows[3]["entity"] == 1
+    assert rows[9]["entity"] == rows[10]["entity"] == 9
+    assert rows[7]["entity"] == 7 and rows[7]["is_canonical"]
+    assert rows[1]["is_canonical"] and not rows[2]["is_canonical"]
+    assert not rows[10]["is_canonical"]
