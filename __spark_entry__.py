@@ -2176,6 +2176,17 @@ def _q_f2_moment_cs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def _q_equi_depth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram (operators/profile.equi_depth_hist): equal
+    row mass per bucket at value granularity, bucket = floor(cum_excl
+    * B / n) in exact integer arithmetic; global cumsum via the
+    range-repartition + prefix-offset pattern (no SinglePartition)."""
+    from honas_spark.operators.profile import equi_depth_hist
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return equi_depth_hist(li, "l_extendedprice", buckets=16)
+
+
 def _q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample Kolmogorov-Smirnov drift (operators/drift.py):
     distribution distance between click and purchase event values.
@@ -2207,6 +2218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # every round as CORRECTNESS_local.json.
     return {k: shipped(v) for k, v in {
         "ks_drift": _q_ks_drift,
+        "equi_depth_hist": _q_equi_depth_hist,
         "hierarchy_rollup": _q_hierarchy_rollup,
         "bpe_encode": _q_bpe_encode,
         "streaming_heavy_hitters": _q_streaming_heavy_hitters,
@@ -2943,6 +2955,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT n.g AS event_type, CAST(n.n AS BIGINT) AS n,
                    CAST(med.f2_est AS HUGEINT) AS f2_est
             FROM n JOIN med ON n.g = med.g ORDER BY event_type
+        """,
+        # equi-depth: bucket = floor(cum_excl * B / n), pure integers
+        "equi_depth_hist": r"""
+            WITH c AS (
+                SELECT l_extendedprice AS v, COUNT(*) AS c
+                FROM lineitem
+                WHERE l_extendedprice IS NOT NULL
+                  AND NOT isnan(l_extendedprice)
+                GROUP BY 1
+            ),
+            cum AS (
+                SELECT v, c, sum(c) OVER (ORDER BY v) - c AS ce FROM c
+            ),
+            tot AS (SELECT sum(c) AS n FROM c),
+            b AS (
+                SELECT v, c, (ce * 16) // n AS bucket FROM cum, tot
+            )
+            SELECT CAST(bucket AS INT) AS bucket,
+                   min(v) AS lo, max(v) AS hi,
+                   CAST(sum(c) AS BIGINT) AS n_rows,
+                   CAST(count(*) AS BIGINT) AS n_distinct
+            FROM b GROUP BY 1 ORDER BY bucket
         """,
         # KS drift: integer numerator (cum_a*n_b - cum_b*n_a) is exact
         # in HUGEINT/decimal(38,0); the double ks is derived from the

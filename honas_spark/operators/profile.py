@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def profile_table(
@@ -108,4 +108,95 @@ def profile_table(
         "min_val",
         "max_val",
         entropy.alias("entropy_mnats"),
+    )
+
+
+def equi_depth_hist(
+    df: DataFrame,
+    value_col: str,
+    buckets: int = 10,
+    num_partitions: "int | None" = None,
+) -> DataFrame:
+    """Equi-depth histogram — the optimizer/profiling primitive (equal
+    ROW mass per bucket, so skewed distributions get resolution where
+    the data is, unlike equi-width bins dominated by outliers).
+
+    Assignment is at VALUE granularity and fully deterministic: a
+    distinct value whose exclusive cumulative row count is c over total
+    n lands in bucket floor(c * buckets / n) — integer arithmetic in
+    decimal(38,0), so heavy values that span several bucket widths
+    collapse into their starting bucket (their row mass is atomic) and
+    both engines compute the identical bucketing.
+
+    -> (bucket, lo, hi, n_rows, n_distinct) ordered by bucket.  NULLs
+    (and NaN for float columns) are excluded — they have no rank.
+
+    Scale shape: per-value counts (one shuffle, bounded by DISTINCT
+    values), then the packing.py/drift.py range-repartition +
+    per-partition prefix offsets for the global cumsum — no Exchange
+    SinglePartition, no task sorts the whole value domain."""
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1: {buckets}")
+    spark = df.sparkSession
+    p = num_partitions or spark.sparkContext.defaultParallelism
+
+    v = F.col(value_col)
+    keep = v.isNotNull()
+    if dict(df.dtypes)[value_col] in ("double", "float"):
+        keep = keep & ~F.isnan(v)
+    counts = (
+        df.filter(keep).groupBy(v.alias("_v"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    ranged = (
+        counts.repartitionByRange(p, F.asc("_v"))
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    parts = (
+        ranged.groupBy("_pid").agg(F.sum("_c").alias("_s")).collect()
+    )
+    n = sum(int(r["_s"] or 0) for r in parts)
+    if n == 0:
+        return ranged.select(
+            F.lit(0).cast("int").alias("bucket"),
+            F.col("_v").alias("lo"),
+            F.col("_v").alias("hi"),
+            F.lit(0).cast("long").alias("n_rows"),
+            F.lit(0).cast("long").alias("n_distinct"),
+        ).limit(0)
+    acc, offs = 0, {}
+    for r in sorted(parts, key=lambda r: r["_pid"]):
+        offs[r["_pid"]] = acc
+        acc += int(r["_s"] or 0)
+    off_map = F.create_map(
+        *[x for pid, o in offs.items() for x in (F.lit(pid), F.lit(o))]
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(F.asc("_v"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum_excl = (
+        F.sum("_c").over(w) - F.col("_c") + off_map[F.col("_pid")]
+    ).cast("long")
+    # integral `div` (a decimal-cast would ROUND): exact while
+    # n * buckets < 2^63; ANSI mode raises loudly past that rather
+    # than bucketing silently wrong
+    bucketed = ranged.withColumn("_cum", cum_excl).withColumn(
+        "bucket", F.expr(f"(_cum * {int(buckets)}) div {int(n)}")
+    )
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.min("_v").alias("lo"),
+            F.max("_v").alias("hi"),
+            F.sum("_c").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        )
+        .select(
+            F.col("bucket").cast("int").alias("bucket"),
+            "lo", "hi", "n_rows", "n_distinct",
+        )
+        .orderBy("bucket")
     )

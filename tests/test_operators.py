@@ -2445,3 +2445,47 @@ def test_resolve_entities_components_and_singletons(spark):
     assert rows[7]["entity"] == 7 and rows[7]["is_canonical"]
     assert rows[1]["is_canonical"] and not rows[2]["is_canonical"]
     assert not rows[10]["is_canonical"]
+
+
+def test_equi_depth_hist_hand_computed(spark):
+    from honas_spark.operators.profile import equi_depth_hist
+
+    # values 0..9 once each, 2 buckets -> exact halves
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(10)], "v double"
+    )
+    rows = {r["bucket"]: r for r in equi_depth_hist(df, "v", 2).collect()}
+    assert rows[0]["lo"] == 0.0 and rows[0]["hi"] == 4.0
+    assert rows[1]["lo"] == 5.0 and rows[1]["hi"] == 9.0
+    assert rows[0]["n_rows"] == rows[1]["n_rows"] == 5
+    assert rows[0]["n_distinct"] == 5
+
+    # a heavy value is atomic: 8x value 1 + 1,9 -> bucket 0 holds the
+    # mass, later buckets thin out
+    skew = spark.createDataFrame(
+        [(1.0,)] * 8 + [(0.0,), (9.0,)], "v double"
+    )
+    rows = {r["bucket"]: r for r in equi_depth_hist(skew, "v", 5).collect()}
+    assert rows[0]["n_rows"] == 9  # 0.0 (cum 0) and 1.0 (cum 1) both land in bucket 0
+    assert rows[4]["n_rows"] == 1 and rows[4]["lo"] == 9.0
+
+
+def test_equi_depth_hist_layout_invariance_and_edges(spark):
+    import math
+    import pytest
+    from honas_spark.operators.profile import equi_depth_hist
+
+    rows = [(float((i * 13) % 97),) for i in range(500)] + [
+        (None,), (math.nan,)
+    ]
+    df = spark.createDataFrame(rows, "v double")
+    got = {
+        p: [r.asDict() for r in
+            equi_depth_hist(df, "v", 7, num_partitions=p).collect()]
+        for p in (1, 4, 16)
+    }
+    assert got[1] == got[4] == got[16]
+    assert sum(r["n_rows"] for r in got[1]) == 500  # null/NaN excluded
+    with pytest.raises(ValueError, match="buckets"):
+        equi_depth_hist(df, "v", 0)
+    assert equi_depth_hist(df.filter("v IS NULL"), "v", 3).count() == 0
