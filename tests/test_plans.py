@@ -360,3 +360,16 @@ def test_hampel_no_full_key_sort_beyond_row_number(spark):
         1 for line in plan.splitlines() if "Window" in line.split("(")[0]
     )
     assert n_windows <= 1, plan
+
+
+def test_equi_depth_hist_no_single_partition(spark):
+    """Bucketing must ride the range-partition cumsum: no Exchange
+    SinglePartition anywhere, every window partitioned by _pid."""
+    import __spark_entry__ as E
+
+    df = E.queries()["equi_depth_hist"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan, plan
+    for line in plan.splitlines():
+        if "windowspecdefinition(" in line:
+            assert "_pid" in line, line
