@@ -2176,6 +2176,20 @@ def _q_f2_moment_cs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def _q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI over fixed reference bins (operators/drift.psi_drift): the
+    binned monitoring sibling of ks_drift.  Per-bin terms are one
+    identical double expression tree rounded to micro-nat integers, so
+    the order-free integer sum hash-matches across engines."""
+    from honas_spark.operators.drift import psi_drift
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return psi_drift(
+        ev, "value", "event_type", "view", "error",
+        lo=0.0, hi=350.0, buckets=10,
+    )
+
+
 def _q_equi_depth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-depth histogram (operators/profile.equi_depth_hist): equal
     row mass per bucket at value granularity, bucket = floor(cum_excl
@@ -2218,6 +2232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # every round as CORRECTNESS_local.json.
     return {k: shipped(v) for k, v in {
         "ks_drift": _q_ks_drift,
+        "psi_drift": _q_psi_drift,
         "equi_depth_hist": _q_equi_depth_hist,
         "hierarchy_rollup": _q_hierarchy_rollup,
         "bpe_encode": _q_bpe_encode,
@@ -2955,6 +2970,57 @@ def oracle_sql() -> dict[str, str]:
             SELECT n.g AS event_type, CAST(n.n AS BIGINT) AS n,
                    CAST(med.f2_est AS HUGEINT) AS f2_est
             FROM n JOIN med ON n.g = med.g ORDER BY event_type
+        """,
+        # PSI: per-bin micro-nat terms from the IDENTICAL double
+        # expression tree (same literal placement/associativity), then
+        # an order-free integer sum
+        "psi_drift": r"""
+            WITH f AS (
+                SELECT value AS v, event_type AS s FROM events
+                WHERE value IS NOT NULL AND NOT isnan(value)
+                  AND event_type IN ('view', 'error')
+            ),
+            binned AS (
+                SELECT least(greatest(
+                           CAST(floor((v - 0.0) * 10.0 / 350.0) AS INT),
+                           0), 9) AS bin,
+                       s
+                FROM f
+            ),
+            c AS (
+                SELECT bin,
+                       SUM(CASE WHEN s = 'view' THEN 1 ELSE 0 END) AS ca,
+                       SUM(CASE WHEN s = 'error' THEN 1 ELSE 0 END) AS cb
+                FROM binned GROUP BY 1
+            ),
+            skel AS (SELECT unnest(range(0, 10)) AS sbin),
+            k AS (
+                SELECT CAST(skel.sbin AS INT) AS bin,
+                       CAST(coalesce(c.ca, 0) AS BIGINT) AS n_a,
+                       CAST(coalesce(c.cb, 0) AS BIGINT) AS n_b
+                FROM skel LEFT JOIN c ON c.bin = skel.sbin
+            ),
+            t AS (
+                SELECT bin, n_a, n_b,
+                       CAST(round(
+                           (((CAST(n_a AS DOUBLE) + 0.5)
+                             / (sum(CAST(n_a AS DOUBLE)) OVER ()
+                                + 0.5 * 10.0))
+                            - ((CAST(n_b AS DOUBLE) + 0.5)
+                               / (sum(CAST(n_b AS DOUBLE)) OVER ()
+                                  + 0.5 * 10.0)))
+                           * ln(((CAST(n_a AS DOUBLE) + 0.5)
+                                 / (sum(CAST(n_a AS DOUBLE)) OVER ()
+                                    + 0.5 * 10.0))
+                                / ((CAST(n_b AS DOUBLE) + 0.5)
+                                   / (sum(CAST(n_b AS DOUBLE)) OVER ()
+                                      + 0.5 * 10.0)))
+                           * 1e6) AS BIGINT) AS term_micro
+                FROM k
+            )
+            SELECT bin, n_a, n_b, term_micro,
+                   CAST(sum(term_micro) OVER () AS BIGINT) AS psi_micro
+            FROM t ORDER BY bin
         """,
         # equi-depth: bucket = floor(cum_excl * B / n), pure integers
         "equi_depth_hist": r"""

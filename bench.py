@@ -372,6 +372,9 @@ QUERY_NAMES = [
     # DataFrame-native count-sketch, lattice rollup, multimodal framing
     "fuzzy_pairs", "hampel_filter", "ks_drift", "f2_moment_cs",
     "hierarchy_rollup", "frame_sample", "audio_features",
+    # (streaming_heavy_hitters is gate-only, like streaming_neardedup:
+    # three checkpointed runs measure restart latency, not throughput)
+    "entity_resolve", "psi_drift", "equi_depth_hist", "bpe_encode",
 ]
 
 

@@ -120,3 +120,88 @@ def ks_drift(
             ).alias("ks"),
         )
     )
+
+
+def psi_drift(
+    df: DataFrame,
+    value_col: str,
+    side_col: str,
+    side_a,
+    side_b,
+    lo: float,
+    hi: float,
+    buckets: int = 10,
+) -> DataFrame:
+    """Population Stability Index over FIXED reference bins — the
+    standard production monitoring metric beside ks_drift (KS reacts
+    to the single worst ECDF gap; PSI weights every bin's shift, the
+    form model-monitoring thresholds are published for: <0.1 stable,
+    0.1-0.25 drifting, >0.25 shifted).
+
+    Bins are fixed-width over [lo, hi] (callers pass the reference
+    window's range — fixed bins are what make PSI comparable across
+    monitoring runs); values outside clamp into the edge bins, so mass
+    never silently disappears.  Laplace +0.5 smoothing keeps empty
+    bins finite.
+
+    Exact cross-engine: per-bin terms are computed with one identical
+    double expression tree and rounded to MICRO-NAT integers
+    (term = round(1e6 * (pa - pb) * ln(pa/pb))); the psi_micro total
+    is an order-free integer SUM.  Returns one row per bin
+    (bin, n_a, n_b, term_micro) plus the caller sums term_micro — or
+    read `psi_micro` off any row (windowed total).
+
+    Scale shape: one projection computes the bin (pure arithmetic,
+    composes with scan pushdown), one groupBy(bin) with map-side
+    partials, one |buckets|-row window for the total.  No value-domain
+    sort at all (bins are fixed, not quantiles)."""
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1: {buckets}")
+    if not (hi > lo):
+        raise ValueError(f"hi must exceed lo: [{lo}, {hi})")
+    v = F.col(value_col)
+    keep = v.isNotNull() & F.col(side_col).isin([side_a, side_b])
+    if dict(df.dtypes)[value_col] in ("double", "float"):
+        keep = keep & ~F.isnan(v)
+    b = int(buckets)
+    raw = F.floor(
+        (v.cast("double") - F.lit(float(lo)))
+        * F.lit(float(b))
+        / F.lit(float(hi) - float(lo))
+    ).cast("int")
+    binned = df.filter(keep).select(
+        F.least(F.greatest(raw, F.lit(0)), F.lit(b - 1)).alias("bin"),
+        F.col(side_col).alias("_s"),
+    )
+    counts = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("_s") == side_a, 1).otherwise(0)).alias("_ca"),
+        F.sum(F.when(F.col("_s") == side_b, 1).otherwise(0)).alias("_cb"),
+    )
+    # skeleton keeps empty bins (their smoothed term is still defined)
+    skel = df.sparkSession.range(b).select(F.col("id").cast("int").alias("bin"))
+    counts = skel.join(counts, on="bin", how="left").select(
+        "bin",
+        F.coalesce(F.col("_ca"), F.lit(0)).cast("long").alias("n_a"),
+        F.coalesce(F.col("_cb"), F.lit(0)).cast("long").alias("n_b"),
+    )
+    tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    na = F.sum("n_a").over(tot).cast("double")
+    nb = F.sum("n_b").over(tot).cast("double")
+    # identical expression tree both engines: smoothed shares, one ln
+    pa = (F.col("n_a").cast("double") + F.lit(0.5)) / (
+        na + F.lit(0.5) * F.lit(float(b))
+    )
+    pb = (F.col("n_b").cast("double") + F.lit(0.5)) / (
+        nb + F.lit(0.5) * F.lit(float(b))
+    )
+    term = F.round((pa - pb) * F.log(pa / pb) * F.lit(1e6)).cast("long")
+    with_terms = counts.select("bin", "n_a", "n_b", term.alias("term_micro"))
+    total = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return with_terms.select(
+        "bin", "n_a", "n_b", "term_micro",
+        F.sum("term_micro").over(total).cast("long").alias("psi_micro"),
+    ).orderBy("bin")

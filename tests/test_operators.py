@@ -2489,3 +2489,48 @@ def test_equi_depth_hist_layout_invariance_and_edges(spark):
     with pytest.raises(ValueError, match="buckets"):
         equi_depth_hist(df, "v", 0)
     assert equi_depth_hist(df.filter("v IS NULL"), "v", 3).count() == 0
+
+
+def test_psi_drift_hand_computed_and_edges(spark):
+    import math
+    import pytest
+    from honas_spark.operators.drift import psi_drift
+
+    # identical samples -> every term 0
+    df = spark.createDataFrame(
+        [(s, float(v)) for s in ("a", "b") for v in (1, 2, 3, 9)],
+        "s string, v double",
+    )
+    rows = psi_drift(df, "v", "s", "a", "b", lo=0.0, hi=10.0,
+                     buckets=5).collect()
+    assert len(rows) == 5
+    assert all(r["term_micro"] == 0 and r["psi_micro"] == 0 for r in rows)
+
+    # full shift: a in bin 0, b in bin 4; hand-compute the smoothed PSI
+    sh = spark.createDataFrame(
+        [("a", 0.5)] * 4 + [("b", 9.5)] * 4, "s string, v double"
+    )
+    rows = {r["bin"]: r for r in psi_drift(
+        sh, "v", "s", "a", "b", lo=0.0, hi=10.0, buckets=5
+    ).collect()}
+    def p(c):
+        return (c + 0.5) / (4 + 0.5 * 5)
+    want0 = round((p(4) - p(0)) * math.log(p(4) / p(0)) * 1e6)
+    assert rows[0]["term_micro"] == want0
+    assert rows[4]["term_micro"] == want0  # symmetric
+    assert rows[0]["n_a"] == 4 and rows[0]["n_b"] == 0
+    assert rows[1]["n_a"] == rows[1]["n_b"] == 0  # empty bin kept
+    assert rows[0]["psi_micro"] == sum(r["term_micro"] for r in rows.values())
+
+    # out-of-range clamps into edge bins; validation errors
+    cl = spark.createDataFrame(
+        [("a", -5.0), ("b", 99.0)], "s string, v double"
+    )
+    got = {r["bin"]: r for r in psi_drift(
+        cl, "v", "s", "a", "b", lo=0.0, hi=10.0, buckets=2
+    ).collect()}
+    assert got[0]["n_a"] == 1 and got[1]["n_b"] == 1
+    with pytest.raises(ValueError, match="buckets"):
+        psi_drift(cl, "v", "s", "a", "b", lo=0.0, hi=1.0, buckets=0)
+    with pytest.raises(ValueError, match="hi"):
+        psi_drift(cl, "v", "s", "a", "b", lo=1.0, hi=1.0)
