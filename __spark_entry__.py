@@ -2176,6 +2176,27 @@ def _q_f2_moment_cs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def _q_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus near-dup candidates (dedup.cross_dedup_pairs):
+    docs 0-299 as the existing corpus, docs 300-599 as the new crawl,
+    md5 signature family so DuckDB recomputes the cross-side band-
+    slice equality directly (the minhash_lsh_md5 oracle, asymmetric).
+    Gate cap is effectively uncapped (10k); the cap path is
+    deterministically tested in tests/test_operators.py."""
+    from honas_spark.operators.dedup import cross_dedup_pairs
+
+    docs = _docs(spark, sf_dir)
+    left = docs.filter(F.col("doc_id") < 300).select("doc_id", "text")
+    right = docs.filter(
+        (F.col("doc_id") >= 300) & (F.col("doc_id") < 600)
+    ).select("doc_id", "text")
+    return cross_dedup_pairs(
+        left, right, "doc_id", "text",
+        num_hashes=16, n=2, bands=8, hash_fn="md5",
+        max_bucket_side=10_000,
+    ).orderBy("left_id", "right_id")
+
+
 def _q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PSI over fixed reference bins (operators/drift.psi_drift): the
     binned monitoring sibling of ks_drift.  Per-bin terms are one
@@ -2232,6 +2253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # every round as CORRECTNESS_local.json.
     return {k: shipped(v) for k, v in {
         "ks_drift": _q_ks_drift,
+        "cross_dedup": _q_cross_dedup,
         "psi_drift": _q_psi_drift,
         "equi_depth_hist": _q_equi_depth_hist,
         "hierarchy_rollup": _q_hierarchy_rollup,
@@ -2692,6 +2714,36 @@ def oracle_sql() -> dict[str, str]:
         SELECT id_a, id_b, n_bands_matched FROM p
         WHERE n_bands_matched >= 1 ORDER BY id_a, id_b
     """
+    # cross_dedup: same md5 sig CTE over both ranges; the pair join is
+    # ASYMMETRIC (left range x right range) instead of a.id < b.id
+    cross_dedup_sql = f"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\\s+'),
+                               x -> x <> '') AS toks
+            FROM documents WHERE doc_id < 600
+        ), sh AS (
+            SELECT doc_id,
+                   toks[CAST(i AS INT)] || ' '
+                     || toks[CAST(i AS INT) + 1] AS s
+            FROM t, unnest(range(1, len(toks))) AS u(i)
+            WHERE len(toks) >= 2
+            UNION ALL
+            SELECT doc_id, array_to_string(toks, ' ') AS s
+            FROM t WHERE len(toks) = 1
+        ), sig AS (
+            SELECT doc_id,
+{_lsh_sig_mins}
+            FROM sh GROUP BY doc_id
+        ), p AS (
+            SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+                   CAST({_band_cases} AS BIGINT) AS n_bands_matched
+            FROM sig a JOIN sig b
+              ON a.doc_id < 300 AND b.doc_id >= 300
+        )
+        SELECT left_id, right_id, n_bands_matched FROM p
+        WHERE n_bands_matched >= 1 ORDER BY left_id, right_id
+    """
     # streaming_neardedup: same md5 sig CTE at doc_id < 300; the
     # stream's waves arrive in doc_id order, so "earlier member" is
     # doc_id <.  Per (doc, band): members share the band's 2-slot
@@ -2749,6 +2801,7 @@ def oracle_sql() -> dict[str, str]:
         "curate": curate_sql,
         "srp_pairs": srp_pairs_sql,
         "minhash_lsh_md5": minhash_lsh_md5_sql,
+        "cross_dedup": cross_dedup_sql,
         "streaming_neardedup": streaming_neardedup_sql,
         # DuckDB's native ASOF JOIN verifies the union+window re-expression
         "asof_join": """

@@ -835,3 +835,107 @@ def line_dedup(
         )
         .select(F.col("_id").alias(id_col), "text", "n_kept", "n_removed")
     )
+
+
+def cross_lsh_candidates(
+    left_sig: DataFrame,
+    right_sig: DataFrame,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    max_bucket_side: "int | None" = 200,
+) -> DataFrame:
+    """Cross-CORPUS banded LSH: candidate pairs between two signature
+    tables (new crawl vs existing corpus, eval set vs training set) —
+    the asymmetric sibling of minhash_lsh_candidates.  A left doc and
+    a right doc sharing any band bucket become a candidate.
+
+    Output: (left_id, right_id, n_bands_matched).  Ids may collide
+    across tables — the columns keep the sides apart.
+
+    Scale shape: both sides band with the SAME band_hashes expression
+    (zero-shuffle projections), union tagged, ONE shuffle on
+    (band, bh); pairs generate INSIDE each bucket as a projection over
+    the two collected id lists (left x right, never left x left), with
+    max_bucket_side capping EACH side's bucket independently — a hot
+    band value on either side drops deterministically, same contract
+    as the self-join cap."""
+    if bands < 1 or num_hashes % bands:
+        raise ValueError(
+            f"bands ({bands}) must evenly divide num_hashes "
+            f"({num_hashes}); see lsh_params()"
+        )
+    rows_per_band = num_hashes // bands
+
+    def banded(sig_df, side):
+        return sig_df.select(
+            F.col(id_col).alias("_id"),
+            F.lit(side).alias("_side"),
+            F.posexplode(
+                band_hashes(F.col("sig"), bands, rows_per_band)
+            ).alias("band", "bh"),
+        )
+
+    both = banded(left_sig, 0).unionByName(banded(right_sig, 1))
+    buckets = both.groupBy("band", "bh").agg(
+        F.collect_list(
+            F.when(F.col("_side") == 0, F.col("_id"))
+        ).alias("_l"),
+        F.collect_list(
+            F.when(F.col("_side") == 1, F.col("_id"))
+        ).alias("_r"),
+    )
+    keep = (F.size("_l") >= 1) & (F.size("_r") >= 1)
+    if max_bucket_side is not None:
+        keep = (
+            keep
+            & (F.size("_l") <= max_bucket_side)
+            & (F.size("_r") <= max_bucket_side)
+        )
+    pair_array = F.flatten(
+        F.transform(
+            F.col("_l"),
+            lambda x: F.transform(
+                F.col("_r"),
+                lambda y: F.struct(
+                    x.alias("left_id"), y.alias("right_id")
+                ),
+            ),
+        )
+    )
+    return (
+        buckets.filter(keep)
+        .select(F.explode(pair_array).alias("p"))
+        .groupBy(
+            F.col("p.left_id").alias("left_id"),
+            F.col("p.right_id").alias("right_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_bands_matched"))
+    )
+
+
+def cross_dedup_pairs(
+    left_df: DataFrame,
+    right_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    n: int = 3,
+    bands: int = 16,
+    hash_fn: str = "xxhash64",
+    max_bucket_side: "int | None" = 200,
+) -> DataFrame:
+    """One-call cross-corpus near-dup candidates: minhash signatures
+    for both inputs (zero-shuffle projections) -> cross-table banded
+    LSH.  The dedup-new-crawl-against-existing-corpus primitive; feed
+    the pairs to an exact-Jaccard verify or straight to a left anti
+    join to drop flagged left docs."""
+    ls = minhash_signatures(
+        left_df, id_col, text_col, num_hashes, n, hash_fn=hash_fn
+    )
+    rs = minhash_signatures(
+        right_df, id_col, text_col, num_hashes, n, hash_fn=hash_fn
+    )
+    return cross_lsh_candidates(
+        ls, rs, id_col, num_hashes, bands, max_bucket_side
+    )

@@ -2534,3 +2534,55 @@ def test_psi_drift_hand_computed_and_edges(spark):
         psi_drift(cl, "v", "s", "a", "b", lo=0.0, hi=1.0, buckets=0)
     with pytest.raises(ValueError, match="hi"):
         psi_drift(cl, "v", "s", "a", "b", lo=1.0, hi=1.0)
+
+
+def test_cross_dedup_pairs_finds_cross_side_only(spark):
+    from honas_spark.operators.dedup import cross_dedup_pairs
+
+    A = ("the quick brown fox jumps over the lazy dog near the old "
+         "stone bridge while badgers watch")
+    A_NEAR = A.replace("dog", "cat")
+    B = "completely different vocabulary lives in this document"
+    left = spark.createDataFrame(
+        [(1, A), (2, B), (3, "   ")], "doc_id long, text string"
+    )
+    right = spark.createDataFrame(
+        [(10, A_NEAR), (11, "yet another unrelated text entirely"),
+         (12, A)],  # exact copy
+        "doc_id long, text string",
+    )
+    got = {
+        (r["left_id"], r["right_id"]): r["n_bands_matched"]
+        for r in cross_dedup_pairs(
+            left, right, "doc_id", "text",
+            num_hashes=16, n=2, bands=8,
+        ).collect()
+    }
+    assert (1, 12) in got and got[(1, 12)] == 8  # exact copy: all bands
+    assert (1, 10) in got and got[(1, 10)] >= 1  # near copy: some bands
+    assert (2, 11) not in got                    # unrelated never pairs
+    assert all(k[0] in (1, 2) for k in got)      # left x right only
+    # blank doc carries no signature
+    assert not any(k[0] == 3 for k in got)
+
+
+def test_cross_dedup_pairs_side_cap_drops_hot_bucket(spark):
+    from honas_spark.operators.dedup import cross_dedup_pairs
+
+    # 30 identical left docs x 1 right copy: every band bucket holds 30
+    # left members; cap 10 drops them all deterministically
+    left = spark.createDataFrame(
+        [(i, "same words repeated here always") for i in range(30)],
+        "doc_id long, text string",
+    )
+    right = spark.createDataFrame(
+        [(100, "same words repeated here always")],
+        "doc_id long, text string",
+    )
+    kw = dict(num_hashes=16, n=2, bands=8)
+    assert cross_dedup_pairs(
+        left, right, "doc_id", "text", max_bucket_side=10, **kw
+    ).count() == 0
+    assert cross_dedup_pairs(
+        left, right, "doc_id", "text", max_bucket_side=30, **kw
+    ).count() == 30
