@@ -373,3 +373,17 @@ def test_equi_depth_hist_no_single_partition(spark):
     for line in plan.splitlines():
         if "windowspecdefinition(" in line:
             assert "_pid" in line, line
+
+
+def test_cross_dedup_no_join_operators(spark):
+    """Cross-corpus LSH pairs must come from in-bucket projections
+    over collected id lists — no join operator (and certainly no
+    cartesian) anywhere: signatures are zero-shuffle projections and
+    the only exchanges are the bucket and pair aggregations."""
+    import __spark_entry__ as E
+
+    df = E.queries()["cross_dedup"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for node in ("SortMergeJoin", "CartesianProduct",
+                 "BroadcastNestedLoop", "ShuffledHashJoin"):
+        assert node not in plan, node
