@@ -2176,6 +2176,21 @@ def _q_f2_moment_cs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def _q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-oriented triangle counting (operators/graph.py): the
+    Suri-Vassilvitskii orientation bounds wedge work at hubs; exact
+    count over a deterministic lineitem-derived graph, verified by the
+    plain triple-join in the oracle."""
+    from honas_spark.operators.graph import triangle_count
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    edges = li.select(
+        (F.col("l_orderkey") % 2000).alias("src"),
+        (F.col("l_partkey") % 2000).alias("dst"),
+    )
+    return triangle_count(edges)
+
+
 def _q_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-corpus near-dup candidates (dedup.cross_dedup_pairs):
     docs 0-299 as the existing corpus, docs 300-599 as the new crawl,
@@ -2254,6 +2269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {k: shipped(v) for k, v in {
         "ks_drift": _q_ks_drift,
         "cross_dedup": _q_cross_dedup,
+        "triangle_count": _q_triangle_count,
         "psi_drift": _q_psi_drift,
         "equi_depth_hist": _q_equi_depth_hist,
         "hierarchy_rollup": _q_hierarchy_rollup,
@@ -3023,6 +3039,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT n.g AS event_type, CAST(n.n AS BIGINT) AS n,
                    CAST(med.f2_est AS HUGEINT) AS f2_est
             FROM n JOIN med ON n.g = med.g ORDER BY event_type
+        """,
+        # triangles: the oracle's plain triple join counts each
+        # triangle once at its minimum vertex (canonical a<b edges)
+        "triangle_count": r"""
+            WITH raw AS (
+                SELECT least(l_orderkey % 2000, l_partkey % 2000) AS a,
+                       greatest(l_orderkey % 2000, l_partkey % 2000) AS b
+                FROM lineitem
+            ),
+            e AS (SELECT DISTINCT a, b FROM raw WHERE a <> b)
+            SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+                   CAST(count(*) AS BIGINT) AS n_triangles
+            FROM e e1
+            JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+            JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
         """,
         # PSI: per-bin micro-nat terms from the IDENTICAL double
         # expression tree (same literal placement/associativity), then

@@ -102,3 +102,72 @@ def pagerank(
             ranks = ranks.localCheckpoint(eager=False)
 
     return ranks.select("node", F.col("rank").alias("rank_micro"))
+
+
+def triangle_count(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Exact global triangle count over an undirected simple graph —
+    the second classic graph primitive beside pagerank (clustering
+    coefficient numerator, community-density signal, spam/bot-net
+    detection on link graphs).
+
+    Input edges are canonicalized (undirected: (a,b)==(b,a); self
+    loops and duplicates dropped).  Returns ONE row: (n_edges,
+    n_triangles).
+
+    Scale shape — degree orientation (the standard skew bound, cf.
+    Suri & Vassilvitskii 2011 "Counting triangles and the curse of
+    the last reducer"): each edge is directed from its LOWER-degree
+    endpoint (ties by id), so a celebrity node of degree d generates
+    wedges only at its low-degree neighbors — per-node wedge work is
+    bounded by min(deg)^2 per neighbor rather than d^2 at the hub.
+    Two hash equi-joins: wedges from a shared oriented source, then a
+    semi-check that the closing edge exists in the canonical set.  No
+    collect, no cartesian; every join key is an id."""
+    lo = F.least(F.col(src), F.col(dst))
+    hi = F.greatest(F.col(src), F.col(dst))
+    canon = (
+        edges.filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .select(lo.alias("a"), hi.alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        canon.select(F.col("a").alias("node"))
+        .unionByName(canon.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(
+        F.col("node").alias("a"), F.col("deg").alias("_da")
+    )
+    db = deg.select(
+        F.col("node").alias("b"), F.col("deg").alias("_db")
+    )
+    with_deg = canon.join(da, "a").join(db, "b")
+    # direct low -> high by (deg, id); the orientation is a projection
+    oriented = with_deg.select(
+        F.when(
+            (F.col("_da") < F.col("_db"))
+            | ((F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b"))),
+            F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+        ).otherwise(
+            F.struct(F.col("b").alias("u"), F.col("a").alias("v"))
+        ).alias("e")
+    ).select("e.u", "e.v")
+    e1 = oriented.select(F.col("u"), F.col("v").alias("x"))
+    e2 = oriented.select(F.col("u"), F.col("v").alias("y"))
+    wedges = e1.join(e2, "u").filter(F.col("x") < F.col("y"))
+    closing = canon.select(
+        F.col("a").alias("x"), F.col("b").alias("y")
+    )
+    tri = wedges.join(closing, ["x", "y"], "left_semi")
+    n_tri = tri.count()
+    n_edges = canon.count()
+    spark = edges.sparkSession
+    return spark.createDataFrame(
+        [(n_edges, n_tri)], "n_edges long, n_triangles long"
+    )

@@ -2586,3 +2586,30 @@ def test_cross_dedup_pairs_side_cap_drops_hot_bucket(spark):
     assert cross_dedup_pairs(
         left, right, "doc_id", "text", max_bucket_side=30, **kw
     ).count() == 30
+
+
+def test_triangle_count_hand_computed(spark):
+    from honas_spark.operators.graph import triangle_count
+
+    # K3 plus a tail; duplicates / reversed / self-loop edges collapse
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (1, 3), (3, 4), (4, 4), (2, 1)],
+        "src int, dst int",
+    )
+    r = triangle_count(edges).collect()[0]
+    assert (r["n_edges"], r["n_triangles"]) == (4, 1)
+
+    # star graph (celebrity hub): zero triangles, orientation keeps
+    # the hub on the receiving side
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 40)], "src int, dst int"
+    )
+    r = triangle_count(star).collect()[0]
+    assert (r["n_edges"], r["n_triangles"]) == (39, 0)
+
+    # K4 has C(4,3)=4 triangles
+    k4 = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(4) if a < b],
+        "src int, dst int",
+    )
+    assert triangle_count(k4).collect()[0]["n_triangles"] == 4
