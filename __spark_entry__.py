@@ -593,6 +593,28 @@ def _q_window_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_hopping_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 generalized to HOPPING windows: F.window(ts, '3 hours',
+    '1 hour') fans each event into its 3 overlapping windows (the
+    sliding-aggregation shape for trailing-window monitoring).  The
+    oracle replays the fan-out with an explicit 0..2 hour-offset
+    unnest — epoch alignment makes the window starts identical."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.window("ts", "3 hours", "1 hour")["start"].alias(
+                "window_start"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
 def _q_requests_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P11/A11: per-user request counters + first/last timestamps."""
     ev = _events(spark, sf_dir)
@@ -2270,6 +2292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_drift": _q_ks_drift,
         "cross_dedup": _q_cross_dedup,
         "triangle_count": _q_triangle_count,
+        "hopping_rollup": _q_hopping_rollup,
         "psi_drift": _q_psi_drift,
         "equi_depth_hist": _q_equi_depth_hist,
         "hierarchy_rollup": _q_hierarchy_rollup,
@@ -3039,6 +3062,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT n.g AS event_type, CAST(n.n AS BIGINT) AS n,
                    CAST(med.f2_est AS HUGEINT) AS f2_est
             FROM n JOIN med ON n.g = med.g ORDER BY event_type
+        """,
+        # hopping windows: explicit 0..2 hour-offset fan-out replays
+        # Spark's epoch-aligned slide
+        "hopping_rollup": r"""
+            WITH w AS (
+                SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP)
+                         - to_hours(CAST(u.k AS BIGINT)) AS window_start,
+                       event_type, value
+                FROM events, unnest(range(0, 3)) AS u(k)
+            )
+            SELECT window_start, event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(sum(value), 4) AS sum_value
+            FROM w GROUP BY 1, 2 ORDER BY 1, 2
         """,
         # triangles: the oracle's plain triple join counts each
         # triangle once at its minimum vertex (canonical a<b edges)
