@@ -2198,6 +2198,20 @@ def _q_f2_moment_cs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def _q_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped OLS from integer-exact moments (operators/regress.py):
+    price-vs-quantity line per return flag.  The five sufficient
+    statistics are decimal(38,0) sums of 10^4 fixed-point inputs
+    (order-free, hash-exact); slope/intercept derive through one
+    identical double tree rounded 6dp."""
+    from honas_spark.operators.regress import group_ols
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return group_ols(
+        li, ["l_returnflag"], "l_quantity", "l_extendedprice", scale=4
+    ).orderBy("l_returnflag")
+
+
 def _q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree-oriented triangle counting (operators/graph.py): the
     Suri-Vassilvitskii orientation bounds wedge work at hubs; exact
@@ -2292,6 +2306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_drift": _q_ks_drift,
         "cross_dedup": _q_cross_dedup,
         "triangle_count": _q_triangle_count,
+        "group_ols": _q_group_ols,
         "hopping_rollup": _q_hopping_rollup,
         "psi_drift": _q_psi_drift,
         "equi_depth_hist": _q_equi_depth_hist,
@@ -3062,6 +3077,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT n.g AS event_type, CAST(n.n AS BIGINT) AS n,
                    CAST(med.f2_est AS HUGEINT) AS f2_est
             FROM n JOIN med ON n.g = med.g ORDER BY event_type
+        """,
+        # grouped OLS: decimal(38,0)/HUGEINT moments are exact; slope
+        # and intercept reuse the identical double tree rounded 6dp
+        "group_ols": r"""
+            WITH fp AS (
+                SELECT l_returnflag AS g,
+                       CAST(round(CAST(l_quantity AS DOUBLE) * 10000)
+                            AS HUGEINT) AS ix,
+                       CAST(round(CAST(l_extendedprice AS DOUBLE) * 10000)
+                            AS HUGEINT) AS iy
+                FROM lineitem
+                WHERE l_quantity IS NOT NULL
+                  AND NOT isnan(l_quantity)
+                  AND l_extendedprice IS NOT NULL
+                  AND NOT isnan(l_extendedprice)
+            ),
+            m AS (
+                SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+                       SUM(ix) AS sx, SUM(iy) AS sy,
+                       SUM(ix * iy) AS sxy, SUM(ix * ix) AS sxx
+                FROM fp GROUP BY 1
+            ),
+            d AS (
+                SELECT g, n, sx, sy, sxy, sxx,
+                       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                       / nullif(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE),
+                                0.0) AS sl
+                FROM m
+            )
+            SELECT g AS l_returnflag, n, sx, sy, sxy, sxx,
+                   round(sl, 6) AS slope,
+                   round((CAST(sy AS DOUBLE) - sl * CAST(sx AS DOUBLE))
+                         / CAST(n AS DOUBLE) / 10000.0, 6) AS intercept
+            FROM d ORDER BY l_returnflag
         """,
         # hopping windows: explicit 0..2 hour-offset fan-out replays
         # Spark's epoch-aligned slide

@@ -2613,3 +2613,33 @@ def test_triangle_count_hand_computed(spark):
         "src int, dst int",
     )
     assert triangle_count(k4).collect()[0]["n_triangles"] == 4
+
+
+def test_group_ols_hand_computed(spark):
+    from honas_spark.operators.regress import group_ols
+
+    # y = 2x + 1 exactly for group a; constant x for group b
+    rows = [("a", float(x), 2.0 * x + 1.0) for x in range(1, 6)] + [
+        ("b", 3.0, float(v)) for v in (1, 2, 3)
+    ]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = {r["g"]: r for r in group_ols(df, ["g"], "x", "y").collect()}
+    assert got["a"]["slope"] == 2.0 and got["a"]["intercept"] == 1.0
+    assert got["a"]["n"] == 5
+    # fixed-point moments: x scaled by 1e4 -> sx = (1+..+5)*1e4
+    assert int(got["a"]["sx"]) == 15 * 10**4
+    # zero x-variance: undefined line -> NULLs, not an error
+    assert got["b"]["slope"] is None and got["b"]["intercept"] is None
+
+
+def test_group_ols_layout_invariant_and_validation(spark):
+    import pytest
+    from honas_spark.operators.regress import group_ols
+
+    rows = [("g", float(i % 13), float((i * 7) % 29)) for i in range(400)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    a = group_ols(df, ["g"], "x", "y").collect()[0].asDict()
+    b = group_ols(df.repartition(17), ["g"], "x", "y").collect()[0].asDict()
+    assert a == b  # moments are order-free integers; slope from them
+    with pytest.raises(ValueError, match="scale"):
+        group_ols(df, ["g"], "x", "y", scale=12)
