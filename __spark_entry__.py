@@ -2198,6 +2198,17 @@ def _q_f2_moment_cs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def _q_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank/quantile transform (operators/profile.rank_normalize): the
+    per-distinct-value ECDF-position map in pure integer arithmetic
+    (min_rank via the range-partitioned cumsum, pct_micro by integer
+    div) — exact cross-engine, no global sort."""
+    from honas_spark.operators.profile import rank_normalize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return rank_normalize(ev, "value").orderBy("value")
+
+
 def _q_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped OLS from integer-exact moments (operators/regress.py):
     price-vs-quantity line per return flag.  The five sufficient
@@ -2307,6 +2318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_dedup": _q_cross_dedup,
         "triangle_count": _q_triangle_count,
         "group_ols": _q_group_ols,
+        "rank_normalize": _q_rank_normalize,
         "hopping_rollup": _q_hopping_rollup,
         "psi_drift": _q_psi_drift,
         "equi_depth_hist": _q_equi_depth_hist,
@@ -3077,6 +3089,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT n.g AS event_type, CAST(n.n AS BIGINT) AS n,
                    CAST(med.f2_est AS HUGEINT) AS f2_est
             FROM n JOIN med ON n.g = med.g ORDER BY event_type
+        """,
+        # rank transform: integer min-ranks + integer-div percentiles
+        "rank_normalize": r"""
+            WITH c AS (
+                SELECT value AS v, COUNT(*) AS c FROM events
+                WHERE value IS NOT NULL AND NOT isnan(value)
+                GROUP BY 1
+            ),
+            cum AS (
+                SELECT v, c,
+                       sum(c) OVER (ORDER BY v) - c + 1 AS mr
+                FROM c
+            ),
+            tot AS (SELECT sum(c) AS n FROM c)
+            SELECT v AS value, CAST(c AS BIGINT) AS n,
+                   CAST(mr AS BIGINT) AS min_rank,
+                   CAST(((mr - 1) * 1000000)
+                        // greatest(n - 1, 1) AS BIGINT) AS pct_micro
+            FROM cum, tot ORDER BY value
         """,
         # grouped OLS: decimal(38,0)/HUGEINT moments are exact; slope
         # and intercept reuse the identical double tree rounded 6dp

@@ -375,7 +375,7 @@ QUERY_NAMES = [
     # (streaming_heavy_hitters is gate-only, like streaming_neardedup:
     # three checkpointed runs measure restart latency, not throughput)
     "entity_resolve", "psi_drift", "equi_depth_hist", "bpe_encode",
-    "cross_dedup", "triangle_count", "hopping_rollup", "group_ols",
+    "cross_dedup", "triangle_count", "hopping_rollup", "group_ols", "rank_normalize",
 ]
 
 

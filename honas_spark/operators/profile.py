@@ -200,3 +200,74 @@ def equi_depth_hist(
         )
         .orderBy("bucket")
     )
+
+
+def rank_normalize(
+    df: DataFrame,
+    value_col: str,
+    num_partitions: "int | None" = None,
+) -> DataFrame:
+    """Rank / quantile transform — the ML feature-prep normalization
+    that maps a column onto [0, 1] by its empirical CDF position
+    (robust to outliers and arbitrary monotone distortions, unlike
+    z-scoring).
+
+    Returns the compact per-DISTINCT-value map (value, n, min_rank,
+    pct_micro): min_rank is the 1-based rank of the value's first
+    occurrence in sorted order, pct_micro = (min_rank - 1) * 10^6
+    integer-divided by (n_total - 1) — all integer arithmetic, so the
+    map is exact cross-engine; rows join back on the value (one
+    broadcast for low-cardinality columns).  n_total = 1 maps to 0.
+
+    Scale shape: same machinery as equi_depth_hist — per-value counts,
+    range repartition, per-partition prefix offsets; no global sort,
+    no SinglePartition."""
+    spark = df.sparkSession
+    p = num_partitions or spark.sparkContext.defaultParallelism
+    v = F.col(value_col)
+    keep = v.isNotNull()
+    if dict(df.dtypes)[value_col] in ("double", "float"):
+        keep = keep & ~F.isnan(v)
+    counts = (
+        df.filter(keep).groupBy(v.alias("_v"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    ranged = (
+        counts.repartitionByRange(p, F.asc("_v"))
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    parts = ranged.groupBy("_pid").agg(F.sum("_c").alias("_s")).collect()
+    n = sum(int(r["_s"] or 0) for r in parts)
+    if n == 0:
+        return ranged.select(
+            F.col("_v").alias("value"),
+            F.lit(0).cast("long").alias("n"),
+            F.lit(0).cast("long").alias("min_rank"),
+            F.lit(0).cast("long").alias("pct_micro"),
+        ).limit(0)
+    acc, offs = 0, {}
+    for r in sorted(parts, key=lambda r: r["_pid"]):
+        offs[r["_pid"]] = acc
+        acc += int(r["_s"] or 0)
+    off_map = F.create_map(
+        *[x for pid, o in offs.items() for x in (F.lit(pid), F.lit(o))]
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(F.asc("_v"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    min_rank = (
+        F.sum("_c").over(w) - F.col("_c") + off_map[F.col("_pid")] + 1
+    ).cast("long")
+    out = ranged.withColumn("min_rank", min_rank).select(
+        F.col("_v").alias("value"),
+        F.col("_c").cast("long").alias("n"),
+        "min_rank",
+        (
+            F.expr(f"((min_rank - 1) * 1000000) div {max(n - 1, 1)}")
+            if n > 1 else F.lit(0)
+        ).cast("long").alias("pct_micro"),
+    )
+    return out

@@ -2643,3 +2643,29 @@ def test_group_ols_layout_invariant_and_validation(spark):
     assert a == b  # moments are order-free integers; slope from them
     with pytest.raises(ValueError, match="scale"):
         group_ols(df, ["g"], "x", "y", scale=12)
+
+
+def test_rank_normalize_hand_computed(spark):
+    from honas_spark.operators.profile import rank_normalize
+
+    # 1,2,2,5: ranks 1, 2, (2 dup), 4; n_total=4 -> pct over 3
+    df = spark.createDataFrame(
+        [(1.0,), (2.0,), (2.0,), (5.0,)], "v double"
+    )
+    rows = {r["value"]: r for r in rank_normalize(df, "v").collect()}
+    assert rows[1.0]["min_rank"] == 1 and rows[1.0]["pct_micro"] == 0
+    assert rows[2.0]["min_rank"] == 2 and rows[2.0]["n"] == 2
+    assert rows[2.0]["pct_micro"] == 1_000_000 // 3
+    assert rows[5.0]["min_rank"] == 4 and rows[5.0]["pct_micro"] == 1_000_000
+
+    # layout invariance + single-row degenerate
+    df2 = spark.createDataFrame(
+        [(float((i * 11) % 23),) for i in range(200)], "v double"
+    )
+    a = sorted(map(tuple, rank_normalize(df2, "v", num_partitions=1).collect()))
+    b = sorted(map(tuple, rank_normalize(df2, "v", num_partitions=9).collect()))
+    assert a == b
+    one = rank_normalize(
+        spark.createDataFrame([(7.0,)], "v double"), "v"
+    ).collect()[0]
+    assert one["min_rank"] == 1 and one["pct_micro"] == 0
