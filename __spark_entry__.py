@@ -2232,8 +2232,8 @@ def _q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     edges = li.select(
-        (F.col("l_orderkey") % 2000).alias("src"),
-        (F.col("l_partkey") % 2000).alias("dst"),
+        (F.col("l_orderkey") % 20000).alias("src"),
+        (F.col("l_partkey") % 20000).alias("dst"),
     )
     return triangle_count(edges)
 
@@ -3163,8 +3163,8 @@ def oracle_sql() -> dict[str, str]:
         # triangle once at its minimum vertex (canonical a<b edges)
         "triangle_count": r"""
             WITH raw AS (
-                SELECT least(l_orderkey % 2000, l_partkey % 2000) AS a,
-                       greatest(l_orderkey % 2000, l_partkey % 2000) AS b
+                SELECT least(l_orderkey % 20000, l_partkey % 20000) AS a,
+                       greatest(l_orderkey % 20000, l_partkey % 20000) AS b
                 FROM lineitem
             ),
             e AS (SELECT DISTINCT a, b FROM raw WHERE a <> b)

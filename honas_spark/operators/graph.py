@@ -129,11 +129,15 @@ def triangle_count(
     collect, no cartesian; every join key is an id."""
     lo = F.least(F.col(src), F.col(dst))
     hi = F.greatest(F.col(src), F.col(dst))
+    # localCheckpoint: canon feeds FOUR consumers (degree table, the
+    # orientation, the closing-edge semi-join, and the edge count) —
+    # without it each consumer re-runs the scan + distinct shuffle
     canon = (
         edges.filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
         .select(lo.alias("a"), hi.alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint()
     )
     deg = (
         canon.select(F.col("a").alias("node"))
