@@ -40,6 +40,7 @@ from honas_spark.operators.dedup import (
     simhash,
 )
 from honas_spark.operators.knn import brute_force_topk, ivf_index, ivf_topk
+from honas_spark.operators.common import duckdb_round
 from honas_spark.operators.pareto import pareto_coverage
 from honas_spark.operators.probe import cms_probe
 from honas_spark.operators.prefix_join import longest_prefix_join
@@ -556,10 +557,10 @@ def _q_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return q.select(
         "event_type",
-        F.round("q_25", 4).alias("q25"),
-        F.round("q_50", 4).alias("q50"),
-        F.round("q_75", 4).alias("q75"),
-        F.round("q_99", 4).alias("q99"),
+        duckdb_round(F.col("q_25"), 4).alias("q25"),
+        duckdb_round(F.col("q_50"), 4).alias("q50"),
+        duckdb_round(F.col("q_75"), 4).alias("q75"),
+        duckdb_round(F.col("q_99"), 4).alias("q99"),
     ).orderBy("event_type")
 
 
@@ -568,8 +569,8 @@ def _q_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.groupBy("event_type")
         .agg(
-            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
-            F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+            duckdb_round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            duckdb_round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
         )
         .orderBy("event_type")
     )
@@ -585,7 +586,7 @@ def _q_window_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            duckdb_round(F.sum("value"), 4).alias("sum_value"),
             F.min("ts").alias("first_ts"),
             F.max("ts").alias("last_ts"),
         )
@@ -609,7 +610,7 @@ def _q_hopping_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            duckdb_round(F.sum("value"), 4).alias("sum_value"),
         )
         .orderBy("window_start", "event_type")
     )
@@ -939,8 +940,8 @@ def _q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     feats = extract_image_features(docs, "payload", "doc_id")
     counts = [
-        F.round(
-            F.col("features")[i] * F.greatest(F.col("n_bytes"), F.lit(1))
+        duckdb_round(
+            F.col("features")[i] * F.greatest(F.col("n_bytes"), F.lit(1)), 0
         ).cast("long").alias(f"c{i}")
         for i in range(8)
     ]
@@ -1182,9 +1183,9 @@ def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
+            duckdb_round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            duckdb_round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            duckdb_round(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("sum_disc_price"),
             F.count(F.lit(1)).alias("count_order"),
@@ -1200,7 +1201,7 @@ def _q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("c_custkey", "c_name")
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .agg(duckdb_round(F.sum("o_totalprice"), 2).alias("revenue"))
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(10)
     )
@@ -1410,7 +1411,7 @@ def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     mk = (
         ev.filter(F.col("event_type") == "signup")
         .groupBy("user_id", "ts")
-        .agg(F.round(F.max("value"), 4).alias("mval"))
+        .agg(duckdb_round(F.max("value"), 4).alias("mval"))
     )
     out = as_of_join(obs, mk, "user_id", "ts", "ts", ["mval"])
     return out.select(
@@ -1600,7 +1601,7 @@ def _q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(
+            duckdb_round(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
                 2,
             ).alias("revenue")
@@ -1628,7 +1629,7 @@ def _q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
-            F.round(
+            duckdb_round(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
                 2,
             ).alias("revenue"),
@@ -1653,7 +1654,7 @@ def _q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg(
-            F.round(
+            duckdb_round(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
                 2,
             ).alias("revenue"),
@@ -1674,7 +1675,7 @@ def _q_orders_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select(
             "o_orderpriority", "rnk", "o_orderkey",
-            F.round("o_totalprice", 2).alias("price"),
+            duckdb_round(F.col("o_totalprice"), 2).alias("price"),
         )
         .orderBy("o_orderpriority", "rnk")
     )
@@ -2314,6 +2315,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # hard-signal row; tools/check_oracle.py --emit covers all of them
     # every round as CORRECTNESS_local.json.
     return {k: shipped(v) for k, v in {
+        # never recorded in ANY driver snapshot r1-r6 — first so the
+        # r7 window finally gives them a hard-signal row
+        "curate": _q_curate,
+        "srp_pairs": _q_srp_pairs,
+        "minhash_lsh_md5": _q_minhash_lsh_md5,
+        "asof_join": _q_asof_join,
+        "range_join": _q_range_join,
+        "weighted_sample": _q_weighted_sample,
+        "weighted_sample_grp": _q_weighted_sample_grp,
+        "pack_by_budget": _q_pack_by_budget,
+        "heavy_hitters": _q_heavy_hitters,
+        # the four driver-red r6 rows stay inside the window so their
+        # re-fix is re-adjudicated in CORRECTNESS_r07
         "ks_drift": _q_ks_drift,
         "cross_dedup": _q_cross_dedup,
         "triangle_count": _q_triangle_count,
@@ -2364,15 +2378,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salient_terms": _q_salient_terms,
         "theta_intersect": _q_theta_intersect,
         "streaming_neardedup": _q_streaming_neardedup,
-        "curate": _q_curate,
-        "srp_pairs": _q_srp_pairs,
-        "minhash_lsh_md5": _q_minhash_lsh_md5,
-        "asof_join": _q_asof_join,
-        "range_join": _q_range_join,
-        "weighted_sample": _q_weighted_sample,
-        "weighted_sample_grp": _q_weighted_sample_grp,
-        "pack_by_budget": _q_pack_by_budget,
-        "heavy_hitters": _q_heavy_hitters,
         # sha_guard: recorded in an early driver snapshot — demoted
         # below the never-recorded block so the 50-slot driver window
         # holds only first-time keys

@@ -40,6 +40,7 @@ from typing import Mapping, Sequence
 from pyspark.sql import DataFrame, Window, functions as F
 
 from ..functions.text import tokens
+from .common import duckdb_round
 
 
 def _seeded_key(seed: int, *cols) -> F.Column:
@@ -262,7 +263,7 @@ def salient_terms(
         tf.join(dfreq, "term")
         .withColumn(
             "tfidf",
-            F.round(
+            duckdb_round(
                 F.col("tf")
                 * F.log(F.lit(float(n_docs + 1)) / (F.col("doc_freq") + 1)),
                 4,

@@ -28,6 +28,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from .common import duckdb_round
+
 _DEC = "decimal(38,0)"
 
 
@@ -114,7 +116,7 @@ def ks_drift(
             # stays decimal(38,0): long would overflow once
             # n_a * n_b > 2^63 (~3e9 rows per side)
             F.col("_ks").alias("ks_num"),
-            F.round(
+            duckdb_round(
                 F.col("_ks").cast("double") / F.lit(float(n_a) * float(n_b)),
                 6,
             ).alias("ks"),
@@ -196,7 +198,9 @@ def psi_drift(
     pb = (F.col("n_b").cast("double") + F.lit(0.5)) / (
         nb + F.lit(0.5) * F.lit(float(b))
     )
-    term = F.round((pa - pb) * F.log(pa / pb) * F.lit(1e6)).cast("long")
+    term = duckdb_round(
+        (pa - pb) * F.log(pa / pb) * F.lit(1e6), 0
+    ).cast("long")
     with_terms = counts.select("bin", "n_a", "n_b", term.alias("term_micro"))
     total = Window.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing

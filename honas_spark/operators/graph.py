@@ -104,6 +104,102 @@ def pagerank(
     return ranks.select("node", F.col("rank").alias("rank_micro"))
 
 
+def _popcount64(v):
+    """Vectorized SWAR popcount over a uint64 ndarray."""
+    import numpy as np
+
+    v = v - ((v >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    v = (v & np.uint64(0x3333333333333333)) + (
+        (v >> np.uint64(2)) & np.uint64(0x3333333333333333)
+    )
+    v = (v + (v >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return (v * np.uint64(0x0101010101010101)) >> np.uint64(56)
+
+
+def _triangle_count_bitset(canon: DataFrame, n_mat: int, n_edges: int):
+    """Dense-small-domain fast path: integer node ids in [0, n_mat).
+
+    Every triangle {a<b<c} is counted exactly once at its edge (a, b)
+    as a 1-bit in out(a) AND out(b), where out(x) is the bitset of
+    x's HIGHER-id neighbors — the id order is an acyclic orientation,
+    so no wedge table ever materializes.  The adjacency is built
+    distributedly (one skinny shuffle of (a, b) pairs, one bitset row
+    per source node), assembled on the driver (n_mat * n_mat / 8
+    bytes, bounded by the caller's threshold — e.g. 50 MB at 20k
+    nodes), broadcast once, and the counting pass is a shuffle-free
+    scan of the edges: numpy AND + popcount per edge row.  Replaces
+    the wedge-join plan that generates sum(outdeg^2) rows — ~1e9 at a
+    6M-edge 20k-node graph — with O(E * n/64) word operations."""
+    import numpy as np
+    import pandas as pd
+
+    spark = canon.sparkSession
+    m_words = (n_mat + 63) // 64
+
+    def pack(batches):
+        rows: dict[int, "np.ndarray"] = {}
+        one = np.uint64(1)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            a = pdf["a"].to_numpy(dtype=np.int64)
+            b = pdf["b"].to_numpy(dtype=np.int64)
+            order = np.argsort(a, kind="stable")
+            a, b = a[order], b[order]
+            starts = np.flatnonzero(np.r_[True, a[1:] != a[:-1]])
+            bounds = np.r_[starts, len(a)]
+            for i, s in enumerate(starts):
+                e = bounds[i + 1]
+                u = int(a[s])
+                row = rows.get(u)
+                if row is None:
+                    row = rows[u] = np.zeros(m_words, dtype=np.uint64)
+                bs = b[s:e].astype(np.uint64)
+                np.bitwise_or.at(row, bs >> 6, one << (bs & np.uint64(63)))
+        if rows:
+            yield pd.DataFrame(
+                {
+                    "a": list(rows.keys()),
+                    "bits": [r.tobytes() for r in rows.values()],
+                }
+            )
+
+    p = spark.sparkContext.defaultParallelism
+    packed = (
+        canon.repartition(p, "a")
+        .mapInPandas(pack, schema="a long, bits binary")
+        .collect()
+    )
+    adj = np.zeros((n_mat, m_words), dtype=np.uint64)
+    for r in packed:
+        adj[r["a"]] = np.frombuffer(r["bits"], dtype=np.uint64)
+    bc = spark.sparkContext.broadcast(adj.tobytes())
+
+    def count(batches):
+        mat = np.frombuffer(bc.value, dtype=np.uint64).reshape(
+            n_mat, m_words
+        )
+        total = 0
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            a = pdf["a"].to_numpy(dtype=np.int64)
+            b = pdf["b"].to_numpy(dtype=np.int64)
+            total += int(_popcount64(mat[a] & mat[b]).sum())
+        yield pd.DataFrame({"t": [total]})
+
+    tri = canon.mapInPandas(count, schema="t long").agg(
+        F.sum("t")
+    ).first()[0]
+    return spark.createDataFrame(
+        [(n_edges, int(tri or 0))], "n_edges long, n_triangles long"
+    )
+
+
+# driver-assembled adjacency cap: n^2/8 bytes — 128 MiB at 32k nodes
+_BITSET_MAX_NODES = 32768
+
+
 def triangle_count(
     edges: DataFrame,
     src: str = "src",
@@ -139,6 +235,29 @@ def triangle_count(
         .distinct()
         .localCheckpoint()
     )
+    # small-integer node domain -> broadcast-bitset fast path: ids are
+    # the matrix index directly (no relabeling pass), the id order is
+    # the acyclic orientation, and the count is a shuffle-free scan.
+    # One agg decides; non-integer or wide domains fall through to the
+    # degree-oriented wedge-join plan below.
+    if dict(canon.dtypes)["a"] in ("tinyint", "smallint", "int", "bigint"):
+        bounds = canon.agg(
+            F.min("a").alias("lo_a"),
+            F.max("b").alias("hi_b"),
+            F.count(F.lit(1)).alias("n_edges"),
+        ).first()
+        n_edges = int(bounds["n_edges"] or 0)
+        if n_edges == 0:
+            return edges.sparkSession.createDataFrame(
+                [(0, 0)], "n_edges long, n_triangles long"
+            )
+        if (
+            int(bounds["lo_a"]) >= 0
+            and int(bounds["hi_b"]) < _BITSET_MAX_NODES
+        ):
+            return _triangle_count_bitset(
+                canon, int(bounds["hi_b"]) + 1, n_edges
+            )
     deg = (
         canon.select(F.col("a").alias("node"))
         .unionByName(canon.select(F.col("b").alias("node")))

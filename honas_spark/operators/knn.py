@@ -17,6 +17,8 @@ from typing import Optional
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
+
+from .common import duckdb_round
 from pyspark.sql.types import IntegerType
 
 
@@ -705,7 +707,7 @@ def srp_signatures(
     planes = srp_planes(bits, dim, seed)
     q = F.transform(
         F.col(vec_col),
-        lambda x: F.round(x * scale).cast("long"),
+        lambda x: duckdb_round(x * scale, 0).cast("long"),
     )
     base = df.select(F.col(id_col), q.alias("_q"))
     terms = []

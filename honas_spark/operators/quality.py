@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, functions as F
 from ..functions.text import stopword_count, tokens
 
 
+from .common import duckdb_round
 from .common import resplit_small as _resplit_small  # shared rule
 
 
@@ -267,12 +268,16 @@ def remove_dup_spans(
         raise ValueError(f"k must be >= 1: {k}")
     if min_docs < 2:
         raise ValueError(f"min_docs must be >= 2: {min_docs}")
+    # localCheckpoint: sp feeds TWO consumers (the shared-span
+    # aggregation and the semi-join below) — without it the span
+    # explode + md5 pass over the corpus text runs twice; the
+    # materialized form is (id, pos, 16-char hash), no text.
     sp = _resplit_small(df).select(
         F.col(id_col).alias("_id"),
         F.posexplode(spans(F.col(text_col), k)).alias("pos", "span"),
     ).select(
         "_id", "pos", F.substring(F.md5("span"), 1, 16).alias("s")
-    )
+    ).localCheckpoint()
     shared = (
         sp.groupBy("s")
         .agg(F.countDistinct("_id").alias("_nd"))
@@ -339,7 +344,7 @@ def unigram_logprob(
     total = vocab.agg(F.sum("_cnt")).first()[0] or 0
     nll = vocab.select(
         "term",
-        F.round(
+        duckdb_round(
             F.log(F.lit(float(total)) / F.col("_cnt")) * 1e6, 0
         ).cast("long").alias("_nll_micro"),
     )
@@ -358,7 +363,7 @@ def unigram_logprob(
         F.coalesce("sum_nll_micro", F.lit(0)).alias("sum_nll_micro"),
         F.when(
             F.coalesce("n_toks", F.lit(0)) > 0,
-            F.round(
+            duckdb_round(
                 F.col("sum_nll_micro") / 1e6 / F.col("n_toks"), 4
             ),
         ).otherwise(F.lit(0.0)).alias("avg_nll"),
@@ -416,28 +421,43 @@ def bigram_logprob(
         text_col,
         carry=("_id",),
     )
-    # the bigram vocabulary feeds both the w1 marginal and the nll
-    # join — localCheckpoint so the corpus-sized extraction + agg runs
-    # once (the remaining corpus pass is the per-doc scoring join)
+    # ONE corpus extraction: the per-(doc, bigram) count table d12 is
+    # the common parent of BOTH the vocabulary (re-aggregate away the
+    # doc) and the per-doc scoring (weight each distinct doc-bigram by
+    # its count) — the former plan extracted the corpus twice and
+    # joined every bigram OCCURRENCE against the nll table; this one
+    # extracts once and joins only distinct (doc, bigram) rows.
+    # Map-side partial aggregation dedups within the doc's partition,
+    # so the groupBy shuffle carries distinct doc-bigrams, not
+    # occurrences.
+    d12 = (
+        big.groupBy("_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("_cd"))
+        .localCheckpoint()
+    )
+    # vocab feeds the marginal AND the nll join — materialize it so the
+    # d12 re-aggregation runs once
     v12 = (
-        big.groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("_c12"))
+        d12.groupBy("w1", "w2")
+        .agg(F.sum("_cd").alias("_c12"))
         .localCheckpoint()
     )
     v1 = v12.groupBy("w1").agg(F.sum("_c12").alias("_c1"))
     nll = v12.join(v1, "w1").select(
         "w1",
         "w2",
-        F.round(
+        duckdb_round(
             F.log(F.col("_c1").cast("double") / F.col("_c12")) * 1e6, 0
         ).cast("long").alias("_nll_micro"),
     )
     per_doc = (
-        big.join(nll, ["w1", "w2"])
+        d12.join(nll, ["w1", "w2"])
         .groupBy("_id")
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.sum("_nll_micro").alias("sum_nll_micro"),
+            F.sum("_cd").alias("n_bigrams"),
+            F.sum(F.col("_cd") * F.col("_nll_micro")).alias(
+                "sum_nll_micro"
+            ),
         )
     )
     base = df.select(F.col(id_col))
@@ -447,7 +467,7 @@ def bigram_logprob(
         F.coalesce("sum_nll_micro", F.lit(0)).alias("sum_nll_micro"),
         F.when(
             F.coalesce("n_bigrams", F.lit(0)) > 0,
-            F.round(
+            duckdb_round(
                 F.col("sum_nll_micro") / 1e6 / F.col("n_bigrams"), 4
             ),
         ).otherwise(F.lit(0.0)).alias("avg_nll"),
@@ -496,7 +516,7 @@ def collocations(
             "w1",
             "w2",
             F.col("_c12").alias("pair_count"),
-            F.round(
+            duckdb_round(
                 F.log(
                     F.lit(float(total)) * F.col("_c12")
                     / (F.col("_cl").cast("double") * F.col("_cr"))
@@ -609,10 +629,14 @@ def span_dup_stats(
     set comes from a map-side-partial count_distinct aggregation and
     filters back via a shuffle_hash semi-join — the same de-skewed cap
     pattern as the LSH/DF caps (no window sort, no driver collect)."""
+    # localCheckpoint: sp feeds THREE consumers (sizes, the shared-span
+    # aggregation, the semi-join) — materialize the hash rows once
     sp = _resplit_small(df).select(
         F.col(id_col).alias("_id"),
         F.explode(spans(F.col(text_col), k)).alias("span"),
-    ).select("_id", F.substring(F.md5(F.col("span")), 1, 16).alias("s"))
+    ).select(
+        "_id", F.substring(F.md5(F.col("span")), 1, 16).alias("s")
+    ).localCheckpoint()
     sizes = sp.groupBy("_id").agg(F.count(F.lit(1)).alias("n_spans"))
     shared = (
         sp.groupBy("s")

@@ -23,6 +23,8 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame, functions as F
 
+from .common import duckdb_round
+
 _DEC = "decimal(38,0)"
 
 
@@ -48,8 +50,8 @@ def group_ols(
         keep = keep & ~F.isnan(xv)
     if dt[y_col] in ("double", "float"):
         keep = keep & ~F.isnan(yv)
-    ix = F.round(xv.cast("double") * s).cast(_DEC)
-    iy = F.round(yv.cast("double") * s).cast(_DEC)
+    ix = duckdb_round(xv.cast("double") * s, 0).cast(_DEC)
+    iy = duckdb_round(yv.cast("double") * s, 0).cast(_DEC)
     m = (
         df.filter(keep)
         .select(*g, ix.alias("_ix"), iy.alias("_iy"))
@@ -74,6 +76,6 @@ def group_ols(
     intercept = (syd - slope * sxd) / nd / F.lit(float(s))
     return m.select(
         *g, "n", "sx", "sy", "sxy", "sxx",
-        F.round(slope, 6).alias("slope"),
-        F.round(intercept, 6).alias("intercept"),
+        duckdb_round(slope, 6).alias("slope"),
+        duckdb_round(intercept, 6).alias("intercept"),
     )

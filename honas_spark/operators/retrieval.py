@@ -40,6 +40,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from honas_spark.functions.text import tokens
+from honas_spark.operators.common import duckdb_round
 
 __all__ = ["bm25_scores", "bm25_topk"]
 
@@ -71,12 +72,17 @@ def bm25_scores(
         raise ValueError(f"need k1 >= 0 and 0 <= b <= 1: k1={k1} b={b}")
 
     tok = tokens(F.col(text_col))
-    # one projection: document length + one tf column per query term
+    # one projection: document length + one tf column per query term.
+    # localCheckpoint: per_doc feeds TWO actions (the stats reduction
+    # below and the final scoring projection) — without it the
+    # tokenize-and-count pass over the corpus runs twice; the
+    # materialized form is (id, dl, q ints), a few bytes per document
+    # instead of the text.
     per_doc = df.select(
         F.col(id_col),
         F.size(tok).alias("dl"),
         *[_tf(tok, t).alias(f"_tf_{i}") for i, t in enumerate(query_terms)],
-    )
+    ).localCheckpoint()
 
     # two one-row reductions; results become driver literals
     stats = per_doc.agg(
@@ -113,7 +119,7 @@ def bm25_scores(
             id_col,
             "n_hit_terms",
             F.col("dl").cast("long").alias("dl"),
-            F.round(score, 4).alias("score"),
+            duckdb_round(score, 4).alias("score"),
         )
     )
 

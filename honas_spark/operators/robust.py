@@ -29,6 +29,8 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from .common import duckdb_round
+
 
 def mad_outliers(
     df: DataFrame,
@@ -71,8 +73,8 @@ def mad_outliers(
         .select(
             *g,
             F.col("n").cast("long").alias("n"),
-            F.round(F.col("_med"), 4).alias("med"),
-            F.round(F.col("_mad"), 4).alias("mad"),
+            duckdb_round(F.col("_med"), 4).alias("med"),
+            duckdb_round(F.col("_mad"), 4).alias("mad"),
             F.col("n_outliers").cast("long").alias("n_outliers"),
         )
     )
@@ -110,51 +112,51 @@ def hampel_filter(
     o = list(order_cols)
     k = int(half_window)
 
-    w = Window.partitionBy(*g).orderBy(*o)
-    # localCheckpoint: `rows` feeds three consumers (the fan-out, the
-    # MAD join and the final center join) — without it the physical
-    # plan recomputes the row_number shuffle+sort once PER consumer
-    # (3x the data through the exchange at 100 TB)
+    # ONE window pass: collect_list over the CENTERED rows-frame gives
+    # each row its own 2k+1 (edge-truncated) frame directly — no
+    # (2k+1)x explode fan-out, no grouped median aggregations, no
+    # joins.  The frame is tiny (2k+1 values), so the median and MAD
+    # are in-array order statistics; the expressions below reproduce
+    # Spark's Percentile(0.5) interpolation bit-for-bit (odd n: the
+    # middle pick; even n: lower*0.5 + upper*0.5 — the exact double
+    # tree Percentile evaluates), so results are identical to the
+    # former F.median-based plan.
+    w = (
+        Window.partitionBy(*g)
+        .orderBy(*o)
+        .rowsBetween(-k, k)
+    )
     rows = (
         df.select(*g, *o, F.col(value_col).alias("_v"))
         .filter(F.col("_v").isNotNull())
-        .withColumn("_rn", F.row_number().over(w))
-        .localCheckpoint()
+        .withColumn("_frame", F.collect_list("_v").over(w))
     )
 
-    # every row feeds the frames centered at rn-k .. rn+k
-    fan = rows.select(
-        *g, "_v",
-        F.explode(
-            F.sequence(F.col("_rn") - k, F.col("_rn") + k)
-        ).alias("_c"),
-    ).filter(F.col("_c") >= 1)
+    def arr_median(arr):
+        s = F.array_sort(arr)
+        n = F.size(arr)
+        lo = F.element_at(s, F.floor(n / 2).cast("int"))
+        hi = F.element_at(s, (F.floor(n / 2) + 1).cast("int"))
+        return F.when(
+            n % 2 == 1,
+            F.element_at(s, F.floor((n + 1) / 2).cast("int")),
+        ).otherwise(lo * F.lit(0.5) + hi * F.lit(0.5))
 
-    meds = fan.groupBy(*g, "_c").agg(
-        F.median("_v").alias("_med"),
-        F.count(F.lit(1)).alias("_nf"),
+    med = arr_median(F.col("_frame"))
+    rows = rows.withColumn("_med", med)
+    mad = arr_median(
+        F.transform(F.col("_frame"), lambda x: F.abs(x - F.col("_med")))
     )
-    mads = (
-        fan.join(meds, on=g + ["_c"])
-        .groupBy(*g, "_c")
-        .agg(F.median(F.abs(F.col("_v") - F.col("_med"))).alias("_mad"))
-    )
-    # frames centered beyond the series end exist in `fan` (rn+k > max
-    # rn) but no row has _rn == _c there, so the final inner join on
-    # the center row drops them — no explicit max-rn filter needed
-    return (
-        rows.join(meds.withColumnRenamed("_c", "_rn"), on=g + ["_rn"])
-        .join(mads.withColumnRenamed("_c", "_rn"), on=g + ["_rn"])
-        .select(
-            *g, *o,
-            F.col("_v").alias(value_col),
-            F.col("_nf").cast("long").alias("n_frame"),
-            F.round("_med", 4).alias("med"),
-            F.round("_mad", 4).alias("mad"),
-            F.when(
-                F.abs(F.col("_v") - F.col("_med"))
-                > F.lit(float(z)) * F.col("_mad"),
-                1,
-            ).otherwise(0).cast("int").alias("is_outlier"),
-        )
+    rows = rows.withColumn("_mad", mad)
+    return rows.select(
+        *g, *o,
+        F.col("_v").alias(value_col),
+        F.size("_frame").cast("long").alias("n_frame"),
+        duckdb_round(F.col("_med"), 4).alias("med"),
+        duckdb_round(F.col("_mad"), 4).alias("mad"),
+        F.when(
+            F.abs(F.col("_v") - F.col("_med"))
+            > F.lit(float(z)) * F.col("_mad"),
+            1,
+        ).otherwise(0).cast("int").alias("is_outlier"),
     )

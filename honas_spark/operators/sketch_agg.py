@@ -248,6 +248,15 @@ def build_sketches(
             for gkey, sub in pdf.groupby(group_cols, sort=False, dropna=False):
                 if not isinstance(gkey, tuple):
                     gkey = (gkey,)
+                # NA keys canonicalize to the None singleton: a float
+                # NaN key is a fresh object per groupby call, so NaN
+                # != NaN would split one group's buffers across dict
+                # keys between Arrow batches (same rule as
+                # _merge_by_group)
+                gkey = tuple(
+                    None if (k is not None and pd.isna(k)) else k
+                    for k in gkey
+                )
                 bufs.setdefault(gkey, []).append(sub)
                 sizes[gkey] = sizes.get(gkey, 0) + len(sub)
                 if sizes[gkey] >= flush_rows:
@@ -271,9 +280,27 @@ def build_sketches(
         value_names = [
             f.split()[0].strip() for f in SKETCH_VALUE_FIELDS.split(",")
         ]
+        # NULL-SAFE stitch: a plain equality join on the group cols
+        # silently drops the stats of any group with a NULL key (NULL
+        # = NULL is not TRUE), leaving n_rows/first_ts/last_ts NULL
+        # for e.g. a real NULL event_type — <=> matches them.
+        import functools
+        import operator
+
+        base = result.drop("first_ts", "last_ts", "n_rows")
+        st = stats.withColumnsRenamed(
+            {c: f"_st_{c}" for c in group_cols}
+        )
+        cond = functools.reduce(
+            operator.and_,
+            [
+                F.col(c).eqNullSafe(F.col(f"_st_{c}"))
+                for c in group_cols
+            ],
+        )
         result = (
-            result.drop("first_ts", "last_ts", "n_rows")
-            .join(F.broadcast(stats), group_cols, "left")
+            base.join(F.broadcast(st), cond, "left")
+            .drop(*[f"_st_{c}" for c in group_cols])
             .withColumnsRenamed(
                 {"_first_ts": "first_ts", "_last_ts": "last_ts",
                  "_n_rows": "n_rows"}
@@ -407,6 +434,17 @@ def _merge_by_group(spec: SketchSpec, group_cols: list):
             for gkey, sub in pdf.groupby(group_cols, sort=False, dropna=False):
                 if not isinstance(gkey, tuple):
                     gkey = (gkey,)
+                # canonicalize NA group keys: a float NaN (and some
+                # NaT representations) is NOT a singleton across
+                # groupby calls, so NaN != NaN would make the same
+                # group from two Arrow batches land under two dict
+                # keys — duplicate (group) output rows whenever a
+                # partition spans multiple batches.  None IS a
+                # singleton, and round-trips back to NULL on emit.
+                gkey = tuple(
+                    None if (k is not None and pd.isna(k)) else k
+                    for k in gkey
+                )
                 # vectorized reduce over the whole sub-frame (one numpy
                 # reduction per component, not one merge per row)
                 st = SketchState.merge_many(spec, sub)

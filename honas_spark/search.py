@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from .spec import SketchSpec
 from .operators.probe import probe_sketches
+from .operators.common import duckdb_round
 
 
 def parse_search_job(job: "dict | str") -> list[tuple]:
@@ -255,7 +256,7 @@ def run_search(
             F.col("hits_out").alias("hits"),
             "filters_hit",
             "flattened",
-            F.round(est_clients_for_hits, 2).alias("est_key_clients"),
+            duckdb_round(est_clients_for_hits, 2).alias("est_key_clients"),
             "n_rows",
             "est_clients",
             "est_items",

@@ -1,0 +1,189 @@
+"""Round-7 hardening tests: DuckDB-exact rounding, NULL-safe lattice
+merges across Arrow batches, the single-window Hampel rewrite, and the
+bitset triangle-count fast path."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _duck_round_py(x, scale):
+    """The validated DuckDB round(double, scale) reference (std::round
+    of x * 10^scale, half away from zero on the exact binary value)."""
+    if x is None:
+        return None
+    if math.isnan(x) or math.isinf(x):
+        return x * (10.0 ** scale) / (10.0 ** scale)
+    t = x * (10.0 ** scale)
+    at = abs(t)
+    if at >= 2.0 ** 52:
+        return t / (10.0 ** scale)
+    f = math.floor(at)
+    mag = float(f + 1) if (at - f) >= 0.5 else float(f)
+    r = -mag if t < 0 else (t if t == 0 else mag)
+    return r / (10.0 ** scale)
+
+
+def test_duckdb_round_matches_duckdb(spark):
+    duckdb = pytest.importorskip("duckdb")
+    import random
+
+    from honas_spark.operators.common import duckdb_round
+
+    random.seed(11)
+    vals = [0.0, -0.0, 0.49999999999999994, -0.49999999999999994,
+            2.5e-6, -2.5e-6, 0.1234565, 2.675, -2.675, 1e300]
+    for scale in (0, 2, 4, 6):
+        p = 10.0 ** scale
+        for k in range(40):
+            base = (k + 0.5) / p
+            vals += [base, math.nextafter(base, 0),
+                     math.nextafter(base, 1e99), -base]
+    vals += [random.uniform(-1e6, 1e6) for _ in range(500)]
+
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = df.select(
+        "x", *[duckdb_round(F.col("x"), s).alias(f"r{s}")
+               for s in (0, 2, 4, 6)]
+    ).collect()
+    con = duckdb.connect()
+    for row in got:
+        for s in (0, 2, 4, 6):
+            want = con.execute(
+                "select round(cast(? as double), ?)", [row["x"], s]
+            ).fetchone()[0]
+            assert row[f"r{s}"] == want and (
+                math.copysign(1, row[f"r{s}"]) == math.copysign(1, want)
+            ), (row["x"], s, row[f"r{s}"], want)
+            # and the python reference used by other tests agrees
+            assert _duck_round_py(row["x"], s) == want
+
+
+def test_rollup_hierarchy_null_keys_stable_across_batches(spark):
+    """A NULL dim/timestamp group key must merge into ONE output row
+    per (gid, dims) even when a shuffle partition spans multiple Arrow
+    batches (the non-singleton NaN/NaT dict-key hazard): force 1-row
+    batches and a single partition so every group crosses batches."""
+    from honas_spark.operators import (
+        build_sketches, rollup_hierarchy, sha256_key, with_window,
+    )
+    from honas_spark.spec import SketchSpec
+
+    spec = SketchSpec(m_bits=1 << 10, k=3, cms_width=64, kll_k=32,
+                      window="1 hour")
+    rows = []
+    for h in range(4):
+        for et in ("a", "b", None):
+            for i in range(3):
+                rows.append((f"2024-01-01 0{h}:10:0{i}", et, f"k{h}{et}{i}"))
+    df = spark.createDataFrame(rows, "ts string, event_type string, key string")
+    df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    keyed = with_window(sha256_key(df, "key"), "ts", "1 hour")
+    leaf = build_sketches(
+        keyed, spec, group_cols=["window_start", "event_type"],
+        ts_col="ts", mode="map_combine",
+    )
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "1")
+        cube = rollup_hierarchy(
+            leaf.coalesce(1), spec, ["window_start", "event_type"],
+            sets=[("window_start", "event_type"), ("window_start",),
+                  ("event_type",), ()],
+        ).select("gid", "window_start", "event_type", "n_rows").collect()
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", old
+            )
+    keys = [(r["gid"], r["window_start"], r["event_type"]) for r in cube]
+    assert len(keys) == len(set(keys)), sorted(keys)
+    # lattice cardinalities: 4 hours x 3 types (incl. the REAL NULL
+    # type, which stays a distinct leaf value), 4 hours, 3 types, 1
+    by_gid = {}
+    for gid, _, _ in keys:
+        by_gid[gid] = by_gid.get(gid, 0) + 1
+    assert by_gid == {0: 12, 1: 4, 2: 3, 3: 1}, by_gid
+    total = sum(r["n_rows"] for r in cube if r["gid"] == 3)
+    assert total == len(rows)
+
+
+def test_hampel_filter_even_frame_interpolation(spark):
+    """Edge rows have EVEN frames; the in-array median must reproduce
+    Percentile(0.5)'s lower*0.5 + upper*0.5 interpolation, and med/mad
+    must round with DuckDB semantics."""
+    import random
+
+    from honas_spark.operators.robust import hampel_filter
+
+    random.seed(7)
+    series = [round(random.uniform(0, 100), 3) for _ in range(25)]
+    df = spark.createDataFrame(
+        [("k", i, v) for i, v in enumerate(series)],
+        "k string, t int, v double",
+    )
+    out = {r["t"]: r for r in hampel_filter(
+        df, ["k"], ["t"], "v", half_window=2, z=3.0
+    ).collect()}
+
+    def ref_median(vals):
+        s = sorted(vals)
+        n = len(s)
+        if n % 2 == 1:
+            return s[n // 2]
+        return s[n // 2 - 1] * 0.5 + s[n // 2] * 0.5
+
+    for i, v in enumerate(series):
+        frame = series[max(0, i - 2): i + 3]
+        med = ref_median(frame)
+        mad = ref_median([abs(x - med) for x in frame])
+        r = out[i]
+        assert r["n_frame"] == len(frame)
+        assert r["med"] == _duck_round_py(med, 4), (i, frame)
+        assert r["mad"] == _duck_round_py(mad, 4), (i, frame)
+        assert r["is_outlier"] == (1 if abs(v - med) > 3.0 * mad else 0)
+
+
+def test_triangle_count_bitset_equals_fallback(spark):
+    """The small-integer bitset path and the wedge-join fallback must
+    agree exactly; the fallback is forced by shifting ids past the
+    bitset threshold."""
+    import itertools
+    import random
+
+    from honas_spark.operators import graph as G
+
+    random.seed(13)
+    n = 40
+    edges = [(a, b) for a, b in itertools.combinations(range(n), 2)
+             if random.random() < 0.25]
+    expect_e = len(edges)
+    adj = {i: set() for i in range(n)}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    expect_t = sum(
+        1 for a, b, c in itertools.combinations(range(n), 3)
+        if b in adj[a] and c in adj[a] and c in adj[b]
+    )
+
+    small = spark.createDataFrame(edges, "src long, dst long")
+    r = G.triangle_count(small).collect()[0]
+    assert (r["n_edges"], r["n_triangles"]) == (expect_e, expect_t)
+
+    shift = G._BITSET_MAX_NODES + 10
+    big = spark.createDataFrame(
+        [(a + shift, b + shift) for a, b in edges], "src long, dst long"
+    )
+    r2 = G.triangle_count(big).collect()[0]
+    assert (r2["n_edges"], r2["n_triangles"]) == (expect_e, expect_t)
+
+    # string ids also take the fallback
+    s = spark.createDataFrame(
+        [(f"n{a}", f"n{b}") for a, b in edges], "src string, dst string"
+    )
+    r3 = G.triangle_count(s).collect()[0]
+    assert (r3["n_edges"], r3["n_triangles"]) == (expect_e, expect_t)
