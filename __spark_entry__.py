@@ -182,11 +182,15 @@ def _q_theta_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     approximates "hit in BOTH" at search time via the hit-bitmap AND
     (src/bin/honas_search.c:303-314).  Distinct l_partkey sets per
     l_returnflag; pairwise intersection, union AND both set
-    differences from the merged sketches.  k=4096 exceeds the per-flag distinct count at
-    gate SF, so the sketch runs in its exact regime and the DuckDB
-    INTERSECT-count twin checks the sketch itself; the estimator
-    regime is bound-tested in tests/test_bounds.py and kicks in
-    unchanged at sf0.1+."""
+    differences from the merged sketches.  k=2^21 exceeds the per-flag
+    distinct l_partkey count at EVERY testdata scale (200k at sf1.0),
+    so the sketch runs in its exact regime at any of them and the
+    DuckDB INTERSECT-count twin checks the sketch itself — with the
+    old k=4096 the estimator regime kicked in at sf0.1+ and the gate
+    was only valid at sf<=0.01.  KMV partials hold min(k, observed)
+    hashes, so the larger k costs nothing until a flag really has
+    millions of distinct parts; the estimator regime itself stays
+    bound-tested in tests/test_bounds.py."""
     from honas_spark.operators.theta import (
         theta_pair_ops,
         theta_sketch_agg,
@@ -195,10 +199,10 @@ def _q_theta_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     sk = theta_sketch_agg(
         li.select("l_returnflag", "l_partkey"),
-        ["l_returnflag"], "l_partkey", k=4096,
+        ["l_returnflag"], "l_partkey", k=1 << 21,
     )
     return (
-        theta_pair_ops(sk, ["l_returnflag"], k=4096)
+        theta_pair_ops(sk, ["l_returnflag"], k=1 << 21)
         .select(
             F.col("l_returnflag_a").alias("flag_a"),
             F.col("l_returnflag_b").alias("flag_b"),

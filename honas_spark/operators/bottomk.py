@@ -32,6 +32,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
+from .common import na_safe_key
 from .sketch_agg import _group_fields_ddl
 
 _MD5_PREFIX_RANGE = 16 ** 15  # 60-bit prefix, always positive in int64
@@ -91,6 +92,7 @@ def bottomk_sample_agg(
             ):
                 if not isinstance(gkey, tuple):
                     gkey = (gkey,)
+                gkey = na_safe_key(gkey)
                 hs = sub["_h"].to_numpy(dtype=np.int64)
                 vs = sub["_v"].to_numpy(dtype=object)
                 if gkey in states:

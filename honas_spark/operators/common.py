@@ -70,3 +70,16 @@ def resplit_small(df: DataFrame) -> DataFrame:
     if df.rdd.getNumPartitions() < para:
         return df.repartition(para)
     return df
+
+
+def na_safe_key(gkey: tuple) -> tuple:
+    """Canonicalize a pandas groupby key tuple for use as a dict key
+    across batches: NA scalars (float NaN, non-interned NaT forms)
+    are not singletons, so NaN != NaN would split one group's state
+    across dict entries whenever a partition spans multiple Arrow
+    batches.  None IS a singleton and round-trips back to NULL."""
+    import pandas as pd
+
+    return tuple(
+        None if (k is not None and pd.isna(k)) else k for k in gkey
+    )

@@ -66,9 +66,32 @@ def count_sketch_f2(
     if width < 2:
         raise ValueError(f"width must be >= 2: {width}")
     g = list(group_cols)
-    rows = df.select(
-        *g, F.col(value_col).cast("string").alias("_v")
-    ).filter(F.col("_v").isNotNull())
+    # The md5 replay hashes the STRING form of the value, so the
+    # Spark-side rendering must equal DuckDB's CAST(x AS VARCHAR).
+    # They agree for integer/decimal/string types, but diverge for
+    # float/double ("NaN"/"1.23E7" vs "nan"/"12300000.0") — for those
+    # the value goes through Python's repr, which reproduces DuckDB's
+    # shortest-roundtrip rendering exactly (verified over 6k+ randoms
+    # incl. nan/inf/-0.0/1e±308).  The NULL filter runs FIRST (both
+    # engines filter before the cast), so a remaining NaN is a real
+    # NaN, not a masked NULL.
+    if dict(df.dtypes).get(value_col) == "double":
+        import pandas as pd
+
+        def _repr_series(s):
+            return s.map(repr)
+
+        # real annotation objects: the module-level `from __future__
+        # import annotations` would stringify inline hints, which
+        # pandas_udf's signature inference rejects
+        _repr_series.__annotations__ = {"s": pd.Series, "return": pd.Series}
+        _duck_repr = F.pandas_udf(_repr_series, "string")
+        val = _duck_repr(F.col(value_col).cast("double"))
+    else:
+        val = F.col(value_col).cast("string")
+    rows = df.filter(F.col(value_col).isNotNull()).select(
+        *g, val.alias("_v")
+    )
     fan = rows.select(
         *g, "_v",
         F.explode(F.array([F.lit(r) for r in range(depth)])).alias("_r"),

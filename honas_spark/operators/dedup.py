@@ -33,18 +33,29 @@ def shingles(col, n: int = 3):
     empty-string shingle would make every blank doc hash-identical — the
     downstream signature operators drop such docs entirely (they cannot
     be meaningfully near-dup compared)."""
+    # n-gram construction folds n shifted slices with zip_with instead
+    # of transform(sequence(…), i -> slice(toks, i+1, n)): an
+    # expression captured inside a higher-order lambda is re-evaluated
+    # PER ELEMENT, so the old form re-tokenized the document once per
+    # shingle — O(tokens²) per row (measured 16x on the bigram twin,
+    # operators/quality.py:_bigram_rows).  Slices are HOF *arguments*
+    # and evaluate once.
     toks = tokens(col)
+    sz = F.size(toks)
+    if n == 1:
+        gram = toks
+    else:
+        m = F.greatest(sz - (n - 1), F.lit(0))
+        gram = F.slice(toks, 1, m)
+        for j in range(2, n + 1):
+            gram = F.zip_with(
+                gram,
+                F.slice(toks, j, m),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
     return F.array_distinct(
-        F.when(
-            F.size(toks) >= n,
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - n),
-                lambda i: F.array_join(
-                    F.slice(toks, i + 1, n), " "
-                ),
-            ),
-        )
-        .when(F.size(toks) > 0, F.array(F.array_join(toks, " ")))
+        F.when(sz >= n, gram)
+        .when(sz > 0, F.array(F.array_join(toks, " ")))
         .otherwise(F.array().cast("array<string>"))
     )
 

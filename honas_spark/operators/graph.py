@@ -175,6 +175,12 @@ def _triangle_count_bitset(canon: DataFrame, n_mat: int, n_edges: int):
         adj[r["a"]] = np.frombuffer(r["bits"], dtype=np.uint64)
     bc = spark.sparkContext.broadcast(adj.tobytes())
 
+    # bound the per-batch working set: an Arrow batch can be 100k+
+    # rows, and mat[a] & mat[b] plus the SWAR temporaries would then
+    # allocate gigabytes per task — slice the edge batch so each
+    # popcount round touches a few MB
+    chunk = max(1, (4 << 20) // (m_words * 8))
+
     def count(batches):
         mat = np.frombuffer(bc.value, dtype=np.uint64).reshape(
             n_mat, m_words
@@ -185,7 +191,10 @@ def _triangle_count_bitset(canon: DataFrame, n_mat: int, n_edges: int):
                 continue
             a = pdf["a"].to_numpy(dtype=np.int64)
             b = pdf["b"].to_numpy(dtype=np.int64)
-            total += int(_popcount64(mat[a] & mat[b]).sum())
+            for s in range(0, len(a), chunk):
+                w = mat[a[s:s + chunk]]
+                np.bitwise_and(w, mat[b[s:s + chunk]], out=w)
+                total += int(_popcount64(w).sum())
         yield pd.DataFrame({"t": [total]})
 
     tri = canon.mapInPandas(count, schema="t long").agg(

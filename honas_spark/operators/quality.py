@@ -25,12 +25,27 @@ from .common import resplit_small as _resplit_small  # shared rule
 def ngrams(col, n: int = 2):
     """Word n-grams of a text column WITH multiplicity (unlike
     dedup.shingles, which deduplicates) — repetition counting needs the
-    duplicates.  Empty array for docs with < n tokens."""
+    duplicates.  Empty array for docs with < n tokens.
+
+    n=2 takes the zip_with-over-slices form: the transform(sequence)
+    lambda below re-evaluates `toks` per element (HOF lambdas re-run
+    captured expressions), which is quadratic in document length —
+    see _bigram_rows in operators/quality.py for the measurement."""
     toks = tokens(col)
+    sz = F.size(toks)
+    if n == 2:
+        return F.when(
+            sz >= 2,
+            F.zip_with(
+                F.slice(toks, 1, F.greatest(sz - 1, F.lit(0))),
+                F.slice(toks, 2, F.greatest(sz - 1, F.lit(0))),
+                lambda x, y: F.concat(x, F.lit(" "), y),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
     return F.when(
-        F.size(toks) >= n,
+        sz >= n,
         F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
+            F.sequence(F.lit(0), sz - n),
             lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
@@ -225,22 +240,34 @@ def ngram_repetition(
     )
 
 
+def _spans_from_toks(toks_col, k: int):
+    """Span array from an ALREADY-MATERIALIZED token array column.
+    The lambda slices `toks_col` per span; that is only linear when
+    the capture is a bound attribute — callers must project
+    `tokens(text)` into a real column first (a computed expression
+    here would re-tokenize the document once per span)."""
+    n_spans = F.ceil(F.size(toks_col) / F.lit(k)).cast("int")
+    return F.when(
+        F.size(toks_col) > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_spans - 1),
+            lambda i: F.array_join(
+                F.slice(toks_col, i * k + 1, k), " "
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def spans(col, k: int = 8):
     """Non-overlapping k-token spans of a text column ('paragraph'
     units for corpora without structural newlines; with newline-split
     text, pre-split and pass one line per row instead).  The last span
-    may be shorter.  Empty array for zero-token docs."""
-    toks = tokens(col)
-    n_spans = F.ceil(F.size(toks) / F.lit(k)).cast("int")
-    return F.when(
-        F.size(toks) > 0,
-        F.transform(
-            F.sequence(F.lit(0), n_spans - 1),
-            lambda i: F.array_join(
-                F.slice(toks, i * k + 1, k), " "
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    may be shorter.  Empty array for zero-token docs.
+
+    Note: this inline form re-tokenizes per span (lambda capture);
+    operators on big corpora should project tokens(col) to a column
+    and use _spans_from_toks instead."""
+    return _spans_from_toks(tokens(col), k)
 
 
 def remove_dup_spans(
@@ -271,10 +298,17 @@ def remove_dup_spans(
     # localCheckpoint: sp feeds TWO consumers (the shared-span
     # aggregation and the semi-join below) — without it the span
     # explode + md5 pass over the corpus text runs twice; the
-    # materialized form is (id, pos, 16-char hash), no text.
+    # materialized form is (id, pos, 16-char hash), no text.  Tokens
+    # project to a column BEFORE the span lambda (linear, not
+    # per-span re-tokenization — see _spans_from_toks).
     sp = _resplit_small(df).select(
         F.col(id_col).alias("_id"),
-        F.posexplode(spans(F.col(text_col), k)).alias("pos", "span"),
+        tokens(F.col(text_col)).alias("_tk"),
+    ).select(
+        "_id",
+        F.posexplode(_spans_from_toks(F.col("_tk"), k)).alias(
+            "pos", "span"
+        ),
     ).select(
         "_id", "pos", F.substring(F.md5("span"), 1, 16).alias("s")
     ).localCheckpoint()
@@ -289,17 +323,28 @@ def remove_dup_spans(
         .groupBy("_id")
         .agg(F.collect_list("pos").alias("_rm"))
     )
-    # removed derives from df, so an unqualified df[id_col] == _id
-    # condition is ambiguous (both attributes live in the right plan
-    # too — Spark silently resolves it trivially-true); alias both
-    # sides to force the intended resolution
-    spans_arr = spans(F.col(f"d.{text_col}"), k)
+    # rebuild side: the span array materializes ONCE below the join
+    # (the former form computed spans(text) — itself quadratic in the
+    # lambda — three times in the output projection: kept, n_spans,
+    # n_kept); the Join boundary keeps the projection from collapsing
+    # into the multi-reference select above it.
+    prepared = (
+        df.select(
+            F.col(id_col), tokens(F.col(text_col)).alias("_tk")
+        )
+        .select(
+            F.col(id_col),
+            _spans_from_toks(F.col("_tk"), k).alias("_sp"),
+        )
+        .alias("d")
+    )
     rm = F.coalesce(F.col("r._rm"), F.array().cast("array<int>"))
+    sp_arr = F.col("d._sp")
     kept = F.filter(
-        spans_arr, lambda x, i: ~F.array_contains(rm, i.cast("int"))
+        sp_arr, lambda x, i: ~F.array_contains(rm, i.cast("int"))
     )
     return (
-        df.alias("d")
+        prepared
         .join(
             removed.alias("r"),
             F.col(f"d.{id_col}") == F.col("r._id"),
@@ -308,8 +353,8 @@ def remove_dup_spans(
         .select(
             F.col(f"d.{id_col}").alias(id_col),
             F.array_join(kept, " ").alias("text_clean"),
-            F.size(spans_arr).alias("n_spans"),
-            (F.size(spans_arr) - F.size(rm)).alias("n_kept"),
+            F.size(sp_arr).alias("n_spans"),
+            (F.size(sp_arr) - F.size(rm)).alias("n_kept"),
         )
     )
 
@@ -371,18 +416,26 @@ def unigram_logprob(
 
 
 def _bigram_rows(df: DataFrame, text_col: str, carry=()) -> DataFrame:
-    """One row per adjacent token pair: (*carry, w1, w2)."""
+    """One row per adjacent token pair: (*carry, w1, w2).
+
+    zip_with over the two shifted slices, NOT transform(sequence(…),
+    i -> get(toks, i)): an expression referenced INSIDE a higher-order
+    lambda is re-evaluated per element, so the sequence/get form
+    re-tokenized the document once per bigram — O(tokens²) per row,
+    measured 16x slower (55 s vs 3.4 s for the sf1.0 corpus
+    extraction+count) with identical output."""
     toks = tokens(F.col(text_col))
+    n = F.size(toks)
     return df.select(
         *carry,
         F.explode(
             F.when(
-                F.size(toks) >= 2,
-                F.transform(
-                    F.sequence(F.lit(0), F.size(toks) - 2),
-                    lambda i: F.struct(
-                        F.get(toks, i).alias("w1"),
-                        F.get(toks, i + 1).alias("w2"),
+                n >= 2,
+                F.zip_with(
+                    F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+                    F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+                    lambda x, y: F.struct(
+                        x.alias("w1"), y.alias("w2")
                     ),
                 ),
             ).otherwise(
@@ -630,10 +683,15 @@ def span_dup_stats(
     filters back via a shuffle_hash semi-join — the same de-skewed cap
     pattern as the LSH/DF caps (no window sort, no driver collect)."""
     # localCheckpoint: sp feeds THREE consumers (sizes, the shared-span
-    # aggregation, the semi-join) — materialize the hash rows once
+    # aggregation, the semi-join) — materialize the hash rows once;
+    # tokens project to a column before the span lambda (see
+    # _spans_from_toks)
     sp = _resplit_small(df).select(
         F.col(id_col).alias("_id"),
-        F.explode(spans(F.col(text_col), k)).alias("span"),
+        tokens(F.col(text_col)).alias("_tk"),
+    ).select(
+        "_id",
+        F.explode(_spans_from_toks(F.col("_tk"), k)).alias("span"),
     ).select(
         "_id", F.substring(F.md5(F.col("span")), 1, 16).alias("s")
     ).localCheckpoint()

@@ -15,6 +15,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from .. import kernels as K
+from .common import na_safe_key
 from .sketch_agg import _group_fields_ddl
 
 _FAMILIES = {
@@ -53,6 +54,7 @@ def quantile_sketch_agg(
             for gkey, sub in pdf.groupby(group_cols, sort=False, dropna=False):
                 if not isinstance(gkey, tuple):
                     gkey = (gkey,)
+                gkey = na_safe_key(gkey)
                 st = states.get(gkey)
                 if st is None:
                     st = states[gkey] = make(param)
@@ -126,6 +128,7 @@ def ddsketch_agg(
             for gkey, sub in pdf.groupby(group_cols, sort=False, dropna=False):
                 if not isinstance(gkey, tuple):
                     gkey = (gkey,)
+                gkey = na_safe_key(gkey)
                 st = states.get(gkey)
                 if st is None:
                     st = states[gkey] = K.DDSketch(alpha, max_buckets)

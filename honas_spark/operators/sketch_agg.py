@@ -41,6 +41,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from .. import kernels as K
+from .common import na_safe_key
 from ..spec import SketchSpec
 from ..state import SketchState
 
@@ -248,15 +249,7 @@ def build_sketches(
             for gkey, sub in pdf.groupby(group_cols, sort=False, dropna=False):
                 if not isinstance(gkey, tuple):
                     gkey = (gkey,)
-                # NA keys canonicalize to the None singleton: a float
-                # NaN key is a fresh object per groupby call, so NaN
-                # != NaN would split one group's buffers across dict
-                # keys between Arrow batches (same rule as
-                # _merge_by_group)
-                gkey = tuple(
-                    None if (k is not None and pd.isna(k)) else k
-                    for k in gkey
-                )
+                gkey = na_safe_key(gkey)
                 bufs.setdefault(gkey, []).append(sub)
                 sizes[gkey] = sizes.get(gkey, 0) + len(sub)
                 if sizes[gkey] >= flush_rows:
@@ -434,17 +427,7 @@ def _merge_by_group(spec: SketchSpec, group_cols: list):
             for gkey, sub in pdf.groupby(group_cols, sort=False, dropna=False):
                 if not isinstance(gkey, tuple):
                     gkey = (gkey,)
-                # canonicalize NA group keys: a float NaN (and some
-                # NaT representations) is NOT a singleton across
-                # groupby calls, so NaN != NaN would make the same
-                # group from two Arrow batches land under two dict
-                # keys — duplicate (group) output rows whenever a
-                # partition spans multiple batches.  None IS a
-                # singleton, and round-trips back to NULL on emit.
-                gkey = tuple(
-                    None if (k is not None and pd.isna(k)) else k
-                    for k in gkey
-                )
+                gkey = na_safe_key(gkey)
                 # vectorized reduce over the whole sub-frame (one numpy
                 # reduction per component, not one merge per row)
                 st = SketchState.merge_many(spec, sub)

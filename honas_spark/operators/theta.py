@@ -24,6 +24,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from .. import kernels as K
+from .common import na_safe_key
 from .sketch_agg import _group_fields_ddl
 
 
@@ -53,6 +54,7 @@ def theta_sketch_agg(
             ):
                 if not isinstance(gkey, tuple):
                     gkey = (gkey,)
+                gkey = na_safe_key(gkey)
                 h = sub["_h"].to_numpy(dtype=np.int64).view(np.uint64)
                 states[gkey] = K.kmv_update(
                     states.get(gkey, K.kmv_zero()), h, k

@@ -187,3 +187,66 @@ def test_triangle_count_bitset_equals_fallback(spark):
     )
     r3 = G.triangle_count(s).collect()[0]
     assert (r3["n_edges"], r3["n_triangles"]) == (expect_e, expect_t)
+
+
+def test_count_sketch_f2_double_values_match_duckdb_replay(spark):
+    """A float-typed value column must hash the same string stream as
+    DuckDB's CAST(x AS VARCHAR): NaN ('nan'), scientific-threshold
+    values ('12300000.0', not '1.23E7'), negatives — the environment
+    divergence surface behind the r6 f2_moment_cs hash-fail."""
+    duckdb = pytest.importorskip("duckdb")
+    import random
+
+    from honas_spark.operators.countsketch import count_sketch_f2
+
+    random.seed(21)
+    vals = [1.0, -1.0, 0.5, -0.0, float("nan"), 1.23e7, 9.87e15,
+            1e-5, 123456789012345.6]
+    rows = [("g", random.choice(vals)) for _ in range(400)]
+    rows += [("g", None)] * 5
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = count_sketch_f2(
+        df, ["g"], "v", depth=5, width=256, hash_fn="md5"
+    ).collect()[0]
+
+    import pyarrow as pa
+
+    con = duckdb.connect()
+    con.register(
+        "t",
+        pa.table({
+            "g": pa.array([g for g, _ in rows]),
+            "v": pa.array([v for _, v in rows], type=pa.float64()),
+        }),
+    )
+    want = con.execute("""
+        WITH rows_ AS (
+            SELECT g, CAST(v AS VARCHAR) AS v FROM t WHERE v IS NOT NULL
+        ),
+        fan AS (
+            SELECT g, v, r FROM rows_
+            CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS r) d
+        ),
+        h AS (
+            SELECT g, r, CAST(concat('0x',
+                substr(md5(v || ':' || CAST(r AS VARCHAR)), 1, 15))
+                AS BIGINT) AS hk
+            FROM fan
+        ),
+        s AS (
+            SELECT g, r, hk % 256 AS b,
+                   CASE WHEN hk % 512 >= 256 THEN 1 ELSE -1 END AS sg
+            FROM h
+        ),
+        c AS (SELECT g, r, b, SUM(sg) AS cc FROM s GROUP BY 1, 2, 3),
+        f2r AS (
+            SELECT g, r, SUM(CAST(cc AS HUGEINT) * cc) AS f2r
+            FROM c GROUP BY 1, 2
+        ),
+        med AS (SELECT g, (list_sort(list(f2r)))[3] AS f2_est
+                FROM f2r GROUP BY 1),
+        n AS (SELECT g, COUNT(*) AS n FROM rows_ GROUP BY 1)
+        SELECT n.n, med.f2_est FROM n JOIN med ON n.g = med.g
+    """).fetchone()
+    assert got["n"] == want[0]
+    assert int(got["f2_est"]) == int(want[1])
