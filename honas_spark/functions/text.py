@@ -188,12 +188,12 @@ PII_PATTERNS: "dict[str, tuple[str, str]]" = {
 
 
 def pii_counts(col: Column) -> "dict[str, Column]":
-    """Per-kind PII match counts (regexp_extract_all size — JVM-side)."""
+    """Per-kind PII match counts (regexp_count — JVM-side; same
+    non-overlapping count as size(regexp_extract_all) without
+    materializing the match array per row)."""
     out = {}
     for kind, (pat, _) in PII_PATTERNS.items():
-        out[f"n_{kind}"] = F.size(
-            F.regexp_extract_all(col, F.lit(pat), F.lit(0))
-        )
+        out[f"n_{kind}"] = F.regexp_count(col, F.lit(pat))
     return out
 
 

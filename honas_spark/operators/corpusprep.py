@@ -207,23 +207,37 @@ def chunk_docs(
         raise ValueError(
             f"max_tokens and stride must be >= 1: {max_tokens}, {stride}"
         )
+    # the chunk struct is built INSIDE the generator input (transform
+    # over the start offsets of the BOUND token column), so the
+    # explode emits finished (chunk_id, chunk_text, chunk_tokens)
+    # rows; the former explode(starts) + post-projection made
+    # GenerateExec carry the full token array once PER CHUNK ROW —
+    # O(tokens * chunks) copied bytes per document
     toks = tokens(F.col(text_col))
-    n = F.size(toks)
+    n = F.size(F.col("_cd_toks"))
     starts = F.when(
         n > 0, F.sequence(F.lit(0), n - 1, F.lit(int(stride)))
     ).otherwise(F.array().cast("array<int>"))
-    chunk = F.slice(F.col("_cd_toks"), F.col("_cd_start") + 1, max_tokens)
+
+    def mk_chunk(s):
+        piece = F.slice(F.col("_cd_toks"), s + 1, max_tokens)
+        return F.struct(
+            (s / stride).cast("long").alias("chunk_id"),
+            F.array_join(piece, " ").alias("chunk_text"),
+            F.size(piece).cast("long").alias("chunk_tokens"),
+        )
+
     return (
-        df.select(
+        df.select(F.col(id_col), toks.alias("_cd_toks"))
+        .select(
             F.col(id_col),
-            toks.alias("_cd_toks"),
-            F.explode(starts).alias("_cd_start"),
+            F.explode(F.transform(starts, mk_chunk)).alias("_ck"),
         )
         .select(
             id_col,
-            (F.col("_cd_start") / stride).cast("long").alias("chunk_id"),
-            F.array_join(chunk, " ").alias("chunk_text"),
-            F.size(chunk).cast("long").alias("chunk_tokens"),
+            F.col("_ck.chunk_id").alias("chunk_id"),
+            F.col("_ck.chunk_text").alias("chunk_text"),
+            F.col("_ck.chunk_tokens").alias("chunk_tokens"),
         )
     )
 

@@ -22,23 +22,20 @@ from .common import duckdb_round
 from .common import resplit_small as _resplit_small  # shared rule
 
 
-def ngrams(col, n: int = 2):
-    """Word n-grams of a text column WITH multiplicity (unlike
-    dedup.shingles, which deduplicates) — repetition counting needs the
-    duplicates.  Empty array for docs with < n tokens.
-
-    n=2 takes the zip_with-over-slices form: the transform(sequence)
-    lambda below re-evaluates `toks` per element (HOF lambdas re-run
-    captured expressions), which is quadratic in document length —
-    see _bigram_rows in operators/quality.py for the measurement."""
-    toks = tokens(col)
-    sz = F.size(toks)
+def _ngrams_from_toks(toks_col, n: int = 2):
+    """n-gram array from a token array expression.  n=2 folds the two
+    shifted slices with zip_with; general n keeps transform(sequence)
+    — LINEAR only when `toks_col` is a bound attribute, because an
+    expression captured in the lambda re-evaluates per produced gram
+    (see _bigram_rows for the 16x measurement).  Callers over big
+    corpora must project tokens(text) into a column first."""
+    sz = F.size(toks_col)
     if n == 2:
         return F.when(
             sz >= 2,
             F.zip_with(
-                F.slice(toks, 1, F.greatest(sz - 1, F.lit(0))),
-                F.slice(toks, 2, F.greatest(sz - 1, F.lit(0))),
+                F.slice(toks_col, 1, F.greatest(sz - 1, F.lit(0))),
+                F.slice(toks_col, 2, F.greatest(sz - 1, F.lit(0))),
                 lambda x, y: F.concat(x, F.lit(" "), y),
             ),
         ).otherwise(F.array().cast("array<string>"))
@@ -46,9 +43,16 @@ def ngrams(col, n: int = 2):
         sz >= n,
         F.transform(
             F.sequence(F.lit(0), sz - n),
-            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+            lambda i: F.array_join(F.slice(toks_col, i + 1, n), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def ngrams(col, n: int = 2):
+    """Word n-grams of a text column WITH multiplicity (unlike
+    dedup.shingles, which deduplicates) — repetition counting needs the
+    duplicates.  Empty array for docs with < n tokens."""
+    return _ngrams_from_toks(tokens(col), n)
 
 
 def _gram_bloom_build(bgrams: DataFrame, fpr: float):
@@ -135,8 +139,9 @@ def contamination_flags(
     if not (0.0 < bloom_fpr < 1.0):
         raise ValueError(f"bloom_fpr must be in (0, 1): {bloom_fpr}")
     bgrams = (
-        bench.select(
-            F.explode(ngrams(F.col(bench_text_col), n)).alias("gram")
+        bench.select(tokens(F.col(bench_text_col)).alias("_tk"))
+        .select(
+            F.explode(_ngrams_from_toks(F.col("_tk"), n)).alias("gram")
         )
         .select(F.substring(F.md5("gram"), 1, 16).alias("g"))
         .distinct()
@@ -152,7 +157,10 @@ def contamination_flags(
         bgrams = F.broadcast(bgrams)
     dgrams = _resplit_small(docs).select(
         F.col(id_col).alias("_id"),
-        F.explode(ngrams(F.col(text_col), n)).alias("gram"),
+        tokens(F.col(text_col)).alias("_tk"),
+    ).select(
+        "_id",
+        F.explode(_ngrams_from_toks(F.col("_tk"), n)).alias("gram"),
     ).select("_id", F.substring(F.md5("gram"), 1, 16).alias("g"))
     if method == "bloom":
         import numpy as np
@@ -214,7 +222,10 @@ def ngram_repetition(
     byte-stable across engines."""
     g = _resplit_small(df).select(
         F.col(id_col).alias("_id"),
-        F.explode(ngrams(F.col(text_col), n)).alias("gram"),
+        tokens(F.col(text_col)).alias("_tk"),
+    ).select(
+        "_id",
+        F.explode(_ngrams_from_toks(F.col("_tk"), n)).alias("gram"),
     ).select(
         "_id", F.substring(F.md5(F.col("gram")), 1, 16).alias("g")
     )
@@ -611,7 +622,16 @@ def gopher_rules(
     rule_stopwords, passes).  Pure projection — zero shuffle; at 100 TB
     this runs at scan speed and the filter composes with pushdown."""
     c = F.col(text_col)
-    toks = tokens(c)
+    # tokenize ONCE into bound columns: the word rules reference the
+    # token array three times and the stopword rule tokenizes the
+    # lowercased text — as inline expressions each reference re-split
+    # the document (no CSE in the interpreted HOF path)
+    df = df.select(
+        "*",
+        tokens(c).alias("_gr_tk"),
+        tokens(F.lower(c)).alias("_gr_ltk"),
+    )
+    toks = F.col("_gr_tk")
     n_words = F.size(toks)
     sum_len = F.aggregate(
         toks, F.lit(0), lambda acc, t: acc + F.length(t)
@@ -624,7 +644,11 @@ def gopher_rules(
         + (F.length(c) - F.length(F.replace(c, F.lit("..."), F.lit(""))))
         / F.lit(3)
     ).cast("long")
-    n_stop = stopword_count(c)
+    from ..functions.text import _STOPWORDS
+
+    n_stop = F.size(
+        F.filter(F.col("_gr_ltk"), lambda t: t.isin(_STOPWORDS))
+    )
     rule_words = (n_words >= min_words) & (n_words <= max_words)
     rule_mean = (
         (sum_len >= n_words * min_mean_word_len)

@@ -502,22 +502,55 @@ def rollup_hierarchy(
     if len(set(gids)) != len(gids):
         raise ValueError(f"duplicate grouping sets: {sets}")
 
-    exploded = sketch_df.select(
-        F.explode(F.array([F.lit(g) for g in gids])).alias("gid"), "*"
-    )
-    masked = exploded.select(
-        "gid",
-        *[
-            F.when(
-                F.col("gid").bitwiseAND(1 << (len(dims) - 1 - i)) == 0,
-                F.col(d),
-            ).alias(d)
-            for i, d in enumerate(dims)
-        ],
-        *[f.split()[0].strip() for f in SKETCH_VALUE_FIELDS.split(",")],
-    )
-    group_ddl = _group_fields_ddl(masked, ["gid"] + dims)
-    return masked.repartition("gid", *dims).mapInPandas(
-        _merge_by_group(spec, ["gid"] + dims),
-        schema=f"{group_ddl}, {SKETCH_VALUE_FIELDS}",
-    )
+    value_names = [
+        f.split()[0].strip() for f in SKETCH_VALUE_FIELDS.split(",")
+    ]
+    # the FULL grouping set (gid 0) is the leaf table itself — its
+    # rows pass through untouched instead of paying an explode +
+    # shuffle + unpack/repack "merge" of singleton groups
+    merge_gids = [g for g in gids if g != 0]
+    parts = []
+    if 0 in gids:
+        parts.append(
+            sketch_df.select(
+                F.lit(0).cast("int").alias("gid"), *dims, *value_names
+            )
+        )
+    if merge_gids:
+        exploded = sketch_df.select(
+            F.explode(
+                F.array([F.lit(g) for g in merge_gids])
+            ).alias("gid"),
+            "*",
+        )
+        masked = exploded.select(
+            "gid",
+            *[
+                F.when(
+                    F.col("gid").bitwiseAND(1 << (len(dims) - 1 - i))
+                    == 0,
+                    F.col(d),
+                ).alias(d)
+                for i, d in enumerate(dims)
+            ],
+            *value_names,
+        )
+        group_ddl = _group_fields_ddl(masked, ["gid"] + dims)
+        schema = f"{group_ddl}, {SKETCH_VALUE_FIELDS}"
+        # two-level merge: a map-side pre-merge caps every coarse
+        # cell's partial count at the PARTITION count — without it the
+        # global () cell funnels every leaf row into one task's serial
+        # merge (the classic last-reducer skew, here with sketch
+        # unpack costs per row)
+        pre = masked.mapInPandas(
+            _merge_by_group(spec, ["gid"] + dims), schema=schema
+        )
+        parts.append(
+            pre.repartition("gid", *dims).mapInPandas(
+                _merge_by_group(spec, ["gid"] + dims), schema=schema
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
