@@ -2151,9 +2151,13 @@ def _q_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ev = _events(spark, sf_dir)
     keyed = with_window(sha256_key(ev, "event_type"), "ts", "1 hour")
+    # shuffle_keys: thousands of small (hour x type) groups — one
+    # partial per group, and the merge exchange is skipped outright
+    # (r7; was map_combine, whose per-partition-per-group partials
+    # paid the Bloom kernel's fixed cost ~32x per group)
     leaf = build_sketches(
         keyed, spec, group_cols=["window_start", "event_type"],
-        ts_col="ts", mode="map_combine",
+        ts_col="ts", mode="shuffle_keys",
     )
     from honas_spark.operators import rollup_hierarchy
 

@@ -264,9 +264,12 @@ def salient_terms(
     term_rows = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
     )
+    # tf feeds BOTH the doc-frequency aggregate and the final join —
+    # materialize it once or the corpus-sized explode+aggregation runs
+    # twice
     tf = term_rows.groupBy(id_col, "term").agg(
         F.count(F.lit(1)).alias("tf")
-    )
+    ).localCheckpoint()
     dfreq = tf.groupBy("term").agg(
         F.count(F.lit(1)).alias("doc_freq")
     )

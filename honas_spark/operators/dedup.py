@@ -538,6 +538,51 @@ def simhash_near_pairs(
     )
 
 
+def _cc_driver(edges: DataFrame, a_col: str, b_col: str):
+    """Union-find over a driver-collected edge list — byte-identical
+    (node, component=min reachable id) labels, without the per-round
+    join/checkpoint jobs of the distributed loop.  Returns None when
+    the edges contain NULL ids (the distributed path owns those)."""
+    rows = edges.select(a_col, b_col).collect()
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for r in rows:
+        a, b = r[0], r[1]
+        if a is None or b is None:
+            return None
+        for v in (a, b):
+            if v not in parent:
+                parent[v] = v
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    comp_min: dict = {}
+    for v in parent:
+        root = find(v)
+        m = comp_min.get(root)
+        if m is None or v < m:
+            comp_min[root] = v
+    out = [(v, comp_min[find(v)]) for v in parent]
+    id_type = edges.schema[a_col].dataType.simpleString()
+    return edges.sparkSession.createDataFrame(
+        out, f"node {id_type}, component {id_type}"
+    )
+
+
+# candidate-pair graphs below this many edges resolve on the driver:
+# the distributed loop costs O(log diameter) rounds of two joins + an
+# eager checkpoint each, pure scheduling latency at this size
+_CC_DRIVER_MAX_EDGES = 200_000
+
+
 def connected_components(
     edges: DataFrame,
     a_col: str = "id_a",
@@ -560,6 +605,19 @@ def connected_components(
     joins + one aggregation on (node, label) pairs only.  Rounds stop
     early at the first fixpoint (a count of changed labels per round —
     a scalar driver check, not a collect of data)."""
+    # materialize the candidate edges ONCE: the probe, the driver
+    # fallback and the bidirectional expansion below would otherwise
+    # each recompute the (usually expensive) pair-generation subtree
+    edges = edges.select(F.col(a_col), F.col(b_col)).localCheckpoint()
+    # small graphs short-circuit to a driver union-find (the probe is
+    # a limit-bounded count over the materialized edges, so a
+    # web-scale pair graph never reaches the driver; NULL ids fall
+    # through to the distributed loop)
+    n_probe = edges.limit(_CC_DRIVER_MAX_EDGES + 1).count()
+    if n_probe <= _CC_DRIVER_MAX_EDGES:
+        small = _cc_driver(edges, a_col, b_col)
+        if small is not None:
+            return small
     bidir = edges.select(
         F.col(a_col).alias("s"), F.col(b_col).alias("d")
     ).unionByName(

@@ -243,6 +243,100 @@ def build_sketches(
                 components=components,
             )
 
+        def flush_all_bulk() -> None:
+            """End-of-stream flush of EVERY buffered group in one
+            vectorized pass.  The per-group flush() pays the Bloom
+            offset-derivation kernel's fixed per-call cost (~0.5 ms of
+            k x n_limbs numpy-loop setup) once per (group, filter) —
+            ruinous when a partition holds tens of thousands of tiny
+            groups (the high-group-cardinality shape).  Here the hash
+            limbs, the filter-subset selectors and ONE bloom_offsets
+            call per filter cover all groups at once (rows are
+            independent, so per-row results are bit-identical), and
+            only the cheap per-group scatters (bitset OR, HLL/CMS/KLL
+            adds on contiguous segments) remain per group.  Buffers
+            are concatenated group-major, so within-group row order —
+            and therefore KLL ingestion order — is exactly what the
+            per-group flush saw."""
+            groups = [gk for gk in bufs if bufs[gk]]
+            if not groups:
+                return
+            comp = (
+                SketchState.ALL_COMPONENTS
+                if components is None
+                else components
+            )
+            frames = []
+            for gk in groups:
+                subs = bufs.pop(gk)
+                sizes[gk] = 0
+                frames.append(
+                    subs[0] if len(subs) == 1 else pd.concat(subs)
+                )
+            seg = np.cumsum([0] + [len(f) for f in frames])
+            big = frames[0] if len(frames) == 1 else pd.concat(
+                frames, ignore_index=True
+            )
+            n_all = len(big)
+            limbs = item_h64 = None
+            if comp & {"bloom", "hll", "cms"}:
+                limbs = K.hashes_to_limbs(
+                    list(big[key_sha_col]), spec.hash_len
+                )
+                item_h64 = limbs[:, :2].copy().view("<u8").reshape(-1)
+            if client_hash_col:
+                ch = big[client_hash_col].to_numpy(
+                    dtype=np.int64
+                ).view(np.uint64)
+            elif client_col:
+                ch = K.murmur64a_series(big[client_col])
+            else:
+                ch = np.zeros(n_all, dtype=np.uint64)
+            vals = (
+                big[value_col].to_numpy(dtype=np.float64)
+                if value_col and "kll" in comp
+                else None
+            )
+            for gi, gk in enumerate(groups):
+                s, e = int(seg[gi]), int(seg[gi + 1])
+                st = states.get(gk)
+                if st is None:
+                    st = states[gk] = SketchState(spec)
+                st.n_rows += e - s
+                if "hll" in comp:
+                    K.hll_add(st.hll_items, item_h64[s:e])
+                    K.hll_add(st.hll_clients, ch[s:e])
+                if "cms" in comp:
+                    K.cms_add(st.cms, item_h64[s:e])
+                if vals is not None:
+                    st.kll.add(vals[s:e])
+            if "bloom" in comp:
+                codes = np.repeat(
+                    np.arange(len(groups)), np.diff(seg)
+                )
+                subsets = K.filter_indexes_for_clients(
+                    ch, spec.num_filters, spec.filters_per_user
+                )
+                for fi in range(spec.num_filters):
+                    mask = (subsets == fi).any(axis=1)
+                    if not mask.any():
+                        continue
+                    tl = K.transform_limbs(limbs[mask], fi)
+                    offs = K.bloom_offsets(tl, spec.m_bits, spec.k)
+                    mcodes = codes[mask]
+                    lows = np.searchsorted(
+                        mcodes, np.arange(len(groups)), "left"
+                    )
+                    highs = np.searchsorted(
+                        mcodes, np.arange(len(groups)), "right"
+                    )
+                    for gi, gk in enumerate(groups):
+                        if highs[gi] > lows[gi]:
+                            K.bloom_build(
+                                states[gk].filters[fi],
+                                offs[lows[gi]: highs[gi]],
+                            )
+
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -254,16 +348,22 @@ def build_sketches(
                 sizes[gkey] = sizes.get(gkey, 0) + len(sub)
                 if sizes[gkey] >= flush_rows:
                     flush(gkey)
-        for gkey in list(bufs):
-            flush(gkey)
+        flush_all_bulk()
         if states:  # empty partitions yield nothing (Arrow needs typed cols)
             yield _states_to_pdf(states, group_cols)
 
     partials = slim.mapInPandas(build_partials, schema=out_schema)
 
-    result = partials.repartition(*group_cols).mapInPandas(
-        _merge_by_group(spec, group_cols), schema=out_schema
-    )
+    if mode == "shuffle_keys" and not salt:
+        # the pre-repartition guarantees each group lives in exactly
+        # one partition, so build_partials emits exactly ONE row per
+        # group — the merge phase would only unpack and repack every
+        # sketch row through one more exchange
+        result = partials
+    else:
+        result = partials.repartition(*group_cols).mapInPandas(
+            _merge_by_group(spec, group_cols), schema=out_schema
+        )
     if ts_col:
         stats = df.groupBy(*group_cols).agg(
             F.min(ts_col).alias("_first_ts"),

@@ -1395,14 +1395,17 @@ def test_lsh_bands_must_divide_num_hashes(spark, docs):
         near_dedup(docs, "doc_id", "text", num_hashes=8, bands=3)
 
 
-def test_connected_components_warns_when_unconverged(spark):
-    from honas_spark.operators.dedup import connected_components
+def test_connected_components_warns_when_unconverged(spark, monkeypatch):
+    from honas_spark.operators import dedup as D
 
+    # force the distributed loop (a graph this small would otherwise
+    # resolve exactly on the driver and never warn)
+    monkeypatch.setattr(D, "_CC_DRIVER_MAX_EDGES", 0)
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(20)], "id_a long, id_b long"
     )
     with pytest.warns(RuntimeWarning, match="did not converge"):
-        connected_components(edges, max_iter=1).collect()
+        D.connected_components(edges, max_iter=1).collect()
 
 
 def test_srp_and_simhash_bits_guards(spark):

@@ -250,3 +250,40 @@ def test_count_sketch_f2_double_values_match_duckdb_replay(spark):
     """).fetchone()
     assert got["n"] == want[0]
     assert int(got["f2_est"]) == int(want[1])
+
+
+def test_connected_components_driver_equals_distributed(spark, monkeypatch):
+    """The small-graph driver union-find must emit exactly the
+    distributed loop's (node, component=min reachable id) labels."""
+    import random
+
+    from honas_spark.operators import dedup as D
+
+    random.seed(31)
+    edges = [(random.randint(0, 120), random.randint(0, 120))
+             for _ in range(150)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got_driver = {
+        (r["node"], r["component"])
+        for r in D.connected_components(df).collect()
+    }
+    monkeypatch.setattr(D, "_CC_DRIVER_MAX_EDGES", 0)
+    got_dist = {
+        (r["node"], r["component"])
+        for r in D.connected_components(df).collect()
+    }
+    assert got_driver == got_dist
+    # string ids too (lexicographic min)
+    sdf = spark.createDataFrame(
+        [(f"n{a}", f"n{b}") for a, b in edges], "id_a string, id_b string"
+    )
+    got_dist_s = {
+        (r["node"], r["component"])
+        for r in D.connected_components(sdf).collect()
+    }
+    monkeypatch.undo()
+    got_driver_s = {
+        (r["node"], r["component"])
+        for r in D.connected_components(sdf).collect()
+    }
+    assert got_driver_s == got_dist_s
