@@ -127,15 +127,30 @@ def punct_count(col: Column) -> Column:
 def quality_features(df: DataFrame, text_col: str) -> DataFrame:
     """Integer/exact quality-scoring features (length, tokens, unique
     tokens, stopwords, punctuation) — the deterministic core of a quality
-    classifier; thresholds compose on top as plain filters."""
+    classifier; thresholds compose on top as plain filters.
+
+    Tokenizes ONCE into bound columns: the feature expressions
+    reference the token array several times, and inline copies each
+    re-split the document (no CSE in the interpreted HOF path)."""
     c = F.col(text_col)
-    toks = tokens(c)
+    out = df.select(
+        "*",
+        tokens(c).alias("_qf_tk"),
+        tokens(F.lower(c)).alias("_qf_ltk"),
+    )
+    toks = F.col("_qf_tk")
     return (
-        df.withColumn("n_chars_q", F.length(c))
+        out.withColumn("n_chars_q", F.length(c))
         .withColumn("n_tokens", F.size(toks))
         .withColumn("n_unique_tokens", F.size(F.array_distinct(toks)))
-        .withColumn("n_stopwords", stopword_count(c))
+        .withColumn(
+            "n_stopwords",
+            F.size(
+                F.filter(F.col("_qf_ltk"), lambda t: t.isin(_STOPWORDS))
+            ),
+        )
         .withColumn("n_punct", punct_count(c))
+        .drop("_qf_tk", "_qf_ltk")
     )
 
 

@@ -609,6 +609,10 @@ def rollup_hierarchy(
     # rows pass through untouched instead of paying an explode +
     # shuffle + unpack/repack "merge" of singleton groups
     merge_gids = [g for g in gids if g != 0]
+    if 0 in gids and merge_gids:
+        # both branches consume the leaf table — materialize it once
+        # or the whole upstream build runs once per branch
+        sketch_df = sketch_df.localCheckpoint()
     parts = []
     if 0 in gids:
         parts.append(
