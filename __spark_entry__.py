@@ -1221,12 +1221,13 @@ def _q_daily_rollup_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir).withColumn("g", F.lit(1))
     keyed = sha256_key(ev, "event_type")
     keyed = with_window(keyed, "ts", "1 hour")
-    # ~720 tiny hourly groups -> map_combine mode per the repo's own
-    # heuristic (many small groups: fixed-size partials beat shuffling
-    # key rows; measured 1.9 s vs 3.2 s at sf0.1, bit-identical output)
+    # ~720 tiny hourly groups -> shuffle_keys: one partial per group
+    # and the merge exchange is skipped outright (r7; flipped from
+    # map_combine after the bulk flush + merge-skip landed — measured
+    # 2.0 s vs 2.9 s warm at sf1.0, bit-identical output)
     hourly = build_sketches(
         keyed, spec, group_cols=["window_start", "g"], ts_col="ts",
-        mode="map_combine",
+        mode="shuffle_keys",
     )
     daily = rollup_sketches(hourly, spec, "window_start", "1 day", ["g"])
     return daily.select(
