@@ -96,7 +96,27 @@ def count_sketch_f2(
         *g, "_v",
         F.explode(F.array([F.lit(r) for r in range(depth)])).alias("_r"),
     )
-    h = _row_hash(F.col("_v"), F.col("_r"), hash_fn)
+    tagged = F.concat(F.col("_v"), F.lit(":"), F.col("_r").cast("string"))
+    if hash_fn == "md5" and width & (width - 1) == 0:
+        # power-of-two width: bucket and sign need only the LOW
+        # log2(2w) bits of hk, and 16^m ≡ 0 (mod 2^j) whenever
+        # 4m >= j — so the value of the last m hex chars of the
+        # 15-char md5 prefix gives hk mod 2^j EXACTLY.  Summing m
+        # ascii() digits in codegen replaces conv()'s base-16 string
+        # parse of the full prefix (~35% of this operator's runtime
+        # at 5M fan rows); bit-identical by the congruence above,
+        # pinned by test_count_sketch_f2_lowbits_equals_conv.
+        j = (2 * width).bit_length() - 1
+        m = (j + 3) // 4
+        hh = F.md5(tagged)
+        v = F.lit(0)
+        for i in range(m):
+            c = F.ascii(F.substring(hh, 15 - m + 1 + i, 1))
+            d = c - F.when(c >= 97, F.lit(87)).otherwise(F.lit(48))
+            v = v * 16 + d
+        h = v.cast("long")
+    else:
+        h = _row_hash(F.col("_v"), F.col("_r"), hash_fn)
     # h mod 2w is uniform and factors EXACTLY into (bucket = h mod w,
     # sign = which half) — independent components, and all-integer
     # arithmetic (h/width through a double would corrupt the sign bit

