@@ -2136,7 +2136,7 @@ def _q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("payload"),
     )
     return extract_audio_features(
-        docs, "payload", "doc_id", window=256
+        docs, "payload", "doc_id", window=256, decoder="fake",
     ).orderBy("doc_id", "window_idx")
 
 

@@ -156,7 +156,8 @@ def _audio_decoder():
 
 
 def extract_audio_features(
-    df: DataFrame, bin_col: str, id_col: str, window: int = _AUDIO_WINDOW
+    df: DataFrame, bin_col: str, id_col: str, window: int = _AUDIO_WINDOW,
+    decoder: str = "auto",
 ) -> DataFrame:
     """Audio framing plumbing: binary -> one row per fixed-size sample
     window with integer energy stats (id, window_idx, n_samples,
@@ -164,11 +165,21 @@ def extract_audio_features(
     log-mel) with byte-sum energy standing in for the DSP.  Integer
     outputs keep the cross-engine gate exact.  mapInPandas over Arrow
     batches, one Python pass, windows vectorized per row via one
-    reduceat (no per-sample Python)."""
+    reduceat (no per-sample Python).
+
+    decoder: "auto" (default) resolves a real decoder (soundfile)
+    when importable and falls back to the deterministic byte decoder
+    per payload; "fake" forces the byte decoder so the output is a
+    pure function of the bytes regardless of the environment — what
+    deterministic gates should pin."""
+    if decoder not in ("auto", "fake"):
+        raise ValueError(f"decoder must be auto|fake: {decoder!r}")
     schema = f"{id_col} long, window_idx int, n_samples int, code_sum long"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        decode = _audio_decoder()  # None -> deterministic fake
+        decode = (
+            _audio_decoder() if decoder == "auto" else None
+        )  # None -> deterministic fake
         for pdf in batches:
             if pdf.empty:
                 continue

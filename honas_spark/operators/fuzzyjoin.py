@@ -133,11 +133,18 @@ def resolve_entities(
     pairs = fuzzy_pairs(
         df, id_col, text_col, max_distance=max_distance, **block_kwargs
     ).select("id_a", "id_b")
-    comp = connected_components(pairs, "id_a", "id_b")
+    # reserved internal names: a caller whose id_col is literally
+    # 'node' or 'component' would otherwise make the post-join
+    # references ambiguous
+    comp = (
+        connected_components(pairs, "id_a", "id_b")
+        .withColumnRenamed("node", "_cc_node")
+        .withColumnRenamed("component", "_cc_component")
+    )
     base = df.select(F.col(id_col))
-    merged = F.coalesce(F.col("component"), F.col(id_col))
+    merged = F.coalesce(F.col("_cc_component"), F.col(id_col))
     return base.join(
-        comp, base[id_col] == comp["node"], "left"
+        comp, base[id_col] == comp["_cc_node"], "left"
     ).select(
         id_col,
         merged.alias("entity"),
