@@ -113,11 +113,27 @@ def bpe_ish_piece_count(col: Column) -> Column:
     )
 
 
-def stopword_count(col: Column) -> Column:
-    toks = tokens(F.lower(col))
-    return F.size(
-        F.filter(toks, lambda t: t.isin(_STOPWORDS))
+def _whole_token_pattern(words) -> str:
+    """Regex that matches exactly the tokens() elements equal to one of
+    `words`: the width-1 lookarounds (?<!\\S)/(?!\\S) pin the match to
+    maximal \\S+ run boundaries, so one non-overlapping match fires per
+    whole-token occurrence — a single codegen'd Java-regex pass instead
+    of an interpreted per-token isin lambda."""
+    import re as _re
+
+    return (
+        r"(?<!\S)(?:"
+        + "|".join(_re.escape(w) for w in words)
+        + r")(?!\S)"
     )
+
+
+def whole_token_count(col: Column, words) -> Column:
+    return F.regexp_count(col, F.lit(_whole_token_pattern(words)))
+
+
+def stopword_count(col: Column) -> Column:
+    return whole_token_count(F.lower(col), _STOPWORDS)
 
 
 def punct_count(col: Column) -> Column:
@@ -129,28 +145,21 @@ def quality_features(df: DataFrame, text_col: str) -> DataFrame:
     tokens, stopwords, punctuation) — the deterministic core of a quality
     classifier; thresholds compose on top as plain filters.
 
-    Tokenizes ONCE into bound columns: the feature expressions
-    reference the token array several times, and inline copies each
-    re-split the document (no CSE in the interpreted HOF path)."""
+    Tokenizes ONCE into a bound column (n_tokens / n_unique_tokens
+    both reference the array; inline copies would each re-split the
+    document — no CSE in the interpreted HOF path).  The stopword
+    count is a single whole-token regex pass (see stopword_count), not
+    a second tokenization plus an interpreted isin filter."""
     c = F.col(text_col)
-    out = df.select(
-        "*",
-        tokens(c).alias("_qf_tk"),
-        tokens(F.lower(c)).alias("_qf_ltk"),
-    )
+    out = df.select("*", tokens(c).alias("_qf_tk"))
     toks = F.col("_qf_tk")
     return (
         out.withColumn("n_chars_q", F.length(c))
         .withColumn("n_tokens", F.size(toks))
         .withColumn("n_unique_tokens", F.size(F.array_distinct(toks)))
-        .withColumn(
-            "n_stopwords",
-            F.size(
-                F.filter(F.col("_qf_ltk"), lambda t: t.isin(_STOPWORDS))
-            ),
-        )
+        .withColumn("n_stopwords", stopword_count(c))
         .withColumn("n_punct", punct_count(c))
-        .drop("_qf_tk", "_qf_ltk")
+        .drop("_qf_tk")
     )
 
 
@@ -165,10 +174,10 @@ def language_guess(col: Column) -> Column:
         "de": ["der", "die", "das", "und", "ist"],
         "zh": ["de5", "shi4", "he2"],
     }
-    toks = tokens(F.lower(col))
+    lowered = F.lower(col)
     scores = []
     for lang, words in markers.items():
-        score = F.size(F.filter(toks, lambda t: t.isin(words)))
+        score = whole_token_count(lowered, words)
         scores.append(F.struct(score.alias("s"), F.lit(lang).alias("l")))
     return F.array_max(F.array(*scores))["l"]
 

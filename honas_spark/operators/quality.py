@@ -622,21 +622,22 @@ def gopher_rules(
     rule_stopwords, passes).  Pure projection — zero shuffle; at 100 TB
     this runs at scan speed and the filter composes with pushdown."""
     c = F.col(text_col)
-    # tokenize ONCE into bound columns: the word rules reference the
-    # token array three times and the stopword rule tokenizes the
-    # lowercased text — as inline expressions each reference re-split
-    # the document (no CSE in the interpreted HOF path)
-    df = df.select(
-        "*",
-        tokens(c).alias("_gr_tk"),
-        tokens(F.lower(c)).alias("_gr_ltk"),
-    )
-    toks = F.col("_gr_tk")
-    n_words = F.size(toks)
-    sum_len = F.aggregate(
-        toks, F.lit(0), lambda acc, t: acc + F.length(t)
-    )
-    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]")))
+    # every per-token statistic is a SINGLE codegen'd Java-regex pass
+    # over the text (tokens are maximal \S+ runs, so token-level facts
+    # have exact whole-string regex equivalents) — the previous
+    # aggregate/filter HOF lambdas evaluated interpreted per token and
+    # dominated this operator's runtime:
+    #   n_words   = count of \S+ runs
+    #   sum_len   = chars left after deleting every \s run
+    #   n_alpha   = runs containing [a-zA-Z]: the regex scanner emits
+    #               exactly one non-overlapping \S*[a-zA-Z]\S* match
+    #               per such run (greedy \S* consumes the whole run;
+    #               \S cannot cross whitespace)
+    #   n_stop    = whole-token stopword matches, delimited by the
+    #               width-1 lookarounds (?<!\S) / (?!\S)
+    n_words = F.regexp_count(c, F.lit(r"\S+"))
+    sum_len = F.length(F.regexp_replace(c, r"\s+", ""))
+    n_alpha = F.regexp_count(c, F.lit(r"\S*[a-zA-Z]\S*"))
     # non-overlapping occurrence counts via replace-shrinkage — both
     # engines replace greedily left-to-right, so the counts agree
     n_symbols = (
@@ -644,31 +645,35 @@ def gopher_rules(
         + (F.length(c) - F.length(F.replace(c, F.lit("..."), F.lit(""))))
         / F.lit(3)
     ).cast("long")
-    from ..functions.text import _STOPWORDS
-
-    n_stop = F.size(
-        F.filter(F.col("_gr_ltk"), lambda t: t.isin(_STOPWORDS))
-    )
-    rule_words = (n_words >= min_words) & (n_words <= max_words)
-    rule_mean = (
-        (sum_len >= n_words * min_mean_word_len)
-        & (sum_len <= n_words * max_mean_word_len)
-    )
-    rule_alpha = (
-        n_alpha * min_alpha_ratio_den >= n_words * min_alpha_ratio_num
-    )
-    rule_symbol = (
-        F.col("n_symbols") * max_symbol_ratio_den
-        <= F.col("n_words") * max_symbol_ratio_num
-    )
-    rule_stop = n_stop >= min_stopwords
-    out = df.select(
+    n_stop = stopword_count(c)
+    # bind the counters ONCE, then decide the rules from the bound
+    # columns (each counter is referenced up to three times below)
+    df = df.select(
         F.col(id_col),
         n_words.alias("n_words"),
         sum_len.alias("sum_word_len"),
         n_alpha.alias("n_alpha_words"),
         n_symbols.alias("n_symbols"),
         n_stop.alias("n_stopwords_g"),
+    )
+    n_words = F.col("n_words")
+    sum_len = F.col("sum_word_len")
+    rule_words = (n_words >= min_words) & (n_words <= max_words)
+    rule_mean = (
+        (sum_len >= n_words * min_mean_word_len)
+        & (sum_len <= n_words * max_mean_word_len)
+    )
+    rule_alpha = (
+        F.col("n_alpha_words") * min_alpha_ratio_den
+        >= n_words * min_alpha_ratio_num
+    )
+    rule_symbol = (
+        F.col("n_symbols") * max_symbol_ratio_den
+        <= F.col("n_words") * max_symbol_ratio_num
+    )
+    rule_stop = F.col("n_stopwords_g") >= min_stopwords
+    out = df.select(
+        "*",
         rule_words.alias("rule_words"),
         rule_mean.alias("rule_mean_len"),
         rule_alpha.alias("rule_alpha"),
