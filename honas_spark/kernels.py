@@ -416,6 +416,26 @@ def hll_add(regs: np.ndarray, hashes: np.ndarray) -> None:
     np.maximum.at(regs, idx, count)
 
 
+def hll_add_grouped(
+    mats: np.ndarray, codes: np.ndarray, hashes: np.ndarray
+) -> None:
+    """hll_add for MANY register arrays at once: mats is (G, 16384)
+    uint8, codes maps each hash to its row.  One index/count
+    derivation and ONE scatter cover every group (row gi ends up
+    bit-identical to hll_add over that group's slice — the register
+    update is an elementwise max, so batching changes nothing), where
+    the per-group loop paid the numpy fixed call cost G times."""
+    if hashes.size == 0:
+        return
+    h = hashes.astype(np.uint64, copy=False)
+    idx = (h & _HLL_P_MASK).astype(np.int64)
+    w = (h >> U64(HLL_P)) | (U64(1) << U64(63 - HLL_P))
+    low = w & (~w + U64(1))
+    count = (np.log2(low.astype(np.float64)) + 1.5).astype(np.uint8)
+    flat = codes.astype(np.int64, copy=False) * HLL_REGISTERS + idx
+    np.maximum.at(mats.reshape(-1), flat, count)
+
+
 def hll_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return np.maximum(a, b)
 
@@ -451,18 +471,49 @@ def _pack_nonzero(
     """Generic (idx, val) sparse serialization of a flat array; None
     when sparse would not be smaller than the dense bytes.  Shared by
     the Bloom-bitset and CMS-counter variants of the HLL sparse
-    encoding — the one merge protocol's one sparse format."""
+    encoding — the one merge protocol's one sparse format.
+
+    uint8 arrays (Bloom bitsets, HLL registers — the per-group hot
+    path) scan as uint64 WORDS first: np.nonzero's per-byte
+    extraction runs ~2ns/element, so on a 64 KiB row the scan itself
+    dominated the pack.  The word pass is a SIMD compare over 8x
+    fewer elements; nnz >= nonzero-word count, so a word count that
+    already loses to dense returns None without extracting anything
+    (a nearly-full build sketch pays ONE cheap count, not a wasted
+    index materialization), and a sparse row extracts bytes only from
+    its few nonzero words.  Indices and bytes are identical to the
+    plain flatnonzero path (pinned by
+    tests/test_r07_hardening.py::test_grouped_scatter_and_u8_fastpath_bit_identical)."""
     if not SPARSE_SERIALIZATION:
         return None
-    nz = np.flatnonzero(flat)
     pair = np.dtype(idx_dtype).itemsize + np.dtype(val_dtype).itemsize
-    if 5 + pair * nz.size >= flat.size * flat.itemsize:
+    dense_bytes = flat.size * flat.itemsize
+    # exact nnz via ONE SIMD count reduction (no index materialization):
+    # a too-full row returns None having paid only the count, never the
+    # extraction it would throw away
+    nnz = int(np.count_nonzero(flat))
+    if 5 + pair * nnz >= dense_bytes:
         return None
+    if (
+        flat.dtype == np.uint8
+        and flat.size % 8 == 0
+        and flat.flags.c_contiguous
+    ):
+        cand = (
+            np.flatnonzero(flat.view("<u8"))[:, None] * 8 + np.arange(8)
+        ).reshape(-1)
+        vals = flat[cand]
+        mask = vals != 0
+        nz = cand[mask]
+        nzv = vals[mask]
+    else:
+        nz = np.flatnonzero(flat)
+        nzv = flat[nz]
     return (
         bytes([_HLL_SPARSE_MAGIC])
         + np.array(nz.size, dtype="<u4").tobytes()
         + nz.astype(idx_dtype).tobytes()
-        + flat[nz].astype(val_dtype).tobytes()
+        + nzv.astype(val_dtype).tobytes()
     )
 
 
@@ -626,6 +677,24 @@ def cms_add(counts: np.ndarray, keys: np.ndarray, weights=None) -> None:
         weights = np.ones(keys.size, dtype=np.int64)
     for j in range(depth):
         np.add.at(counts[j], idx[j], weights)
+
+
+def cms_add_grouped(
+    mats: np.ndarray, codes: np.ndarray, keys: np.ndarray
+) -> None:
+    """cms_add (unit weights) for MANY sketches at once: mats is
+    (G, depth, width) int64, codes maps each key to its sketch.  One
+    index derivation + one scatter replace G per-group calls; counter
+    addition commutes, so each row is bit-identical to cms_add over
+    that group's slice."""
+    if keys.size == 0:
+        return
+    _, depth, width = mats.shape
+    idx = _cms_indexes(keys.astype(np.uint64, copy=False), depth, width)
+    base = codes.astype(np.int64, copy=False) * (depth * width)
+    rowoff = (np.arange(depth, dtype=np.int64) * width)[:, None]
+    flat = (base[None, :] + rowoff + idx).reshape(-1)
+    np.add.at(mats.reshape(-1), flat, 1)
 
 
 def cms_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:

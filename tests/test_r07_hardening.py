@@ -329,3 +329,65 @@ def test_count_sketch_f2_lowbits_equals_conv(spark):
     got = count_sketch_f2(df, ["g"], "v", depth=3, width=256).collect()[0]
     got_np2 = count_sketch_f2(df, ["g"], "v", depth=3, width=250).collect()[0]
     assert got["n"] == got_np2["n"] == 500
+
+
+def test_grouped_scatter_and_u8_fastpath_bit_identical():
+    """The bulk-flush grouped HLL/CMS scatter and the word-level
+    sparse-pack fast path must be BIT-identical to the per-group
+    kernels they replace (the .hs interop and every gate hash ride on
+    the exact register/counter/byte values)."""
+    import numpy as np
+    from honas_spark import kernels as K
+
+    rng = np.random.default_rng(123)
+    G, N = 97, 20_000
+    codes = np.sort(rng.integers(0, G, N)).astype(np.int64)
+    seg = np.searchsorted(codes, np.arange(G + 1))
+    hashes = rng.integers(0, 2**63, N, dtype=np.int64).view(np.uint64)
+
+    mats = np.zeros((G, K.HLL_REGISTERS), dtype=np.uint8)
+    K.hll_add_grouped(mats, codes, hashes)
+    cmats = np.zeros((G, 4, 256), dtype=np.int64)
+    K.cms_add_grouped(cmats, codes, hashes)
+    for g in range(G):
+        ref = K.hll_zero()
+        K.hll_add(ref, hashes[seg[g]:seg[g + 1]])
+        assert np.array_equal(ref, mats[g]), g
+        cref = K.cms_zero(4, 256)
+        K.cms_add(cref, hashes[seg[g]:seg[g + 1]])
+        assert np.array_equal(cref, cmats[g]), g
+
+    # the word-level u8 pack fast path emits byte-identical buffers
+    # to the naive flatnonzero reference across density regimes
+    # (empty, sparse, half-dense, fully dense, unaligned, int64)
+    def ref_pack(flat, idx_dtype, val_dtype):
+        nz = np.flatnonzero(flat)
+        pair = (
+            np.dtype(idx_dtype).itemsize + np.dtype(val_dtype).itemsize
+        )
+        if 5 + pair * nz.size >= flat.size * flat.itemsize:
+            return None
+        return (
+            b"\x01"
+            + np.array(nz.size, dtype="<u4").tobytes()
+            + nz.astype(idx_dtype).tobytes()
+            + flat[nz].astype(val_dtype).tobytes()
+        )
+
+    half = np.zeros(65536, dtype=np.uint8)
+    half[::2] = 7
+    cases = [
+        (np.zeros(65536, dtype=np.uint8), "<u4", "u1"),
+        (np.ones(65536, dtype=np.uint8), "<u4", "u1"),
+        (half, "<u4", "u1"),
+        (mats[0].copy(), "<u2", "u1"),
+        (rng.integers(0, 2, 120, dtype=np.uint8), "<u4", "u1"),
+        (cmats[0].reshape(-1).astype("<i8"), "<u4", "<i8"),
+    ]
+    for arr, idt, vdt in cases:
+        assert K._pack_nonzero(arr, idt, vdt) == ref_pack(
+            arr, idt, vdt
+        ), (arr.dtype, arr.size)
+    # and the pack round-trips through the unchanged decoder
+    sp = K.hll_pack(mats[0])
+    assert np.array_equal(K.hll_unpack(sp), mats[0])
