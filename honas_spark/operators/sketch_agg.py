@@ -569,18 +569,53 @@ def _merge_by_group(spec: SketchSpec, group_cols: list):
     hundreds of tiny windows); hash partitioning guarantees each group
     arrives whole, pandas groupby splits it locally."""
 
+    value_cols = ("filters", "hll_clients", "hll_items", "cms", "kll")
+
     def merge_all(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         states: dict[tuple, SketchState] = {}
         for pdf in batches:
             if pdf.empty:
                 continue
-            for gkey, sub in pdf.groupby(group_cols, sort=False, dropna=False):
-                if not isinstance(gkey, tuple):
-                    gkey = (gkey,)
-                gkey = na_safe_key(gkey)
-                # vectorized reduce over the whole sub-frame (one numpy
+            # positional group split + ONE vectorized stats aggregation:
+            # materializing a pandas sub-frame per group paid the
+            # block-slice, per-group column access and per-group Series
+            # min/max/sum costs ~100 us x groups (the dominant merge-
+            # phase overhead at thousands of tiny rollup cells).  With
+            # sort=False both ngroup() numbering and the agg row order
+            # are first-appearance order, so stats row g belongs to
+            # group code g by construction.
+            gb = pdf.groupby(group_cols, sort=False, dropna=False)
+            stats = gb.agg(
+                _first=("first_ts", "min"),
+                _last=("last_ts", "max"),
+                _n=("n_rows", "sum"),
+            )
+            gnum = gb.ngroup().to_numpy()
+            n_groups = len(stats)
+            order = np.argsort(gnum, kind="stable")
+            seg = np.searchsorted(
+                gnum[order], np.arange(n_groups + 1)
+            )
+            cols = {c: pdf[c].to_numpy() for c in value_cols}
+            gcols = {c: pdf[c].to_numpy() for c in group_cols}
+            firsts = stats["_first"].to_numpy()
+            lasts = stats["_last"].to_numpy()
+            ns = stats["_n"].to_numpy()
+            for g in range(n_groups):
+                idx = order[seg[g]: seg[g + 1]]
+                gkey = na_safe_key(
+                    tuple(gcols[c][idx[0]] for c in group_cols)
+                )
+                # vectorized reduce over the group's rows (one numpy
                 # reduction per component, not one merge per row)
-                st = SketchState.merge_many(spec, sub)
+                st = SketchState.merge_packed(
+                    spec, *(cols[c][idx] for c in value_cols)
+                )
+                st.n_rows = int(ns[g])
+                st.first_ts = (
+                    None if pd.isna(firsts[g]) else firsts[g]
+                )
+                st.last_ts = None if pd.isna(lasts[g]) else lasts[g]
                 merged = states.get(gkey)
                 states[gkey] = st if merged is None else merged.merge(st)
         if states:

@@ -132,42 +132,56 @@ class SketchState:
         return out
 
     @classmethod
-    def merge_many(cls, spec: SketchSpec, sub) -> "SketchState":
-        """Reduce MANY serialized partial rows (a pandas sub-frame with
-        the sketch value columns) in one vectorized pass: one
-        bitwise_or.reduce / maximum.reduce / add.reduce over the stacked
-        buffers instead of P sequential deserialize+merge round trips.
-        Bit-identical to folding with merge() (associativity)."""
-        import pandas as pd
-
+    def merge_packed(
+        cls, spec: SketchSpec, filters, hll_clients, hll_items, cms, kll
+    ) -> "SketchState":
+        """Reduce parallel sequences of serialized component buffers in
+        one vectorized pass: one bitwise_or.reduce / maximum.reduce /
+        add.reduce over the stacked buffers instead of P sequential
+        deserialize+merge round trips.  Bit-identical to folding with
+        merge() (associativity).  Counters/ts stats stay at their
+        zero/None defaults — the caller owns them (they aggregate
+        vectorized across ALL groups at once in _merge_by_group)."""
         out = cls(spec)
         out.filters = np.bitwise_or.reduce(
             np.stack([
                 K.bloom_unpack(b, spec.num_filters, spec.filter_bytes)
-                for b in sub["filters"]
+                for b in filters
             ]),
             axis=0,
         )
         out.hll_clients = np.maximum.reduce(
-            np.stack([K.hll_unpack(b) for b in sub["hll_clients"]]),
+            np.stack([K.hll_unpack(b) for b in hll_clients]),
             axis=0,
         )
         out.hll_items = np.maximum.reduce(
-            np.stack([K.hll_unpack(b) for b in sub["hll_items"]]),
+            np.stack([K.hll_unpack(b) for b in hll_items]),
             axis=0,
         )
         out.cms = np.add.reduce(
             np.stack([
                 K.cms_unpack(b, spec.cms_depth, spec.cms_width)
-                for b in sub["cms"]
+                for b in cms
             ]),
             axis=0,
         ).astype(np.int64)
-        kll = None
-        for b in sub["kll"]:
+        acc = None
+        for b in kll:
             nxt = K.KLL.from_bytes(b)
-            kll = nxt if kll is None else kll.merge(nxt)
-        out.kll = kll
+            acc = nxt if acc is None else acc.merge(nxt)
+        out.kll = acc
+        return out
+
+    @classmethod
+    def merge_many(cls, spec: SketchSpec, sub) -> "SketchState":
+        """merge_packed over a pandas sub-frame's value columns, plus
+        the counter/ts stats from the same frame."""
+        import pandas as pd
+
+        out = cls.merge_packed(
+            spec, sub["filters"], sub["hll_clients"], sub["hll_items"],
+            sub["cms"], sub["kll"],
+        )
         out.n_rows = int(sub["n_rows"].sum())
         first = sub["first_ts"].min()
         last = sub["last_ts"].max()
