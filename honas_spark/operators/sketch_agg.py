@@ -202,121 +202,100 @@ def build_sketches(
         # any row placement correct
         slim = slim.repartition(salt_partitions)
 
-    flush_rows = 262_144  # per-group buffer cap: keeps numpy batches
-    # large (vectorization efficiency) while bounding buffered memory
+    # total buffered-row cap between bulk flushes: bounds worker
+    # memory by TOTAL rows (the previous per-GROUP cap bounded no
+    # total), while keeping each vectorized pass large
+    bulk_flush_rows = 1_048_576
     # cap on the grouped-scatter scratch matrices (per component):
     # above it the bulk flush falls back to per-group adds rather
     # than allocate an unbounded (groups x registers) buffer
     _SCATTER_MAX_BYTES = 256 * 1024 * 1024
 
     def build_partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # buffer rows per group across Arrow batches and update in large
-        # flushes: per-batch pandas slicing would shrink the numpy
-        # batches 1/|groups| and pay Python overhead |groups| times per
-        # batch, while unbounded buffering would hold a whole shuffle
-        # partition in memory.
+        # buffer WHOLE Arrow batches and group once per bulk flush:
+        # the per-batch pandas groupby chop paid a per-group
+        # frame-slice cost that scaled with rows x batches (it was
+        # the largest worker-profile item at the 5M-row build shape),
+        # where one ngroup + stable-argsort pass over the buffered
+        # rows is a few vectorized calls total.
         states: dict[tuple, SketchState] = {}
-        bufs: dict[tuple, list[pd.DataFrame]] = {}
-        sizes: dict[tuple, int] = {}
-
-        def flush(gkey: tuple) -> None:
-            subs = bufs.pop(gkey, None)
-            if not subs:
-                return
-            sizes[gkey] = 0
-            sub = subs[0] if len(subs) == 1 else pd.concat(subs)
-            st = states.get(gkey)
-            if st is None:
-                st = states[gkey] = SketchState(spec)
-            if client_hash_col:
-                ch = sub[client_hash_col].to_numpy(
-                    dtype=np.int64
-                ).view(np.uint64)
-            elif client_col:
-                ch = K.murmur64a_series(sub[client_col])
-            else:
-                ch = None
-            st.update(
-                sub[key_sha_col],
-                client_hashes=ch,
-                values=(
-                    sub[value_col].to_numpy(dtype=np.float64)
-                    if value_col
-                    else None
-                ),
-                components=components,
-            )
+        pending: list[pd.DataFrame] = []
+        pending_rows = 0
 
         def flush_all_bulk() -> None:
-            """End-of-stream flush of EVERY buffered group in one
-            vectorized pass.  The per-group flush() pays the Bloom
-            offset-derivation kernel's fixed per-call cost (~0.5 ms of
-            k x n_limbs numpy-loop setup) once per (group, filter) —
-            ruinous when a partition holds tens of thousands of tiny
-            groups (the high-group-cardinality shape).  Here the hash
-            limbs, the filter-subset selectors and ONE bloom_offsets
-            call per filter cover all groups at once (rows are
-            independent, so per-row results are bit-identical), and
-            only the cheap per-group scatters (bitset OR, HLL/CMS/KLL
-            adds on contiguous segments) remain per group.  Buffers
-            are concatenated group-major, so within-group row order —
-            and therefore KLL ingestion order — is exactly what the
-            per-group flush saw."""
-            groups = [gk for gk in bufs if bufs[gk]]
-            if not groups:
+            """Flush EVERY buffered row in one vectorized pass.  A
+            per-group flush would pay the Bloom offset-derivation
+            kernel's fixed per-call cost (~0.5 ms of k x n_limbs
+            numpy-loop setup) once per (group, filter) — ruinous when
+            a partition holds tens of thousands of tiny groups (the
+            high-group-cardinality shape).  Here the grouping (ngroup
+            codes + stable argsort), the hash limbs, the filter-subset
+            selectors and ONE bloom_offsets call per filter cover all
+            groups at once (rows are independent, so per-row results
+            are bit-identical), and only the cheap per-group scatters
+            (bitset OR, HLL/CMS/KLL adds on contiguous segments)
+            remain per group.  The stable sort keeps within-group row
+            order — and therefore KLL ingestion order — at arrival
+            order, exactly what a per-group fold would see."""
+            nonlocal pending, pending_rows
+            if not pending:
                 return
+            big = (
+                pending[0]
+                if len(pending) == 1
+                else pd.concat(pending, ignore_index=True)
+            )
+            pending = []
+            pending_rows = 0
             comp = (
                 SketchState.ALL_COMPONENTS
                 if components is None
                 else components
             )
-            # ONE flattened group-major concat: concatenating each
-            # group's sub-frames first paid pandas' per-concat fixed
-            # cost once per multi-batch group (measured as the single
-            # largest item in the worker profile); flattening
-            # preserves the identical row order (groups in dict
-            # order, sub-frames in arrival order)
-            frames = []
-            lens = []
-            for gk in groups:
-                subs = bufs.pop(gk)
-                sizes[gk] = 0
-                frames.extend(subs)
-                lens.append(sum(len(s) for s in subs))
-            seg = np.cumsum([0] + lens)
-            big = frames[0] if len(frames) == 1 else pd.concat(
-                frames, ignore_index=True
-            )
+            gb = big.groupby(group_cols, sort=False, dropna=False)
+            gnum = gb.ngroup().to_numpy()
+            G = int(gnum.max()) + 1
+            order = np.argsort(gnum, kind="stable")
+            codes = gnum[order]
+            seg = np.searchsorted(codes, np.arange(G + 1))
+            gcol_arrays = {c: big[c].to_numpy() for c in group_cols}
+            groups = [
+                na_safe_key(tuple(
+                    gcol_arrays[c][order[seg[g]]] for c in group_cols
+                ))
+                for g in range(G)
+            ]
             n_all = len(big)
             limbs = item_h64 = None
             if comp & {"bloom", "hll", "cms"}:
                 limbs = K.hashes_to_limbs(
-                    list(big[key_sha_col]), spec.hash_len
+                    list(big[key_sha_col].to_numpy()[order]),
+                    spec.hash_len,
                 )
                 item_h64 = limbs[:, :2].copy().view("<u8").reshape(-1)
             if client_hash_col:
                 ch = big[client_hash_col].to_numpy(
                     dtype=np.int64
-                ).view(np.uint64)
+                )[order].view(np.uint64)
             elif client_col:
-                ch = K.murmur64a_series(big[client_col])
+                ch = K.murmur64a_series(
+                    big[client_col].to_numpy()[order]
+                )
             else:
                 ch = np.zeros(n_all, dtype=np.uint64)
             vals = (
-                big[value_col].to_numpy(dtype=np.float64)
+                big[value_col].to_numpy(dtype=np.float64)[order]
                 if value_col and "kll" in comp
                 else None
             )
-            codes = np.repeat(np.arange(len(groups)), np.diff(seg))
             # grouped scatter: ONE hll/cms kernel call covers every
             # buffered group (bit-identical — register max / counter
             # add commute), instead of paying the numpy fixed call
             # cost 3x per group.  Fresh states adopt the matrix row
-            # as a view; a state that already absorbed a mid-stream
-            # flush folds its row in with the same merge algebra.
+            # as a view; a state that already absorbed an earlier
+            # bulk flush folds its row in with the same merge algebra.
             # Guarded by a byte cap so a pathological group count
             # cannot allocate an oversized scratch matrix.
-            G = len(groups)
             hll_mats = cms_mat = None
             if "hll" in comp and G * 2 * K.HLL_REGISTERS <= _SCATTER_MAX_BYTES:
                 hll_mats = np.zeros((2, G, K.HLL_REGISTERS), dtype=np.uint8)
@@ -390,14 +369,10 @@ def build_sketches(
         for pdf in batches:
             if pdf.empty:
                 continue
-            for gkey, sub in pdf.groupby(group_cols, sort=False, dropna=False):
-                if not isinstance(gkey, tuple):
-                    gkey = (gkey,)
-                gkey = na_safe_key(gkey)
-                bufs.setdefault(gkey, []).append(sub)
-                sizes[gkey] = sizes.get(gkey, 0) + len(sub)
-                if sizes[gkey] >= flush_rows:
-                    flush(gkey)
+            pending.append(pdf)
+            pending_rows += len(pdf)
+            if pending_rows >= bulk_flush_rows:
+                flush_all_bulk()
         flush_all_bulk()
         if states:  # empty partitions yield nothing (Arrow needs typed cols)
             yield _states_to_pdf(states, group_cols)
