@@ -175,10 +175,14 @@ def build_sketches(
     group_ddl = _group_fields_ddl(df, group_cols)
     out_schema = f"{group_ddl}, {SKETCH_VALUE_FIELDS}"
 
-    # timestamp stats (P11: first/last request + request count) are plain
-    # min/max/count — they run as a JVM hash aggregate in codegen instead
-    # of shipping a timestamp per row through Arrow, and are stitched back
-    # onto the sketch rows with a broadcast join of G tiny rows
+    # timestamp stats (P11: first/last request + request count): with
+    # distinct_keys=False the slim Arrow pass already visits every raw
+    # row, so the ts column rides along (+8 bytes/row) and the stats
+    # fold per group inside the SAME pass — one scan of the input, not
+    # two.  With distinct_keys=True the stats must aggregate the RAW
+    # df while the build sees deduped rows, so they stay a separate
+    # JVM hash aggregate stitched back with a broadcast join.
+    inline_ts = bool(ts_col) and not distinct_keys
     cols = group_cols + [key_sha_col]
     if client_hash_col:
         cols.append(client_hash_col)
@@ -186,6 +190,8 @@ def build_sketches(
         cols.append(client_col)
     if value_col:
         cols.append(value_col)
+    if inline_ts and ts_col not in cols:
+        cols.append(ts_col)
     slim = df.select(*cols)
     if distinct_keys:
         dd_cols = [c for c in cols if c != value_col]
@@ -288,6 +294,16 @@ def build_sketches(
                 if value_col and "kll" in comp
                 else None
             )
+            firsts = lasts = None
+            if inline_ts:
+                # one vectorized skipna min/max per flush (agg row
+                # order == ngroup numbering under sort=False, the
+                # merge-phase alignment guarantee)
+                tstats = gb.agg(
+                    _f=(ts_col, "min"), _l=(ts_col, "max")
+                )
+                firsts = tstats["_f"].to_numpy()
+                lasts = tstats["_l"].to_numpy()
             # grouped scatter: ONE hll/cms kernel call covers every
             # buffered group (bit-identical — register max / counter
             # add commute), instead of paying the numpy fixed call
@@ -317,6 +333,16 @@ def build_sketches(
                 if fresh:
                     st = states[gk] = SketchState(spec)
                 st.n_rows += e - s
+                if firsts is not None:
+                    f, l = firsts[gi], lasts[gi]
+                    if not pd.isna(f) and (
+                        st.first_ts is None or f < st.first_ts
+                    ):
+                        st.first_ts = f
+                    if not pd.isna(l) and (
+                        st.last_ts is None or l > st.last_ts
+                    ):
+                        st.last_ts = l
                 if "hll" in comp:
                     if hll_mats is None:
                         K.hll_add(st.hll_items, item_h64[s:e])
@@ -389,7 +415,7 @@ def build_sketches(
         result = partials.repartition(*group_cols).mapInPandas(
             _merge_by_group(spec, group_cols), schema=out_schema
         )
-    if ts_col:
+    if ts_col and not inline_ts:
         stats = df.groupBy(*group_cols).agg(
             F.min(ts_col).alias("_first_ts"),
             F.max(ts_col).alias("_last_ts"),
