@@ -210,8 +210,13 @@ def build_sketches(
 
     # total buffered-row cap between bulk flushes: bounds worker
     # memory by TOTAL rows (the previous per-GROUP cap bounded no
-    # total), while keeping each vectorized pass large
-    bulk_flush_rows = 1_048_576
+    # total), keeps each vectorized pass large, AND keeps the flush
+    # work PIPELINED with the incoming Arrow stream — deferring all
+    # grouping to end-of-stream serialized compute after transfer and
+    # measured 15-40% slower on 156k-row partitions than flushing
+    # every ~128k rows, while partitions at or below the cap behave
+    # identically (single end-of-stream flush)
+    bulk_flush_rows = 131_072
     # cap on the grouped-scatter scratch matrices (per component):
     # above it the bulk flush falls back to per-group adds rather
     # than allocate an unbounded (groups x registers) buffer
